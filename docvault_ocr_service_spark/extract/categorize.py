@@ -1,0 +1,126 @@
+"""Document categorization + language detection (pure Python, no Spark).
+
+Score-compatible with the reference's v2 categorizer
+(``/root/reference/app/document_categorizer_v2.py``): per category,
+``min(0.15 * keyword_hits, 0.6) + min(0.2 * pattern_hits, 0.7)`` capped at
+1.0 (``:108-149``); primary = argmax, ``< 0.25`` → ``unknown``
+(``:242-244``); empty/short (<3 stripped chars) text → ``unknown``/0.0
+(``:213-220``).
+
+Canonicalization vs the reference: argmax ties break by *lexicographic
+category name* (the reference iterates a hash-seed-ordered set —
+``:71-76`` — so its tie-break is nondeterministic; its tests only cover
+clear winners).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from . import patterns as P
+
+# Precompiled per-category tables: (name, lowered keywords, compiled regexes)
+_CATEGORY_TABLE: tuple[tuple[str, tuple[str, ...], tuple[re.Pattern, ...]], ...] = tuple(
+    (
+        name,
+        tuple(kw.lower() for kw in kws),
+        tuple(re.compile(p, re.IGNORECASE | re.MULTILINE) for p in pats),
+    )
+    for name, (kws, pats) in P.CATEGORIES.items()
+)
+
+CATEGORY_NAMES: tuple[str, ...] = tuple(name for name, _, _ in _CATEGORY_TABLE)
+
+UNKNOWN_THRESHOLD = 0.25
+KEYWORD_WEIGHT, KEYWORD_CAP = 0.15, 0.6
+PATTERN_WEIGHT, PATTERN_CAP = 0.2, 0.7
+
+
+@dataclass
+class CategoryResult:
+    """Mirrors app/document_categorizer_v2.py:17-24."""
+    primary_category: str
+    confidence: float
+    all_categories: dict[str, float] = field(default_factory=dict)
+    indicators: list[str] = field(default_factory=list)
+    detected_languages: list[str] = field(default_factory=list)
+
+
+def category_score(text: str, text_lower: str,
+                   keywords: tuple[str, ...],
+                   regexes: tuple[re.Pattern, ...]) -> tuple[float, list[str]]:
+    """One category's score + matched indicators (reference :108-149)."""
+    indicators: list[str] = []
+    kw_hits = 0
+    for kw in keywords:
+        if kw in text_lower:
+            kw_hits += 1
+            indicators.append(kw)
+    score = min(kw_hits * KEYWORD_WEIGHT, KEYWORD_CAP) if kw_hits else 0.0
+    pat_hits = 0
+    for rx in regexes:
+        if rx.search(text):
+            pat_hits += 1
+            indicators.append(f"pattern:{rx.pattern[:30]}...")
+    if pat_hits:
+        score += min(pat_hits * PATTERN_WEIGHT, PATTERN_CAP)
+    return min(score, 1.0), indicators
+
+
+def detect_languages(text_lower: str) -> list[str]:
+    """Keyword-vote language ID (reference :151-187).
+
+    date-context + amount-context keywords ×1, month names ×2; a language
+    is detected at ≥3 votes; no detections → every configured language.
+    """
+    detected: list[str] = []
+    for lang in P.LANGS:
+        votes = 0
+        for kw in P.DATE_CTX_BY_LANG[lang]:
+            if kw.lower() in text_lower:
+                votes += 1
+        for kw in P.AMOUNT_CTX_BY_LANG[lang]:
+            if kw.lower() in text_lower:
+                votes += 1
+        for month in P.MONTH_NAMES_BY_LANG[lang]:
+            if month.lower() in text_lower:
+                votes += 2
+        if votes >= 3:
+            detected.append(lang)
+    return detected if detected else list(P.LANGS)
+
+
+def categorize_detailed(text: str) -> CategoryResult:
+    """Full categorization (reference :203-255)."""
+    if not text or len(text.strip()) < 3:
+        return CategoryResult("unknown", 0.0, {"unknown": 0.0}, [], [])
+
+    text_lower = text.lower()
+    detected = detect_languages(text_lower)
+
+    scores: dict[str, float] = {}
+    indicators_by_cat: dict[str, list[str]] = {}
+    for name, keywords, regexes in _CATEGORY_TABLE:
+        score, indicators = category_score(text, text_lower, keywords, regexes)
+        scores[name] = score
+        indicators_by_cat[name] = indicators
+
+    # argmax; ties break lexicographically (our canonical rule)
+    primary = max(sorted(scores), key=scores.get)
+    confidence = scores[primary]
+    if confidence < UNKNOWN_THRESHOLD:
+        primary = "unknown"
+
+    return CategoryResult(
+        primary_category=primary,
+        confidence=confidence,
+        all_categories=scores,
+        indicators=indicators_by_cat.get(primary, []),
+        detected_languages=detected,
+    )
+
+
+def categorize(text: str) -> str:
+    """Primary category label only (reference :189-201)."""
+    return categorize_detailed(text).primary_category

@@ -1,0 +1,177 @@
+"""Per-document extraction orchestrator: raw row → result dict (no Spark).
+
+This is the kernel the ``mapInPandas`` stage applies per Arrow batch — the
+batched restatement of the reference's worker pipeline
+(``/root/reference/app/worker.py:152-406``): sniff format → fast path
+(pre-extracted text) / HTML strip / PDF native text → page join → metadata →
+categorize, with every per-document failure converted to an error row
+(retry/DLQ semantics, ``app/worker.py:557-605``), never an exception that
+could kill a task on a trillion-row job.
+
+Error taxonomy mirrors ``app/error_handler.py:16-69``:
+PERMANENT = {invalid_file_type, corrupted_file, unsupported_format,
+ocr_unavailable, empty_payload}; anything unexpected = retryable.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import asdict
+
+from . import categorize as cat
+from . import metadata as md
+from .charset import decode_html_bytes
+from .htmltext import extract_main_text
+from .pdftext import (
+    NATIVE_TEXT_MIN_CHARS,
+    PDF_MAGIC,
+    PdfParseError,
+    extract_pdf_pages,
+    has_native_text,
+)
+
+PAGE_JOINER = "\n\n"        # app/worker.py:250,321
+NATIVE_CONFIDENCE = 95.0    # app/worker.py:237,251-252
+HTML_CONFIDENCE = 90.0      # this engine's fixed score for DOM extraction
+
+# status values for the checkpoint table (FIXTURES.md §2)
+STATUS_DONE = "done"
+STATUS_FAILED_PERMANENT = "failed_permanent"
+STATUS_FAILED_RETRYABLE = "failed_retryable"
+
+PERMANENT_ERROR_KINDS = frozenset((
+    "invalid_file_type", "corrupted_file", "unsupported_format",
+    "ocr_unavailable", "empty_payload", "unsupported_language",
+    "file_too_large",
+))
+
+MAX_PAYLOAD_BYTES = 50 * 1024 * 1024  # app/validators.py:9
+
+
+def detect_format(payload: bytes | None) -> str:
+    """Magic-byte container sniff (analogue of
+    app/document_processor.py:48-97, minus libmagic).
+
+    Returns 'pdf' | 'html' | 'empty' | 'unknown'.
+    """
+    if not payload:
+        return "empty"
+    if payload.startswith(PDF_MAGIC):
+        return "pdf"
+    head = payload[:2048].lstrip()[:256].lower()
+    if head.startswith((b"<!doctype", b"<html", b"<head", b"<body", b"<?xml")) \
+            or b"<html" in head or b"<div" in head or b"<p>" in head:
+        return "html"
+    return "unknown"
+
+
+def _page_entries(pages: list[str], confidence: float, source: str) -> list[dict]:
+    """Per-page result entries (shape of app/worker.py:231-239)."""
+    return [
+        {"page": i + 1, "text": t, "confidence": confidence, "source": source}
+        for i, t in enumerate(pages)
+    ]
+
+
+def _finish(url: str, lang: str | None, pages: list[str], confidence: float,
+            source: str, started: float, spans: list[dict]) -> dict:
+    full_text = PAGE_JOINER.join(pages)
+    meta = md.extract_metadata(full_text)
+    meta["dates"] = list(meta["dates"])  # date objects pass through Arrow
+    category = cat.categorize_detailed(full_text)
+    return {
+        "url": url,
+        "status": STATUS_DONE,
+        "error_kind": None,
+        "error_msg": None,
+        "text": full_text,
+        "confidence": confidence,
+        "page_count": len(pages),
+        "pages": _page_entries(pages, confidence, source),
+        "spans": spans,
+        "metadata": meta,
+        "category": category.primary_category,
+        "category_confidence": category.confidence,
+        "detected_languages": category.detected_languages,
+        "lang": lang,
+        "source": source,
+        "processing_time": time.monotonic() - started,
+    }
+
+
+def _error(url: str, lang: str | None, kind: str, msg: str,
+           started: float) -> dict:
+    status = (STATUS_FAILED_PERMANENT if kind in PERMANENT_ERROR_KINDS
+              else STATUS_FAILED_RETRYABLE)
+    return {
+        "url": url,
+        "status": status,
+        "error_kind": kind,
+        "error_msg": msg[:500],
+        "text": None,
+        "confidence": None,
+        "page_count": None,
+        "pages": [],
+        "spans": [],
+        "metadata": None,
+        "category": None,
+        "category_confidence": None,
+        "detected_languages": [],
+        "lang": lang,
+        "source": "error",
+        "processing_time": time.monotonic() - started,
+    }
+
+
+def extract_document(url: str, html: bytes | None, text: str | None,
+                     lang: str | None) -> dict:
+    """One input row → one result row (dict keyed like RESULT_SCHEMA).
+
+    Branches, in the order the reference's worker takes them:
+
+    - pre-extracted ``text`` present → fast path, no parsing (the analogue
+      of the native-PDF ≥100-char gate steering past OCR,
+      app/worker.py:210-252); confidence pinned 95.0.
+    - PDF payload → native text per page; <100 chars → the OCR fallback,
+      which this container cannot run → permanent ``ocr_unavailable`` row.
+    - HTML payload → charset decode + DOM boilerplate strip; single page.
+    - empty/unknown payload → permanent error row.
+    """
+    started = time.monotonic()
+    try:
+        if text is not None and text != "":
+            return _finish(url, lang, [text], NATIVE_CONFIDENCE,
+                           "precomputed", started, [])
+
+        if html is not None and len(html) > MAX_PAYLOAD_BYTES:
+            return _error(url, lang, "file_too_large",
+                          f"payload {len(html)} bytes > {MAX_PAYLOAD_BYTES}",
+                          started)
+
+        fmt = detect_format(html)
+        if fmt == "empty":
+            return _error(url, lang, "empty_payload", "no html bytes and no text",
+                          started)
+        if fmt == "pdf":
+            try:
+                pages = extract_pdf_pages(html)
+            except PdfParseError as e:
+                return _error(url, lang, "corrupted_file", str(e), started)
+            if has_native_text(pages):
+                return _finish(url, lang, pages, NATIVE_CONFIDENCE,
+                               "native_pdf", started, [])
+            return _error(
+                url, lang, "ocr_unavailable",
+                f"native text < {NATIVE_TEXT_MIN_CHARS} chars and no OCR "
+                "runtime in this environment", started)
+        if fmt == "html":
+            decoded, _codec = decode_html_bytes(html)
+            body, spans = extract_main_text(decoded)
+            return _finish(url, lang, [body], HTML_CONFIDENCE, "html",
+                           started, [asdict(s) for s in spans])
+        return _error(url, lang, "invalid_file_type",
+                      f"unrecognized payload (first bytes: {html[:16]!r})",
+                      started)
+    except Exception as e:  # noqa: BLE001 — poison row must not kill the task
+        return _error(url, lang, "unexpected", f"{type(e).__name__}: {e}",
+                      started)

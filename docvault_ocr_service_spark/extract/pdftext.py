@@ -1,0 +1,133 @@
+"""Native-text extraction from simple PDF payloads (pure Python).
+
+The analogue of the reference's pypdf fast path
+(``/root/reference/app/document_processor.py:178-213``): pull per-page text
+out of the PDF's content streams and gate on "has native text" =
+**≥ 100 stripped chars total** (``app/document_processor.py:200-202``).
+
+Scope: uncompressed (no ``/Filter``) content streams with literal-string
+``Tj`` / ``TJ`` text operators — exactly what this repo's corpus generator
+emits and what a Common-Crawl-derived corpus's *extractable* tier looks
+like after upstream normalization.  Compressed or exotic PDFs raise
+``PdfParseError`` → the pipeline converts that into an error row (the
+reference's corrupted-file path, ``tests/test_document_processor.py:260-285``),
+never a task failure.  The rasterize+OCR fallback the reference runs for
+scan-only PDFs needs Tesseract/PIL, absent from this container — see
+``ocr_stub.py``.
+"""
+
+from __future__ import annotations
+
+import re
+
+PDF_MAGIC = b"%PDF-"
+NATIVE_TEXT_MIN_CHARS = 100  # app/document_processor.py:200-202
+
+
+class PdfParseError(ValueError):
+    """Payload is not a PDF this engine can natively parse."""
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_FILTER_RE = re.compile(rb"/Filter\b")
+# Literal strings fed to Tj, and TJ arrays (strings mixed with kerning nums).
+_TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj")
+_TJ_ARRAY_RE = re.compile(rb"\[((?:\\.|[^\]])*)\]\s*TJ", re.DOTALL)
+_LITERAL_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _unescape(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        ch = raw[i:i + 1]
+        if ch == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1:i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                while j < len(raw) and j < i + 4 and raw[j:j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1:j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1  # lone backslash: swallow
+            continue
+        out += ch
+        i += 1
+    return out.decode("latin-1")
+
+
+def _stream_text(stream: bytes) -> str:
+    """Text of one content stream: Tj/TJ literals, one line per show op."""
+    lines: list[str] = []
+    for m in _TJ_RE.finditer(stream):
+        lines.append(_unescape(m.group(1)))
+    for m in _TJ_ARRAY_RE.finditer(stream):
+        lines.append(
+            "".join(_unescape(lit.group(1))
+                    for lit in _LITERAL_RE.finditer(m.group(1)))
+        )
+    return "\n".join(lines)
+
+
+def extract_pdf_pages(data: bytes) -> list[str]:
+    """PDF bytes → per-page text, in page-tree order.
+
+    Raises ``PdfParseError`` for non-PDF bytes, compressed streams, or a
+    payload with no parseable page objects.
+    """
+    if not data.startswith(PDF_MAGIC):
+        raise PdfParseError("missing %PDF- header")
+
+    objects: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objects[int(m.group(1))] = m.group(3)
+
+    page_ids: list[int] = []
+    for num, body in objects.items():
+        head = _STREAM_RE.split(body)[0]
+        if b"/Type" in head and b"/Pages" in head:
+            kids = _KIDS_RE.search(head)
+            if kids:
+                page_ids = [int(r.group(1)) for r in _REF_RE.finditer(kids.group(1))]
+                break
+    if not page_ids:  # no /Pages tree: fall back to object order
+        page_ids = [
+            num for num, body in sorted(objects.items())
+            if b"/Type" in body and b"/Page" in _STREAM_RE.split(body)[0]
+            and b"/Pages" not in _STREAM_RE.split(body)[0]
+        ]
+    if not page_ids:
+        raise PdfParseError("no page objects found")
+
+    pages: list[str] = []
+    for pid in page_ids:
+        body = objects.get(pid, b"")
+        cm = _CONTENTS_RE.search(body)
+        content_obj = objects.get(int(cm.group(1))) if cm else body
+        if content_obj is None:
+            pages.append("")
+            continue
+        if _FILTER_RE.search(_STREAM_RE.split(content_obj)[0]):
+            raise PdfParseError("compressed content streams unsupported")
+        sm = _STREAM_RE.search(content_obj)
+        pages.append(_stream_text(sm.group(1)) if sm else "")
+    return pages
+
+
+def has_native_text(pages: list[str]) -> bool:
+    """The ≥100-stripped-chars fast-path gate."""
+    return sum(len(p.strip()) for p in pages) >= NATIVE_TEXT_MIN_CHARS

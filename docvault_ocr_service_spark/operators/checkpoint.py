@@ -1,0 +1,160 @@
+"""Idempotent MERGE-on-url checkpointing + retry/DLQ semantics.
+
+Replaces the reference's Redis task state machine
+(``/root/reference/app/redis_queue.py:99-127`` hashes,
+``:464-527`` retry, ``:667-758`` DLQ) with one table keyed on ``url``:
+
+    checkpoint(url, status, attempt, error_kind, error_msg, updated_at, run_id)
+    status ∈ {done, failed_retryable, failed_permanent}
+
+Claim rule (the reference's recovery invariant, ``app/redis_queue.py:509-527``
+and ``tests/test_task_recovery.py``): a run processes exactly the input urls
+that are *absent* from the checkpoint or sitting at ``failed_retryable`` with
+``attempt < MAX_ATTEMPTS``; rows at attempt ≥ 3 flip to ``failed_permanent``
+(dead letter).  Re-running a completed job is a no-op.
+
+Storage: on an Iceberg catalog this is a literal ``MERGE INTO ... ON url``;
+the sandbox has no catalog, so ``ParquetCheckpointStore`` implements the
+same contract as read-union-overwrite with last-writer-wins on
+``(url, updated_at)`` — the semantics the tests pin down are identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schemas import CHECKPOINT_SCHEMA
+
+MAX_ATTEMPTS = 3  # app/redis_queue.py:45
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+class ParquetCheckpointStore:
+    """Checkpoint + results persistence rooted at ``base_dir``."""
+
+    def __init__(self, spark: SparkSession, base_dir: str) -> None:
+        self.spark = spark
+        self.base_dir = base_dir
+        self.checkpoint_dir = os.path.join(base_dir, "checkpoint")
+        self.results_dir = os.path.join(base_dir, "results")
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- reads ---------------------------------------------------------------
+    def read_checkpoint(self) -> DataFrame:
+        if not os.path.isdir(self.checkpoint_dir):
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(
+            self.checkpoint_dir)
+
+    def read_results(self) -> DataFrame | None:
+        if not os.path.isdir(self.results_dir):
+            return None
+        return self.spark.read.parquet(self.results_dir)
+
+    def read_results_current(self) -> DataFrame | None:
+        """Results view with exactly one row per url (latest run wins).
+
+        Results are appended *before* the checkpoint swap, so a crash in
+        the window between them can leave an orphan result row that a
+        retry run duplicates; this view is the consumer-facing dedup, the
+        same role an Iceberg MERGE's target table would play.
+        """
+        raw = self.read_results()
+        if raw is None:
+            return None
+        w = Window.partitionBy("url").orderBy(F.col("run_id").desc())
+        return (raw.withColumn("_rank", F.row_number().over(w))
+                   .where(F.col("_rank") == 1).drop("_rank"))
+
+    # -- claim ---------------------------------------------------------------
+    def claimable(self, input_df: DataFrame) -> DataFrame:
+        """Input rows this run must process (left-anti on settled urls)."""
+        cp = self.read_checkpoint()
+        settled = cp.where(
+            (F.col("status") == "done")
+            | (F.col("status") == "failed_permanent")
+            | ((F.col("status") == "failed_retryable")
+               & (F.col("attempt") >= MAX_ATTEMPTS))
+        ).select("url")
+        return input_df.join(settled, "url", "left_anti")
+
+    def prior_attempts(self) -> DataFrame:
+        """url → attempts so far (for attempt accounting on retries)."""
+        return (self.read_checkpoint()
+                .groupBy("url")
+                .agg(F.max("attempt").alias("prior_attempt")))
+
+    # -- merge ---------------------------------------------------------------
+    def merge_results(self, results: DataFrame, run_id: str) -> None:
+        """MERGE new result rows into results + checkpoint tables.
+
+        ``results`` must already be materialized (the job runner stages
+        each run's raw output to parquet first) — this method consumes it
+        twice and must not recompute the extraction.
+
+        Order matters: result rows land *before* the checkpoint flips to
+        done (the reference stores the result then flips status,
+        app/redis_queue.py:265-304).  A crash between the two re-runs the
+        url and appends a second result row; ``read_results_current``
+        dedupes by latest run.
+        """
+        now = datetime.now(timezone.utc)
+
+        done = results.where(F.col("status") == "done") \
+                      .withColumn("run_id", F.lit(run_id))
+        done.write.mode("append").parquet(self.results_dir)
+
+        new_cp = (
+            results
+            .join(F.broadcast(self.prior_attempts()), "url", "left")
+            .withColumn("attempt",
+                        F.coalesce(F.col("prior_attempt"), F.lit(0)) + 1)
+            .withColumn(
+                "status",
+                F.when(
+                    (F.col("status") == "failed_retryable")
+                    & (F.col("attempt") >= MAX_ATTEMPTS),
+                    F.lit("failed_permanent"),
+                ).otherwise(F.col("status")),
+            )
+            .select(
+                "url", "status",
+                F.col("attempt").cast("int"),
+                "error_kind", "error_msg",
+                F.lit(now).cast("timestamp").alias("updated_at"),
+                F.lit(run_id).alias("run_id"),
+            )
+        )
+
+        # upsert: old rows lose to new rows on the same url
+        old_cp = self.read_checkpoint()
+        merged = old_cp.unionByName(new_cp)
+        w = Window.partitionBy("url").orderBy(
+            F.col("updated_at").desc(), F.col("attempt").desc())
+        merged = (merged
+                  .withColumn("_rank", F.row_number().over(w))
+                  .where(F.col("_rank") == 1)
+                  .drop("_rank"))
+
+        self._overwrite_atomic(merged, self.checkpoint_dir)
+
+    def _overwrite_atomic(self, df: DataFrame, target: str) -> None:
+        """Write to a staging dir, then swap — a crash mid-write leaves the
+        previous checkpoint intact (Iceberg gives this via snapshots)."""
+        staging = target + ".staging"
+        df.write.mode("overwrite").parquet(staging)
+        backup = target + ".old"
+        if os.path.isdir(target):
+            os.rename(target, backup)
+        os.rename(staging, target)
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
