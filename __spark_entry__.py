@@ -1,38 +1,538 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline on a seeded CC-style
+corpus (smoke check).  ``queries()`` — one entry per implemented operator
+from SURVEY.md §2 plus the training-data operators; each takes
+``(spark, sf_dir)`` and returns a DataFrame.  ``oracle_sql()`` — DuckDB
+equivalents over the same parquet views; omitted for genuinely
+non-SQL-expressible ops (LSH ANN, the full extraction pipeline, media
+stubs) which get rows-only checks.
+
+Column names are aliased identically on both sides (the driver hashes
+values after sorting columns by name).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship extraction pipeline over the seeded corpus
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Extraction pipeline on 200 seeded corpus rows + the sf0.001
+    documents table through the categorizer — returns per-category/status
+    counts (stable schema, >0 rows)."""
+    from docvault_ocr_service_spark import corpus
+    from docvault_ocr_service_spark.functions.udfs import run_extraction
+    from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
 
+    pages = spark.createDataFrame(corpus.corpus_pdf(200),
+                                  schema=INPUT_SCHEMA)
+    results = run_extraction(pages.repartition(8, F.xxhash64("url")))
+    return (
+        results.groupBy("status", "category")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("confidence"), 3).alias("avg_confidence"))
+        .orderBy("status", "category")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (TPC-H-flavored; scans/joins/aggregates — SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+              F.sum("l_quantity").alias("sum_qty"),
+              F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+              F.round(F.sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))), 2)
+               .alias("sum_disc_price"),
+              F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+              F.count("*").alias("count_order"),
+          )
+    )
+
+
+def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .groupBy("l_orderkey",
+                   F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                   "o_orderpriority")
+          .agg(F.round(F.sum(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))), 2)
+                .alias("revenue"))
+          .where(F.col("revenue") > 1000)
+    )
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+          .join(cust, (orders.o_custkey == cust.c_custkey)
+                & (cust.c_nationkey == supp.s_nationkey))
+          .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+          .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+          .groupBy("n_name")
+          .agg(F.round(F.sum(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))), 2)
+                .alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: windowed/time-series operators
+# ---------------------------------------------------------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type")
+          .agg(F.count("*").alias("n_events"),
+               F.round(F.sum("value"), 3).alias("sum_value"))
+    )
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via window functions."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_break = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    with_sid = with_break.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        with_sid.groupBy("user_id", "session_no")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 3).alias("session_value"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.max("n_events").alias("max_session_events"),
+             F.round(F.sum("session_value"), 3).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: text-analysis operators (native columnar)
+# ---------------------------------------------------------------------------
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docvault_ocr_service_spark.functions.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", token_count(F.col("text")).alias("n_tok"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+                 F.max("n_tok").cast("long").alias("max_tokens"),
+                 F.sum("n_tok").cast("long").alias("total_tokens"))
+    )
+
+
+def doc_stopword_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docvault_ocr_service_spark.functions.textstats import (
+        STOPWORDS_EN, punct_ratio, stopword_ratio)
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            stopword_ratio(F.col("text"), STOPWORDS_EN).alias("sw"),
+            punct_ratio(F.col("text")).alias("pr"))
+        .groupBy("lang")
+        .agg(F.round(F.avg("sw"), 6).alias("avg_stopword_ratio"),
+             F.round(F.avg("pr"), 6).alias("avg_punct_ratio"))
+    )
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docvault_ocr_service_spark.functions.textstats import detect_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", detect_lang(F.col("text")).alias("lang_pred"))
+            .groupBy("lang", "lang_pred")
+            .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docvault_ocr_service_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = exact_dedup(docs, "doc_id", "text")
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("dup_count").alias("n_docs"),
+        F.max("dup_count").alias("max_group"),
+        F.sum(F.when(F.col("dup_count") > 1, 1).otherwise(0))
+         .alias("n_dup_groups"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.btrim("text")), r"\s+", " ")
+    return (
+        docs.select("lang", F.md5(normalized).alias("fp"))
+            .groupBy("lang")
+            .agg(F.count_distinct("fp").alias("n_distinct_fp"),
+                 F.count("*").alias("n_docs"))
+    )
+
+
+def doc_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docvault_ocr_service_spark.functions.udfs import with_category
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_category(docs, "text")
+        .groupBy("category")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# extraction kernels verified against constructed documents (strong oracle)
+# ---------------------------------------------------------------------------
+
+_ORDER_DOC = (
+    "Invoice: A{key} Date: {date} Amount Due: ${amt}.00 "
+    "Contact: cust{cust}@example.com"
+)
+
+
+def _order_text_col() -> F.Column:
+    return F.concat(
+        F.lit("Invoice: A"), F.col("o_orderkey").cast("string"),
+        F.lit(" Date: "), F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit(" Amount Due: $"),
+        (F.col("o_orderkey") % 900 + 100).cast("string"),
+        F.lit(".00 Contact: cust"), F.col("o_custkey").cast("string"),
+        F.lit("@example.com"),
+    )
+
+
+def invoice_metadata_from_orders(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Run the real metadata UDF over deterministically constructed invoice
+    texts; the oracle computes the *expected* extraction analytically."""
+    from docvault_ocr_service_spark.extract.metadata import extract_metadata
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("n_dates", T.IntegerType()),
+        T.StructField("first_date", T.StringType()),
+        T.StructField("n_amounts", T.IntegerType()),
+        T.StructField("amount_total", T.DoubleType()),
+        T.StructField("first_email", T.StringType()),
+        T.StructField("first_invoice_no", T.StringType()),
+    ]))
+    def md(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            m = extract_metadata(t or "")
+            rows.append({
+                "n_dates": len(m["dates"]),
+                "first_date": (min(m["dates"]).isoformat()
+                               if m["dates"] else None),
+                "n_amounts": len(m["amounts"]),
+                "amount_total": float(sum(m["amounts"])),
+                "first_email": m["emails"][0] if m["emails"] else None,
+                "first_invoice_no": (m["invoice_numbers"][0]
+                                     if m["invoice_numbers"] else None),
+            })
+        return pd.DataFrame(rows)
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(F.col("o_orderkey").alias("okey"),
+                      md(_order_text_col()).alias("m"))
+              .select("okey", "m.n_dates", "m.first_date", "m.n_amounts",
+                      "m.amount_total", "m.first_email", "m.first_invoice_no")
+    )
+
+
+def categorize_orders_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorizer over constructed clear-winner texts; oracle knows the
+    expected label per template."""
+    from docvault_ocr_service_spark.functions.udfs import with_category
+
+    orders = _t(spark, sf_dir, "orders")
+    text = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(
+            "INVOICE Invoice Number: INV-42 Amount Due: $100.00 "
+            "payment terms net 30 days bill to customer"))
+         .when(F.col("o_orderkey") % 3 == 1, F.lit(
+            "RECEIPT Store receipt subtotal: $5.00 total: $6.00 "
+            "thank you for shopping cash change: $1.00"))
+         .otherwise(F.lit("zzz qqq www"))
+    )
+    docs = orders.select(F.col("o_orderkey"), text.alias("text"))
+    return (with_category(docs, "text")
+            .groupBy("category")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("category_confidence"), 6)
+                  .alias("avg_conf")))
+
+
+# ---------------------------------------------------------------------------
+# dedup operators (documents ∪ shifted copy ⇒ known duplicate pairs)
+# ---------------------------------------------------------------------------
+
+_SHIFT = 1_000_000
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.select((F.col("doc_id") + _SHIFT).alias("doc_id"), "text")
+    return docs.unionByName(copy)
+
+
+def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MinHash-LSH near-dup pairs (finds the corpus's planted
+    near-duplicates; pair set depends on signature randomness, so the
+    SQL-checkable invariant lives in ``minhash_recall``)."""
+    from docvault_ocr_service_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_doubled_docs(spark, sf_dir),
+                              "doc_id", "text", min_jaccard=0.95)
+    return pairs.select("a", "b", F.round("est_jaccard", 6)
+                        .alias("est_jaccard"))
+
+
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: SimHash hamming-0 pairs (includes planted near-dups whose
+    token bags coincide; SQL-checkable invariant in ``simhash_recall``)."""
+    from docvault_ocr_service_spark.operators.dedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(_doubled_docs(spark, sf_dir),
+                                "doc_id", "text", max_hamming=0)
+    # tiny-vocab soups collapse to few sign patterns → huge pair sets;
+    # summarize instead of materializing the quadratic list
+    return pairs.agg(F.count("*").alias("n_pairs"),
+                     F.count_distinct("a").alias("n_docs_with_dup"))
+
+
+def _exact_dup_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (a < b) pairs with byte-identical text in the doubled corpus."""
+    d = _doubled_docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("h"))
+    return (d.alias("l")
+            .join(d.alias("r"), (F.col("l.h") == F.col("r.h"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("a"),
+                    F.col("r.doc_id").alias("b")))
+
+
+def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: LSH recovers 100% of exact-duplicate pairs (identical
+    text ⇒ identical signature ⇒ same band keys)."""
+    from docvault_ocr_service_spark.operators.dedup import minhash_lsh_pairs
+
+    truth = _exact_dup_truth(spark, sf_dir)
+    found = minhash_lsh_pairs(_doubled_docs(spark, sf_dir),
+                              "doc_id", "text", min_jaccard=0.95) \
+        .select("a", "b").withColumn("hit", F.lit(1))
+    joined = truth.join(found, ["a", "b"], "left")
+    return joined.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_recovered"),
+    )
+
+
+def simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docvault_ocr_service_spark.operators.dedup import simhash_near_pairs
+
+    truth = _exact_dup_truth(spark, sf_dir)
+    found = simhash_near_pairs(_doubled_docs(spark, sf_dir),
+                               "doc_id", "text", max_hamming=0) \
+        .select("a", "b").withColumn("hit", F.lit(1))
+    joined = truth.join(found, ["a", "b"], "left")
+    return joined.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_recovered"),
+    )
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over the deterministic pair set doc_id < 80 —
+    fully SQL-expressible, so the oracle recomputes it from scratch."""
+    from docvault_ocr_service_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .where(F.col("doc_id") < 250)
+    ids = docs.select(F.col("doc_id").alias("a"))
+    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("b"))) \
+               .where(F.col("a") < F.col("b"))
+    exact = ngram_jaccard_pairs(docs, pairs, "doc_id", "text")
+    return (exact.where(F.col("jaccard") >= 0.15)
+                 .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docvault_ocr_service_spark.operators.similarity import (
+        brute_force_topk)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return brute_force_topk(corpus, queries, k=5).select(
+        "query_id", "vec_id", "rank")
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docvault_ocr_service_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return lsh_topk(corpus, queries, k=5, dim=dim, n_planes=8,
+                    n_probes=4).select("query_id", "vec_id", "rank")
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+           .groupBy("label", "pos")
+           .agg(F.round(F.avg("v"), 4).alias("centroid_v"))
+    )
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: embedding-cosine near-dup pairs on a doubled corpus."""
+    from docvault_ocr_service_spark.operators.similarity import (
+        embedding_near_dup_pairs)
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "embedding"))
+    dim = len(emb.select("embedding").first()[0])
+    pairs = embedding_near_dup_pairs(doubled, dim, id_col="vec_id",
+                                     min_cosine=0.999999)
+    return pairs.select("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# rows-only showcase ops (non-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def corpus_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction pipeline over 300 seeded corpus rows."""
+    from docvault_ocr_service_spark import corpus
+    from docvault_ocr_service_spark.functions.udfs import run_extraction
+    from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
+
+    pages = spark.createDataFrame(corpus.corpus_pdf(300),
+                                  schema=INPUT_SCHEMA)
+    res = run_extraction(pages.repartition(8, F.xxhash64("url")))
+    return (res.groupBy("status", "source", "category")
+               .agg(F.count("*").alias("n_docs")))
+
+
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (deterministic fake decode) over documents."""
+    from docvault_ocr_service_spark.functions.multimodal import (
+        extract_media_features)
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_media_features(media, fake=True)
+    return feats.agg(
+        F.count("*").alias("n_media"),
+        F.count_distinct("content_digest").alias("n_distinct"),
+        F.round(F.sum("n_bytes"), 0).alias("total_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_segment_revenue": q3_segment_revenue,
+        "q5_nation_revenue": q5_nation_revenue,
+        "events_hourly": events_hourly,
+        "events_sessions": events_sessions,
+        "doc_token_stats": doc_token_stats,
+        "doc_stopword_punct": doc_stopword_punct,
+        "doc_langid": doc_langid,
+        "doc_exact_dups": doc_exact_dups,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_categories": doc_categories,
+        "invoice_metadata_from_orders": invoice_metadata_from_orders,
+        "categorize_orders_docs": categorize_orders_docs,
+        "minhash_dup_pairs": minhash_dup_pairs,
+        "simhash_dup_pairs": simhash_dup_pairs,
+        "minhash_recall": minhash_recall,
+        "simhash_recall": simhash_recall,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "knn_bruteforce": knn_bruteforce,
+        "knn_lsh": knn_lsh,
+        "embedding_centroids": embedding_centroids,
+        "embedding_near_dups": embedding_near_dups,
+        "corpus_extract_stats": corpus_extract_stats,
+        "media_feature_stats": media_feature_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from docvault_ocr_service_spark.oracles import build_oracles
+
+    return build_oracles()

@@ -1,0 +1,157 @@
+"""Text-analysis column functions — JVM-side, whole-stage-codegen friendly.
+
+Everything here is built from ``pyspark.sql.functions`` (no Python in the
+hot path): token counting, quality scoring, n-gram-heuristic language ID,
+and document fingerprinting.  These are the "training-data pipeline"
+operators the 100 TB use case needs on top of the reference's extraction
+surface; each has a DuckDB-SQL oracle twin in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists for ratio features + language ID.
+STOPWORDS_EN: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that", "be",
+)
+STOPWORDS_PL: tuple[str, ...] = (
+    "i", "w", "z", "na", "do", "się", "jest", "nie", "to", "że", "o",
+    "jak", "po", "dla", "przy", "od", "za", "ale", "czy", "być",
+)
+STOPWORDS_DE: tuple[str, ...] = (
+    "der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+    "zu", "den", "von", "für", "auf", "im", "des", "dem", "sich",
+)
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": STOPWORDS_EN,
+    "pl": STOPWORDS_PL,
+    "de": STOPWORDS_DE,
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens; empty/blank text → empty array (not [''])."""
+    trimmed = F.btrim(text)
+    return F.when(
+        trimmed.isNull() | (trimmed == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish count: split on whitespace AND letter/digit/punct
+    boundaries (a cheap, deterministic BPE stand-in for budget estimates)."""
+    trimmed = F.btrim(text)
+    pieces = F.split(
+        trimmed, r"(?:\s+|(?<=[0-9])(?=[^0-9\s])|(?<=[^0-9\s])(?=[0-9])|(?<=[\p{L}])(?=[^\p{L}\s0-9])|(?<=[^\p{L}\s0-9])(?=[\p{L}]))"
+    )
+    return F.when(
+        trimmed.isNull() | (trimmed == ""), F.lit(0)
+    ).otherwise(F.size(F.filter(pieces, lambda p: p != "")))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(F.lower(text))
+    stops = F.array(*[F.lit(w) for w in stopwords])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    # count of non-alnum, non-space chars / total chars
+    stripped = F.regexp_replace(text, r"[\p{L}\p{N}\s]", "")
+    return F.when(n > 0, F.length(stripped).cast("double") / n) \
+            .otherwise(F.lit(0.0))
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(text)
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return F.when(n > 0, digits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0),
+                        lambda acc, t: acc + F.length(t)).cast("double")
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column,
+                  stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Composite [0,1] web-text quality heuristic (Gopher-rules flavored):
+    rewards stopword presence and sane word lengths, penalizes punctuation
+    and digit soup and ultra-short docs.  Deterministic, fully columnar."""
+    n_tok = token_count(text).cast("double")
+    len_component = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    stop_component = F.least(stopword_ratio(text, stopwords) * 4, F.lit(1.0))
+    wl = mean_word_len(text)
+    wordlen_component = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)) \
+                         .otherwise(F.lit(0.3))
+    punct_penalty = F.greatest(F.lit(0.0),
+                               F.lit(1.0) - punct_ratio(text) * 3)
+    digit_penalty = F.greatest(F.lit(0.0),
+                               F.lit(1.0) - digit_ratio(text) * 2)
+    return (len_component * 0.25 + stop_component * 0.25
+            + wordlen_component * 0.2 + punct_penalty * 0.15
+            + digit_penalty * 0.15)
+
+
+def lang_votes(text: Column, lang: str) -> Column:
+    """Stopword-hit count for one language over lowered tokens."""
+    toks = tokens(F.lower(text))
+    stops = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+
+
+def detect_lang(text: Column) -> Column:
+    """Marker-word-vote language ID → 'en'|'pl'|'de'|'und'.
+
+    Ties break by vote count then fixed language order (en, pl, de);
+    zero votes → 'und'.
+    """
+    pairs = [
+        F.struct(lang_votes(text, code).alias("votes"),
+                 F.lit(rank).alias("rank"),
+                 F.lit(code).alias("code"))
+        for rank, code in enumerate(("en", "pl", "de"))
+    ]
+    # max by (votes, -rank): array_max on struct compares fields in order,
+    # so negate rank to prefer earlier languages on equal votes.
+    best = F.array_max(F.array(*[
+        F.struct(p.votes.alias("votes"), (-p.rank).alias("neg_rank"),
+                 p.code.alias("code")) for p in pairs
+    ]))
+    return F.when(best.votes > 0, best.code).otherwise(F.lit("und"))
+
+
+def fingerprint64(text: Column) -> Column:
+    """Stable 64-bit content fingerprint of whitespace-normalized text."""
+    normalized = F.regexp_replace(F.lower(F.btrim(text)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def with_text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the full profile column set (the 'quality scoring' operator)."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_chars_m", F.length(c))
+          .withColumn("n_tokens", token_count(c))
+          .withColumn("mean_word_len", mean_word_len(c))
+          .withColumn("stopword_ratio", stopword_ratio(c, STOPWORDS_EN))
+          .withColumn("punct_ratio", punct_ratio(c))
+          .withColumn("digit_ratio", digit_ratio(c))
+          .withColumn("quality", quality_score(c))
+          .withColumn("lang_id", detect_lang(c))
+          .withColumn("fingerprint", fingerprint64(c))
+    )

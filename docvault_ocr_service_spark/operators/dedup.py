@@ -1,0 +1,256 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (the part that matters at 100 TB):
+
+- **exact**: one shuffle on the content hash; map-side partial agg makes
+  the shuffle carry (hash → min_id, count) pairs, not documents.
+- **minhash_lsh**: signatures are computed in one vectorized numpy pass
+  per Arrow batch (no per-row Python beyond tokenization); candidate
+  generation explodes each doc into ``n_bands`` small (band, band_hash)
+  keys — the self-join is on those keys, so shuffle volume is
+  O(docs × bands × 8 bytes), independent of document size.  Verification
+  (exact Jaccard on shingle sets) runs only on candidate pairs.
+- **simhash**: 64-bit signature per doc; near-dup candidates via the
+  pigeonhole blocking join (split the hash into ``hamming_budget + 1``
+  segments; a pair within the budget must agree on ≥1 segment); the
+  final Hamming check is a JVM-side ``bit_count(xor)``.
+- **ngram_jaccard**: exact pairwise verifier on candidate pairs only —
+  never call it on a cross join at scale.
+
+Determinism: token/shingle hashing uses ``zlib.crc32`` / ``blake2b``
+(process-independent), never Python's seeded builtin ``hash``.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# deterministic MinHash parameters
+_MERSENNE = (1 << 61) - 1
+_MAX_HASH = (1 << 32) - 1
+
+
+def _hash_permutations(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def _hash64(token: str) -> int:
+    return int.from_bytes(blake2b(token.encode("utf-8"),
+                                  digest_size=8).digest(), "little")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram array, fully columnar (transform over indices)."""
+    toks = F.split(F.btrim(F.lower(text)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                                     for j in range(n)]),
+    )
+    return F.when(k > 0, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: md5(text) → keeper id + group size.
+
+    One shuffle; partial aggregation upstream.  Returns
+    (content_hash, keeper_id, dup_count).
+    """
+    return (
+        df.select(F.col(id_col).alias("doc"),
+                  F.md5(F.col(text_col)).alias("content_hash"))
+          .groupBy("content_hash")
+          .agg(F.min("doc").alias("keeper_id"),
+               F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_perm: int = 64, shingle_n: int = 3,
+                       seed: int = 42) -> DataFrame:
+    """(doc, signature array<long>) via one vectorized numpy pass per batch."""
+    a_coef, b_coef = _hash_permutations(num_perm, seed)
+
+    out_schema = T.StructType([
+        T.StructField("doc", T.LongType()),
+        T.StructField("signature", T.ArrayType(T.LongType())),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf["__text"]:
+                toks = (text or "").lower().split()
+                grams = {
+                    " ".join(toks[i:i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+                if not grams:
+                    sigs.append([int(_MAX_HASH)] * num_perm)
+                    continue
+                base = np.fromiter(
+                    (zlib.crc32(g.encode("utf-8")) for g in grams),
+                    dtype=np.int64, count=len(grams),
+                )
+                # (a*x + b) mod p, min over shingles, per permutation
+                vals = (np.outer(base, a_coef) + b_coef) % _MERSENNE % _MAX_HASH
+                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
+            yield pd.DataFrame({"doc": pdf["__id"], "signature": sigs})
+
+    prepared = df.select(F.col(id_col).cast("long").alias("__id"),
+                         F.col(text_col).alias("__text"))
+    return prepared.mapInPandas(compute, schema=out_schema)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_perm: int = 64, bands: int = 16,
+                      shingle_n: int = 3, seed: int = 42,
+                      min_jaccard: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs (a, b, est_jaccard) with a < b.
+
+    Banding: num_perm/bands rows per band; equal (band, hash-of-rows) →
+    candidate pair; estimated Jaccard = fraction of matching signature
+    positions.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed)
+
+    banded = sigs.select(
+        "doc", "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "band_hash",
+        F.xxhash64(F.slice(F.col("signature"),
+                           F.col("band") * rows_per_band + 1,
+                           rows_per_band).cast("string"), F.col("band")),
+    ).select("doc", "signature", "band", "band_hash")
+
+    cand = (
+        banded.alias("l").join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"),
+                F.col("l.signature").alias("sig_a"),
+                F.col("r.signature").alias("sig_b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        lambda eq: eq,
+    ))
+    est = matches.cast("double") / F.lit(num_perm)
+    return (cand.withColumn("est_jaccard", est)
+                .where(F.col("est_jaccard") >= min_jaccard)
+                .select("a", "b", "est_jaccard"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
+                        text_col: str, shingle_n: int = 3) -> DataFrame:
+    """Exact Jaccard verifier over candidate (a, b) pairs."""
+    sh = df.select(F.col(id_col).cast("long").alias("doc"),
+                   word_shingles(F.col(text_col), shingle_n).alias("grams"))
+    out = (
+        pairs
+        .join(sh.withColumnRenamed("doc", "a")
+                .withColumnRenamed("grams", "grams_a"), "a")
+        .join(sh.withColumnRenamed("doc", "b")
+                .withColumnRenamed("grams", "grams_b"), "b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    return out.select(
+        "a", "b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+         .alias("jaccard"),
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, simhash long): sign-sum of per-token 64-bit blake2b hashes.
+
+    Vectorized per Arrow batch with numpy bit unpacking.
+    """
+    out_schema = T.StructType([
+        T.StructField("doc", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf["__text"]:
+                toks = (text or "").lower().split()
+                if not toks:
+                    out.append(0)
+                    continue
+                hashes = np.fromiter((_hash64(t) for t in toks),
+                                     dtype=np.uint64, count=len(toks))
+                bits = np.unpackbits(
+                    hashes.view(np.uint8).reshape(-1, 8), axis=1,
+                    bitorder="little")
+                votes = bits.sum(axis=0) * 2 - len(toks)
+                sim = np.packbits(votes > 0, bitorder="little") \
+                        .view(np.uint64)[0]
+                out.append(int(np.int64(sim)))
+            yield pd.DataFrame({"doc": pdf["__id"], "simhash": out})
+
+    prepared = df.select(F.col(id_col).cast("long").alias("__id"),
+                         F.col(text_col).alias("__text"))
+    return prepared.mapInPandas(compute, schema=out_schema)
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ budget.
+
+    Pigeonhole blocking: split 64 bits into (budget+1) segments; any pair
+    within the budget agrees on at least one segment, so the self-join key
+    is (segment_index, segment_bits).  Final check is JVM-side
+    bit_count(a XOR b).
+    """
+    n_seg = max_hamming + 1
+    seg_bits = 64 // n_seg
+    # all-ones mask in two's complement when a segment spans the full word
+    seg_mask = (1 << seg_bits) - 1 if seg_bits < 64 else -1
+    sigs = simhash64(df, id_col, text_col)
+
+    seg = sigs.select(
+        "doc", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_seg - 1))).alias("seg"),
+    ).withColumn(
+        "seg_key",
+        F.expr(f"shiftright(simhash, cast(seg * {seg_bits} as int))")
+         .bitwiseAND(F.lit(seg_mask)),
+    )
+
+    pairs = (
+        seg.alias("l").join(
+            seg.alias("r"),
+            (F.col("l.seg") == F.col("r.seg"))
+            & (F.col("l.seg_key") == F.col("r.seg_key"))
+            & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"),
+                F.col("l.simhash").alias("ha"),
+                F.col("r.simhash").alias("hb"))
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (pairs.withColumn("hamming", hamming)
+                 .where(F.col("hamming") <= max_hamming)
+                 .select("a", "b", "hamming"))

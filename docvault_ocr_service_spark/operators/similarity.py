@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB pipeline needs:
+
+- ``brute_force_topk``: exact cosine top-k — broadcast the (small) query
+  set, one pass over the corpus, per-corpus-partition partial top-k via
+  window rank after a cheap aggregate expression.  The dot product is a
+  JVM-side ``aggregate(zip_with(...))`` — no Python in the loop.
+- ``lsh_topk``: random-hyperplane LSH — a deterministic numpy projection
+  per Arrow batch buckets both sides; candidates only join within a
+  bucket (plus multi-probe neighbor buckets), then exact cosine re-ranks.
+  At 10^12 vectors the bucket join replaces the cross product; recall is
+  tunable via n_planes / n_probes.
+
+Embedding-cosine near-duplicate detection reuses the same machinery:
+``embedding_near_dup_pairs`` buckets the corpus against itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k by cosine: (query_id, vec_id, score, rank).
+
+    ``queries`` must be small (it is broadcast); the corpus is scanned
+    once.  Ties broken by vec_id ascending for determinism.
+    """
+    q = queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("__qvec"))
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+        .crossJoin(F.broadcast(q))
+        .withColumn("score",
+                    cosine(F.col("__qvec").cast("array<double>"),
+                           F.col("__cvec").cast("array<double>")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, id_col, "score", "rank"))
+
+
+def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(dim, n_planes)).astype(np.float64)
+
+
+def add_lsh_bucket(df: DataFrame, vec_col: str, dim: int,
+                   n_planes: int = 12, seed: int = 42,
+                   out_col: str = "bucket") -> DataFrame:
+    """Append a random-hyperplane sign-bucket id (long)."""
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        planes = _plane_matrix(dim, n_planes, seed)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype="int64")
+        signs = (mat @ planes) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return df.withColumn(out_col, bucket(F.col(vec_col)))
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             n_planes: int = 12, n_probes: int = 1,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: bucket join + exact cosine re-rank.
+
+    ``n_probes`` > 1 additionally probes buckets at Hamming distance 1
+    from the query bucket (flip one plane bit), trading shuffle volume
+    for recall.
+    """
+    c = add_lsh_bucket(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")),
+        "__cvec", dim, n_planes, seed)
+
+    q = add_lsh_bucket(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        "__qvec", dim, n_planes, seed)
+    if n_probes > 1:
+        flips = F.array(*(
+            [F.lit(0)] + [F.lit(1 << i) for i in range(n_planes)][: n_probes - 1]
+        ))
+        q = (q.withColumn("__flip", F.explode(flips))
+              .withColumn("bucket",
+                          F.col("bucket").bitwiseXOR(F.col("__flip")))
+              .drop("__flip"))
+
+    joined = c.join(F.broadcast(q), "bucket").withColumn(
+        "score",
+        cosine(F.col("__qvec").cast("array<double>"),
+               F.col("__cvec").cast("array<double>")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (joined.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, id_col, "score", "rank")
+                  .dropDuplicates([query_id_col, id_col]))
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, dim: int,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             min_cosine: float = 0.95,
+                             n_planes: int = 10,
+                             seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a, b, score) with a < b.
+
+    Self bucket-join: vectors above ``min_cosine`` almost always share a
+    sign bucket at modest n_planes; exact cosine filters the candidates.
+    """
+    b = add_lsh_bucket(
+        corpus.select(F.col(id_col).alias("doc"),
+                      F.col(vec_col).alias("vec")),
+        "vec", dim, n_planes, seed)
+    pairs = (
+        b.alias("l").join(
+            b.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"),
+                F.col("l.vec").alias("va"), F.col("r.vec").alias("vb"))
+    )
+    return (pairs.withColumn(
+                "score", cosine(F.col("va").cast("array<double>"),
+                                F.col("vb").cast("array<double>")))
+                 .where(F.col("score") >= min_cosine)
+                 .select("a", "b", "score"))

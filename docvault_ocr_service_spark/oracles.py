@@ -1,0 +1,325 @@
+"""DuckDB oracle SQL for the driver contract (``__spark_entry__.oracle_sql``).
+
+Each statement is the ANSI-SQL twin of a ``queries()`` entry, runnable by
+DuckDB over the pre-registered parquet views.  The category scorer is
+*generated* from the same pattern tables the engine uses
+(``extract/patterns.py``) so both sides compute the identical scoring
+function — keywords via ``contains(lower(text), kw)``, regexes via RE2
+``regexp_matches`` with ``(?im)`` inline flags (the Python side compiles
+with ``re.IGNORECASE | re.MULTILINE``).
+
+Ops with no entry here (LSH ANN, full corpus pipeline, media stub) are
+non-SQL-expressible and take the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from .extract import patterns as P
+from .functions.textstats import (
+    STOPWORDS_DE, STOPWORDS_EN, STOPWORDS_PL)
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_list(items: tuple[str, ...]) -> str:
+    return "[" + ", ".join(_sql_str(x) for x in items) + "]"
+
+
+def _category_score_exprs() -> dict[str, str]:
+    """Per-category score expression over a column named ``text``
+    (lowered copy available as ``text_lower``)."""
+    exprs = {}
+    for name, (keywords, pats) in P.CATEGORIES.items():
+        kw_hits = " + ".join(
+            f"CASE WHEN contains(text_lower, {_sql_str(kw.lower())}) "
+            "THEN 1 ELSE 0 END"
+            for kw in keywords
+        )
+        pat_hits = " + ".join(
+            f"CASE WHEN regexp_matches(text, {_sql_str('(?im)' + p)}) "
+            "THEN 1 ELSE 0 END"
+            for p in pats
+        )
+        exprs[name] = (
+            f"least(CASE WHEN ({kw_hits}) > 0 "
+            f"THEN 0.15 * ({kw_hits}) ELSE 0.0 END, 0.6) "
+            f"+ least(CASE WHEN ({pat_hits}) > 0 "
+            f"THEN 0.2 * ({pat_hits}) ELSE 0.0 END, 0.7)"
+        )
+    return exprs
+
+
+def doc_categories_sql() -> str:
+    names = sorted(P.CATEGORIES)
+    score_exprs = _category_score_exprs()
+    score_cols = ",\n    ".join(
+        f"least({score_exprs[n]}, 1.0) AS s_{n}" for n in names)
+    m = "greatest(" + ", ".join(f"s_{n}" for n in names) + ")"
+    argmax = "CASE " + " ".join(
+        f"WHEN s_{n} = __m THEN '{n}'" for n in names) + " END"
+    return f"""
+WITH base AS (
+  SELECT coalesce(text, '') AS text,
+         coalesce(lower(text), '') AS text_lower
+  FROM documents
+), scored AS (
+  SELECT *, {score_cols} FROM base
+), labeled AS (
+  SELECT CASE WHEN len(trim(text)) < 3 THEN 'unknown'
+              WHEN __m < 0.25 THEN 'unknown'
+              ELSE {argmax} END AS category
+  FROM (SELECT *, {m} AS __m FROM scored)
+)
+SELECT category, count(*) AS n_docs FROM labeled GROUP BY category
+"""
+
+
+_TOKENIZE = ("CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[] "
+             "ELSE regexp_split_to_array(trim(text), '\\s+') END")
+_TOKENIZE_LOWER = (
+    "CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END")
+
+
+def build_oracles() -> dict[str, str]:
+    en = _sql_list(STOPWORDS_EN)
+    pl = _sql_list(STOPWORDS_PL)
+    de = _sql_list(STOPWORDS_DE)
+
+    oracles: dict[str, str] = {}
+
+    oracles["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    oracles["q3_segment_revenue"] = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 1000
+"""
+
+    oracles["q5_nation_revenue"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+    oracles["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events, round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    oracles["events_sessions"] = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+), per AS (
+  SELECT user_id, session_no, count(*) AS n_events,
+         round(sum(value), 3) AS session_value
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       round(sum(session_value), 3) AS total_value
+FROM per GROUP BY user_id
+"""
+
+    oracles["doc_token_stats"] = f"""
+WITH t AS (SELECT lang, len({_TOKENIZE}) AS n_tok FROM documents)
+SELECT lang, count(*) AS n_docs, round(avg(n_tok), 6) AS avg_tokens,
+       CAST(max(n_tok) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM t GROUP BY lang
+"""
+
+    oracles["doc_stopword_punct"] = f"""
+WITH t AS (
+  SELECT lang,
+         {_TOKENIZE_LOWER} AS toks,
+         text
+  FROM documents
+), r AS (
+  SELECT lang,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains({en}, x)))
+                        AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS sw,
+         CASE WHEN text IS NOT NULL AND len(text) > 0
+              THEN CAST(len(regexp_replace(text,
+                   '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE) / len(text)
+              ELSE 0.0 END AS pr
+  FROM t
+)
+SELECT lang, round(avg(sw), 6) AS avg_stopword_ratio,
+       round(avg(pr), 6) AS avg_punct_ratio
+FROM r GROUP BY lang
+"""
+
+    oracles["doc_langid"] = f"""
+WITH t AS (SELECT lang, {_TOKENIZE_LOWER} AS toks FROM documents),
+v AS (
+  SELECT lang,
+         len(list_filter(toks, x -> list_contains({en}, x))) AS ve,
+         len(list_filter(toks, x -> list_contains({pl}, x))) AS vp,
+         len(list_filter(toks, x -> list_contains({de}, x))) AS vd
+  FROM t
+)
+SELECT lang,
+       CASE WHEN greatest(ve, vp, vd) = 0 THEN 'und'
+            WHEN ve >= vp AND ve >= vd THEN 'en'
+            WHEN vp >= vd THEN 'pl'
+            ELSE 'de' END AS lang_pred,
+       count(*) AS n_docs
+FROM v GROUP BY 1, 2
+"""
+
+    oracles["doc_exact_dups"] = """
+WITH g AS (
+  SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dup_count
+  FROM documents GROUP BY md5(text)
+)
+SELECT count(*) AS n_groups, CAST(sum(dup_count) AS BIGINT) AS n_docs,
+       max(dup_count) AS max_group,
+       CAST(sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_groups
+FROM g
+"""
+
+    oracles["doc_fingerprints"] = """
+SELECT lang,
+       count(DISTINCT md5(regexp_replace(lower(trim(text)),
+                                         '\\s+', ' ', 'g')))
+         AS n_distinct_fp,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+    oracles["doc_categories"] = doc_categories_sql()
+
+    oracles["invoice_metadata_from_orders"] = """
+SELECT o_orderkey AS okey,
+       CAST(2 AS INT) AS n_dates,
+       strftime(o_orderdate, '%Y-%m-%d') AS first_date,
+       CAST(1 AS INT) AS n_amounts,
+       CAST(o_orderkey % 900 + 100 AS DOUBLE) AS amount_total,
+       'cust' || o_custkey || '@example.com' AS first_email,
+       'A' || o_orderkey AS first_invoice_no
+FROM orders
+"""
+
+    # expected categorizer output for the three constructed templates —
+    # constants derived from the verified-parity scorer (see tests)
+    oracles["categorize_orders_docs"] = """
+WITH buckets AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'invoice'
+              WHEN o_orderkey % 3 = 1 THEN 'receipt'
+              ELSE 'unknown' END AS category,
+         CASE WHEN o_orderkey % 3 = 0 THEN 1.0
+              WHEN o_orderkey % 3 = 1 THEN 1.0
+              ELSE 0.0 END AS conf
+  FROM orders
+)
+SELECT category, count(*) AS n_docs, round(avg(conf), 6) AS avg_conf
+FROM buckets GROUP BY category
+"""
+
+    # LSH recall invariants: identical text ⇒ identical signature ⇒ the
+    # pair is always recovered, so recall over exact-dup truth is 100 %.
+    _recall = """
+WITH d AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text) FROM documents
+), truth AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM d l JOIN d r ON l.h = r.h AND l.doc_id < r.doc_id
+)
+SELECT count(*) AS n_true_pairs, count(*) AS n_recovered FROM truth
+"""
+    oracles["minhash_recall"] = _recall
+    oracles["simhash_recall"] = _recall
+
+    # exact 3-gram Jaccard recomputed from scratch in SQL
+    oracles["ngram_jaccard_dups"] = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS grams
+  FROM (SELECT doc_id,
+               CASE WHEN text IS NULL OR trim(text) = ''
+                    THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS toks
+        FROM documents WHERE doc_id < 250) t
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+              THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.grams, b.grams)))
+              ELSE 0.0 END AS j
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT a, b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.15
+"""
+
+    oracles["knn_bruteforce"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+s AS (SELECT query_id, c.vec_id,
+             list_cosine_similarity(qe, c.embedding) AS score
+      FROM q CROSS JOIN c)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS INT)
+         AS rank
+FROM s
+QUALIFY rank <= 5
+"""
+
+    oracles["embedding_centroids"] = """
+SELECT label, CAST(i AS INT) AS pos,
+       round(avg(embedding[CAST(i + 1 AS INT)]), 4) AS centroid_v
+FROM embeddings, range(0, 64) t(i)
+GROUP BY label, i
+"""
+
+    return oracles
