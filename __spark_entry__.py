@@ -436,8 +436,9 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
     corpus = emb.where(F.col("vec_id") >= 5)
-    return lsh_topk(corpus, queries, k=5, dim=dim, n_planes=8,
-                    n_probes=4).select("query_id", "vec_id", "rank")
+    return lsh_topk(corpus, queries, k=5, dim=dim, n_planes=6,
+                    n_tables=16, n_probes=2) \
+        .select("query_id", "vec_id", "rank")
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,7 +21,7 @@ Frozen extraction spec (the golden generator and the Spark UDF both call
    *boilerplate* (``nav header footer aside form``).
 5. Keep a block iff: not in a boilerplate container, text non-empty, and
    link_density = link_chars/chars satisfies  (ld ≤ 0.5) or
-   (chars ≥ 80 and ld < 0.9).
+   (chars ≥ 80 and ld < 0.75).
 6. Extracted text = kept block texts joined with ``"\\n"``.
 7. Spans = one struct per kept block: (seq, tag, char start/end in the
    final text, link_density) — the analogue of the reference's word boxes
@@ -53,7 +53,7 @@ _VOID_TAGS = frozenset((
 
 MIN_LONG_BLOCK_CHARS = 80
 MAX_LINK_DENSITY = 0.5
-MAX_LINK_DENSITY_LONG = 0.9
+MAX_LINK_DENSITY_LONG = 0.75
 
 
 @dataclass

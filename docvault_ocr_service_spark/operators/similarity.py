@@ -92,43 +92,81 @@ def add_lsh_bucket(df: DataFrame, vec_col: str, dim: int,
     return df.withColumn(out_col, bucket(F.col(vec_col)))
 
 
+def _table_buckets_udf(dim: int, n_planes: int, n_tables: int,
+                       n_probes: int, seed: int, multiprobe: bool):
+    """(table, bucket) pairs for OR-amplified hyperplane LSH.
+
+    Each of the ``n_tables`` tables has independent planes (seed+table).
+    Corpus side (``multiprobe=False``): one bucket per table.  Query side:
+    additionally probes the buckets across the ``n_probes - 1``
+    lowest-|margin| planes of each table (query-directed multi-probe) —
+    recall grows with L·probes while the corpus index stays L entries/vec.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("tbl", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ])))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        planes = [
+            _plane_matrix(dim, n_planes, seed + 1000 * t)
+            for t in range(n_tables)
+        ]
+        out = []
+        for v in vecs:
+            vv = np.asarray(v, dtype=np.float64)
+            entry = []
+            for t in range(n_tables):
+                proj = vv @ planes[t]
+                base = int((proj > 0) @ weights)
+                entry.append({"tbl": t, "bucket": base})
+                if multiprobe:
+                    for p in np.argsort(np.abs(proj))[: n_probes - 1]:
+                        entry.append(
+                            {"tbl": t, "bucket": base ^ int(weights[p])})
+            out.append(entry)
+        return pd.Series(out)
+
+    return buckets
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
-             n_planes: int = 12, n_probes: int = 1,
+             n_planes: int = 8, n_tables: int = 8, n_probes: int = 3,
              seed: int = 42) -> DataFrame:
-    """Approximate top-k: bucket join + exact cosine re-rank.
+    """Approximate top-k: multi-table bucket join + exact cosine re-rank.
 
-    ``n_probes`` > 1 additionally probes buckets at Hamming distance 1
-    from the query bucket (flip one plane bit), trading shuffle volume
-    for recall.
+    Scale shape: the corpus index is ``n_tables`` (table, bucket) keys per
+    vector; a query touches ``n_tables × n_probes`` buckets, i.e. a
+    ``(probes/2^planes)``-fraction scan per table instead of the full
+    cross product.  Tune planes up as the corpus grows to keep bucket
+    occupancy roughly constant.
     """
-    c = add_lsh_bucket(
-        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")),
-        "__cvec", dim, n_planes, seed)
+    c_buckets = _table_buckets_udf(dim, n_planes, n_tables, 1, seed, False)
+    q_buckets = _table_buckets_udf(dim, n_planes, n_tables, n_probes, seed,
+                                   True)
 
-    q = add_lsh_bucket(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
-        "__qvec", dim, n_planes, seed)
-    if n_probes > 1:
-        flips = F.array(*(
-            [F.lit(0)] + [F.lit(1 << i) for i in range(n_planes)][: n_probes - 1]
-        ))
-        q = (q.withColumn("__flip", F.explode(flips))
-              .withColumn("bucket",
-                          F.col("bucket").bitwiseXOR(F.col("__flip")))
-              .drop("__flip"))
+    c = (corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+         .withColumn("__tb", F.explode(c_buckets(F.col("__cvec")))))
+    q = (queries.select(F.col(query_id_col),
+                        F.col(vec_col).alias("__qvec"))
+         .withColumn("__tb", F.explode(q_buckets(F.col("__qvec")))))
 
-    joined = c.join(F.broadcast(q), "bucket").withColumn(
-        "score",
-        cosine(F.col("__qvec").cast("array<double>"),
-               F.col("__cvec").cast("array<double>")))
+    joined = (
+        c.join(F.broadcast(q), c["__tb"] == q["__tb"])
+         .drop("__tb")
+         .dropDuplicates([query_id_col, id_col])
+         .withColumn("score",
+                     cosine(F.col("__qvec").cast("array<double>"),
+                            F.col("__cvec").cast("array<double>")))
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc())
     return (joined.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
-                  .select(query_id_col, id_col, "score", "rank")
-                  .dropDuplicates([query_id_col, id_col]))
+                  .select(query_id_col, id_col, "score", "rank"))
 
 
 def embedding_near_dup_pairs(corpus: DataFrame, dim: int,

@@ -1,0 +1,17 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from docvault_ocr_service_spark.session import get_spark
+
+    spark = get_spark(app_name="pytest", cores=8, shuffle_partitions=8)
+    yield spark
+    spark.stop()

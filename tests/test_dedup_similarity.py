@@ -1,0 +1,129 @@
+"""Dedup + similarity operator tests on small controlled inputs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from docvault_ocr_service_spark.operators.dedup import (
+    exact_dedup, minhash_lsh_pairs, minhash_signatures, ngram_jaccard_pairs,
+    simhash64, simhash_near_pairs)
+from docvault_ocr_service_spark.operators.similarity import (
+    brute_force_topk, embedding_near_dup_pairs, lsh_topk)
+
+_BASE = ("the quick brown fox jumps over the lazy dog while seventeen "
+         "sleepy badgers watch from a mossy log near the winding river "
+         "and the evening light fades slowly over distant purple hills")
+DOCS = [
+    (1, _BASE),
+    (2, _BASE),
+    (3, _BASE.replace("dog", "cat")),  # 1-token diff of 31 → J ≈ 0.91
+    (4, "completely different content about spark dataframes and shuffles"),
+    (5, "another unrelated text mentioning parquet files and columns"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs_df):
+    groups = exact_dedup(docs_df, "doc_id", "text")
+    by_keeper = {r["keeper_id"]: r["dup_count"] for r in groups.collect()}
+    assert by_keeper[1] == 2      # docs 1,2 identical
+    assert by_keeper[3] == 1
+
+
+def test_minhash_signature_deterministic(spark, docs_df):
+    s1 = {r["doc"]: r["signature"] for r in
+          minhash_signatures(docs_df, "doc_id", "text").collect()}
+    s2 = {r["doc"]: r["signature"] for r in
+          minhash_signatures(docs_df.repartition(4), "doc_id",
+                             "text").collect()}
+    assert s1 == s2
+    assert s1[1] == s1[2]          # identical text → identical signature
+    assert s1[1] != s1[4]
+
+
+def test_minhash_finds_near_dups(spark, docs_df):
+    pairs = {(r["a"], r["b"]): r["est_jaccard"] for r in
+             minhash_lsh_pairs(docs_df, "doc_id", "text",
+                               min_jaccard=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs or (2, 3) in pairs  # one-word-diff near dup
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark, docs_df):
+    cand = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["a", "b"])
+    j = {(r["a"], r["b"]): r["jaccard"] for r in
+         ngram_jaccard_pairs(docs_df, cand, "doc_id", "text").collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.0 < j[(1, 3)] < 1.0
+    assert j[(1, 4)] == 0.0
+
+
+def test_simhash_deterministic_and_blocking(spark, docs_df):
+    h = {r["doc"]: r["simhash"] for r in
+         simhash64(docs_df, "doc_id", "text").collect()}
+    assert h[1] == h[2]
+    assert h[6] == 0  # empty text
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             simhash_near_pairs(docs_df, "doc_id", "text",
+                                max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    # near-dup should be close in hamming
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] <= 8
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    """Clustered embeddings (5 centers × 8 members + noise) — the data
+    shape ANN indexes exist for; uniform random vectors have no neighbor
+    structure and defeat any LSH."""
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(5, 16))
+    vecs = np.vstack([
+        centers[i // 8] + 0.15 * rng.normal(size=16) for i in range(40)
+    ])
+    vecs[1] = vecs[0] + 0.001 * rng.normal(size=16)  # planted near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_df):
+    rows = emb_df.collect()
+    mat = np.array([r["embedding"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    q = emb_df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = brute_force_topk(emb_df.where("vec_id != 0"), q, k=3)
+    got_ids = [r["vec_id"] for r in got.orderBy("rank").collect()]
+
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat[0]) / (norms * norms[0])
+    order = [int(ids[i]) for i in np.argsort(-cos) if ids[i] != 0][:3]
+    assert got_ids == order
+    assert got_ids[0] == 1  # the planted near-dup is rank 1
+
+
+def test_lsh_topk_recall(spark, emb_df):
+    q = emb_df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = emb_df.where(F.col("vec_id") >= 3)
+    exact = brute_force_topk(corpus, q, k=3)
+    approx = lsh_topk(corpus, q, k=3, dim=16, n_planes=4, n_tables=8,
+                      n_probes=2)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6  # clustered data: OR-amplified LSH finds most
+
+
+def test_embedding_near_dups(spark, emb_df):
+    pairs = embedding_near_dup_pairs(emb_df, dim=16, id_col="vec_id",
+                                     min_cosine=0.999)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1) in got

@@ -1,0 +1,152 @@
+"""Unit tests for the web-text extraction kernels: charset ladder, DOM
+boilerplate strip, minimal-PDF native text."""
+
+import pytest
+
+from docvault_ocr_service_spark.corpus import make_pdf
+from docvault_ocr_service_spark.extract.charset import (
+    decode_html_bytes, sniff_declared_charset)
+from docvault_ocr_service_spark.extract.htmltext import extract_main_text
+from docvault_ocr_service_spark.extract.pdftext import (
+    PdfParseError, extract_pdf_pages, has_native_text)
+
+
+# -- charset -----------------------------------------------------------------
+
+def test_utf8_plain():
+    text, codec = decode_html_bytes("żółć".encode("utf-8"))
+    assert text == "żółć" and codec == "utf-8"
+
+
+def test_declared_latin2():
+    raw = '<meta charset="iso-8859-2"><p>żółć</p>'.encode("iso-8859-2")
+    text, codec = decode_html_bytes(raw)
+    assert "żółć" in text and codec == "iso8859-2"
+
+
+def test_bom_utf8():
+    raw = b"\xef\xbb\xbf" + "hello ż".encode("utf-8")
+    text, codec = decode_html_bytes(raw)
+    assert text == "hello ż" and codec == "utf-8-sig"
+
+
+def test_mislabeled_charset_is_deterministic():
+    body = "Zażółć gęślą jaźń"
+    raw = ('<meta charset="iso-8859-2"><p>' + body + "</p>").encode("cp1250")
+    t1, _ = decode_html_bytes(raw)
+    t2, _ = decode_html_bytes(raw)
+    assert t1 == t2  # mojibake is fine; nondeterminism is not
+
+
+def test_garbage_never_raises():
+    text, codec = decode_html_bytes(bytes(range(256)))
+    assert isinstance(text, str)
+
+
+def test_sniff_meta_variants():
+    assert sniff_declared_charset(b'<meta charset="UTF-8">') == "utf-8"
+    assert sniff_declared_charset(
+        b'<meta http-equiv="Content-Type" content="text/html; '
+        b'charset=iso-8859-2">') == "iso8859-2"
+    assert sniff_declared_charset(b"<p>none</p>") is None
+
+
+# -- html main-content -------------------------------------------------------
+
+PAGE = """<!DOCTYPE html><html><head><title>T</title>
+<style>p{color:red}</style><script>var x=1;</script></head><body>
+<header><h1><a href="/">Site</a></h1></header>
+<nav><ul><li><a href="/a">aaa</a></li><li><a href="/b">bbb</a></li></ul></nav>
+<article><p>The main content paragraph lives here.</p>
+<p>Second paragraph with <a href="/x">one link</a> inside longer text body.</p>
+</article>
+<aside><a href="/1">x</a> <a href="/2">y</a></aside>
+<footer><a href="/tos">terms</a></footer>
+</body></html>"""
+
+
+def test_boilerplate_stripped():
+    text, spans = extract_main_text(PAGE)
+    assert "main content paragraph" in text
+    assert "Second paragraph" in text
+    assert "terms" not in text          # footer dropped
+    assert "aaa" not in text            # nav dropped
+    assert "var x=1" not in text        # script dropped
+    assert "color:red" not in text      # style dropped
+    assert "T" not in text.split("\n")  # head/title dropped
+
+
+def test_spans_cover_text():
+    text, spans = extract_main_text(PAGE)
+    for s in spans:
+        assert text[s.start:s.end] == text[s.start:s.end].strip()
+        assert 0.0 <= s.link_density <= 1.0
+    assert [s.seq for s in spans] == list(range(len(spans)))
+
+
+def test_link_farm_block_dropped():
+    html = ("<body><div>" + " ".join(
+        f'<a href="/{i}">link{i}</a>' for i in range(20))
+        + "</div><p>real text here</p></body>")
+    text, _ = extract_main_text(html)
+    assert "real text here" in text
+    assert "link5" not in text
+
+
+def test_long_block_with_moderate_links_kept():
+    long_text = "word " * 40
+    html = (f'<body><p>{long_text}<a href="/x">'
+            f'{"link " * 30}</a></p></body>')
+    text, _ = extract_main_text(html)
+    assert "word" in text
+
+
+def test_whitespace_collapse():
+    text, _ = extract_main_text("<p>a\n\n   b\tc</p>")
+    assert text == "a b c"
+
+
+def test_malformed_html_never_raises():
+    text, _ = extract_main_text("<div><p>ok</b></span><article>")
+    assert "ok" in text
+
+
+def test_empty_page():
+    assert extract_main_text("") == ("", [])
+
+
+# -- pdf ---------------------------------------------------------------------
+
+def test_pdf_roundtrip_single_page():
+    pdf = make_pdf(["Hello PDF world.\nSecond line."])
+    pages = extract_pdf_pages(pdf)
+    assert pages == ["Hello PDF world.\nSecond line."]
+
+
+def test_pdf_multipage_order():
+    pdf = make_pdf(["PAGE-1-alpha", "PAGE-2-bravo", "PAGE-3-charlie"])
+    pages = extract_pdf_pages(pdf)
+    assert pages == ["PAGE-1-alpha", "PAGE-2-bravo", "PAGE-3-charlie"]
+
+
+def test_pdf_escapes():
+    pdf = make_pdf([r"parens (nested) and \ backslash"])
+    assert extract_pdf_pages(pdf) == [r"parens (nested) and \ backslash"]
+
+
+def test_native_text_gate():
+    # reference app/document_processor.py:200-202 — ≥100 stripped chars
+    assert not has_native_text(["x" * 99])
+    assert has_native_text(["x" * 100])
+    assert has_native_text(["x" * 50, "y" * 50])
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(PdfParseError):
+        extract_pdf_pages(b"not a pdf at all")
+
+
+def test_truncated_pdf_raises():
+    pdf = make_pdf(["some content"])[:60]
+    with pytest.raises(PdfParseError):
+        extract_pdf_pages(pdf)

@@ -1,0 +1,71 @@
+"""Columnar text-stat functions vs plain-Python expectations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docvault_ocr_service_spark.functions.textstats import (
+    detect_lang, fingerprint64, quality_score, stopword_ratio, token_count,
+    STOPWORDS_EN, with_text_profile)
+
+ROWS = [
+    (1, "the quick brown fox", "en"),
+    (2, "to jest bardzo ważny dokument i nie ma w nim nic", "pl"),
+    (3, "der Hund ist nicht mit der Katze", "de"),
+    (4, "", "en"),
+    (5, None, "en"),
+    (6, "   ", "en"),
+    (7, "12345 !!! ??? ###", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(ROWS, ["id", "text", "lang"])
+
+
+def test_token_count(spark, df):
+    got = {r["id"]: r["n"] for r in
+           df.select("id", token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 4, 2: 11, 3: 7, 4: 0, 5: 0, 6: 0, 7: 4}
+
+
+def test_stopword_ratio(spark, df):
+    got = {r["id"]: r["s"] for r in df.select(
+        "id", stopword_ratio(F.col("text"), STOPWORDS_EN).alias("s"))
+        .collect()}
+    assert got[1] == 0.25       # "the" of 4
+    assert got[4] == 0.0 and got[5] == 0.0
+
+
+def test_detect_lang(spark, df):
+    got = {r["id"]: r["l"] for r in
+           df.select("id", detect_lang(F.col("text")).alias("l")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "pl"
+    assert got[3] == "de"
+    assert got[7] == "und"
+
+
+def test_quality_bounds_and_ordering(spark, df):
+    got = {r["id"]: r["q"] for r in
+           df.select("id", quality_score(F.col("text")).alias("q"))
+           .collect()}
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got[1] > got[7]  # prose beats symbol soup
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "  hello world "), (3, "different")],
+        ["id", "text"])
+    got = {r["id"]: r["fp"] for r in
+           df.select("id", fingerprint64(F.col("text")).alias("fp"))
+           .collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_profile_has_all_columns(spark, df):
+    cols = set(with_text_profile(df).columns)
+    assert {"n_tokens", "quality", "lang_id", "fingerprint",
+            "stopword_ratio", "punct_ratio"} <= cols
