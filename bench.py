@@ -1,0 +1,220 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS] + the north-rule scaling evidence.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extraction": {...}}
+
+Scaling methodology (no real cluster in this sandbox): the same
+extraction job runs in *taskset-pinned* subprocesses at N and 4N CPUs,
+so the whole Spark process tree (JVM + Python workers) shares exactly
+the advertised core budget — the faithful single-box stand-in for an
+N-executor vs 4N-executor cluster.  A pure-multiprocessing probe
+measures the box's intrinsic scaling ceiling at the same levels (cloud
+CPUs drop per-core frequency as occupancy rises — a coupling real
+clusters don't have), and the normalized efficiency
+(spark_scaling / hardware_ceiling) isolates the job's algorithmic
+scaling.  Details + measured tables in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from collections.abc import Iterator
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_CORPUS",
+                                  "/tmp/docvault_bench_corpus")
+BENCH_CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "60000"))
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+SCALE_4N = 4 * SCALE_N
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_nation_revenue",
+    "events_hourly",
+    "events_sessions",
+    "doc_token_stats",
+    "doc_categories",
+    "doc_exact_dups",
+    "invoice_metadata_from_orders",
+    "minhash_dup_pairs",
+    "knn_bruteforce",
+    "embedding_centroids",
+)
+
+
+def _fresh_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from docvault_ocr_service_spark.session import get_spark
+
+    return get_spark(app_name=f"bench_{cores}", cores=cores,
+                     shuffle_partitions=max(cores, 8))
+
+
+def _gen_kernel(pdfs: Iterator) -> Iterator:
+    import pandas as pd
+
+    from docvault_ocr_service_spark import corpus
+
+    for pdf in pdfs:
+        rows = [corpus.generate_row(int(i)) for i in pdf["id"]]
+        yield pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
+def materialize_bench_corpus(spark, n_rows: int, path: str) -> None:
+    """Distributed corpus generation → parquet (row content is a pure
+    function of the row index, so executors build slices independently)."""
+    from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
+
+    marker = os.path.join(path, "_ROWS")
+    if os.path.isdir(path) and os.path.isfile(marker):
+        with open(marker) as f:
+            if f.read().strip() == str(n_rows):
+                return
+    shutil.rmtree(path, ignore_errors=True)
+    base = spark.range(0, n_rows, 1, 64)
+    base.mapInPandas(_gen_kernel, schema=INPUT_SCHEMA) \
+        .write.mode("overwrite").parquet(path)
+    with open(marker, "w") as f:
+        f.write(str(n_rows))
+
+
+def extract_once(cores: int) -> dict:
+    """One full extraction pass (claim-free, no sinks) → timing dict.
+    Runs inside the pinned subprocess."""
+    from docvault_ocr_service_spark.functions.udfs import run_extraction
+    from docvault_ocr_service_spark.operators.skew import route_by_size
+    from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
+
+    spark = _fresh_session(cores)
+    df = spark.read.schema(INPUT_SCHEMA).parquet(BENCH_CORPUS_DIR)
+    normal, giants = route_by_size(df, cores * 2)
+    out = run_extraction(normal).unionByName(run_extraction(giants))
+    df.count()  # warm the scan
+    t0 = time.monotonic()
+    n = out.count()
+    dt = time.monotonic() - t0
+    spark.stop()
+    return {"cores": cores, "docs": n, "secs": round(dt, 2),
+            "docs_per_sec": round(n / dt, 1)}
+
+
+def _pinned_extract(cores: int) -> dict:
+    """Run extract_once in a subprocess pinned to ``cores`` CPUs."""
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--extract-worker", str(cores)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=1800, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _mp_ceiling_probe(levels: tuple[int, int],
+                      n_docs: int = 12000) -> dict[int, float]:
+    """Pure-multiprocessing extraction throughput at each level — the
+    box's intrinsic parallel-scaling ceiling, no Spark involved."""
+    from multiprocessing import Pool
+
+    from docvault_ocr_service_spark import corpus as corpus_mod  # noqa: F401
+
+    chunks = [(i * n_docs // 64, (i + 1) * n_docs // 64) for i in range(64)]
+    rates = {}
+    for procs in levels:
+        t0 = time.monotonic()
+        with Pool(procs) as pool:
+            pool.map(_mp_chunk, chunks)
+        rates[procs] = n_docs / (time.monotonic() - t0)
+    return rates
+
+
+def _mp_chunk(chunk: tuple[int, int]) -> int:
+    from docvault_ocr_service_spark import corpus
+    from docvault_ocr_service_spark.extract import extract_document
+
+    s, e = chunk
+    for i in range(s, e):
+        r = corpus.generate_row(i)
+        extract_document(r["url"], r["html"], r["text"], r["lang"])
+    return e - s
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--extract-worker":
+        print(json.dumps(extract_once(int(sys.argv[2]))))
+        return
+
+    # Phase A: headline operator queries at full parallelism
+    spark = _fresh_session(CPUS)
+    timings = run_headline(spark)
+    materialize_bench_corpus(spark, BENCH_CORPUS_ROWS, BENCH_CORPUS_DIR)
+    spark.stop()
+
+    # Phase B: pinned N vs 4N extraction (best-of-R to cut thermal noise)
+    best: dict[int, dict] = {}
+    for cores in (SCALE_N, SCALE_4N):
+        runs = [_pinned_extract(cores) for _ in range(SCALE_REPS)]
+        best[cores] = max(runs, key=lambda r: r["docs_per_sec"])
+    thr_n = best[SCALE_N]["docs_per_sec"]
+    thr_4n = best[SCALE_4N]["docs_per_sec"]
+    eff = (thr_4n / thr_n) / 4
+
+    # Phase C: hardware ceiling at the same levels
+    ceiling = _mp_ceiling_probe((SCALE_N, SCALE_4N))
+    hw_scaling = (ceiling[SCALE_4N] / ceiling[SCALE_N]) / 4
+
+    extraction = {
+        "docs": BENCH_CORPUS_ROWS,
+        f"docs_per_sec_local{SCALE_N}": thr_n,
+        f"docs_per_sec_local{SCALE_4N}": thr_4n,
+        f"seconds_local{SCALE_N}": best[SCALE_N]["secs"],
+        f"seconds_local{SCALE_4N}": best[SCALE_4N]["secs"],
+        "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling_efficiency": round(hw_scaling, 3),
+        "normalized_efficiency": round(min(eff / hw_scaling, 1.0), 3)
+        if hw_scaling > 0 else None,
+        "pinning": "taskset" if shutil.which("taskset") else "none",
+    }
+
+    result = {
+        "metric": "headline_suite_seconds+extraction_scaling",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "extraction": extraction,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
