@@ -113,6 +113,83 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over orders."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+              .agg(F.count("*").alias("n_orders"),
+                   F.round(F.sum("o_totalprice"), 2).alias("total"))
+              .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                       .alias("status"),
+                      F.coalesce("o_orderpriority", F.lit("ALL"))
+                       .alias("priority"),
+                      "n_orders", "total")
+    )
+
+
+def q_pivot_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation: order counts per customer
+    segment × order status."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust),
+                         orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(*[
+            F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+             .alias(f"n_{s.lower()}")
+            for s in ("O", "F", "P")
+        ])
+    )
+
+
+def q_customers_without_orders(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Anti join: customers that never ordered, counted per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    idle = cust.join(orders,
+                     cust.c_custkey == orders.o_custkey, "left_anti")
+    return (idle.join(F.broadcast(nation),
+                      idle.c_nationkey == nation.n_nationkey)
+                .groupBy("n_name")
+                .agg(F.count("*").alias("n_idle_customers")))
+
+
+def q_top_suppliers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank: top-3 suppliers by revenue within each nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (li.groupBy("l_suppkey")
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 2)
+                   .alias("revenue")))
+    joined = (rev.join(F.broadcast(supp),
+                       rev.l_suppkey == supp.s_suppkey)
+                 .join(F.broadcast(nation),
+                       supp.s_nationkey == nation.n_nationkey))
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("s_suppkey").asc())
+    return (joined.withColumn("rnk", F.row_number().over(w))
+                  .where(F.col("rnk") <= 3)
+                  .select("n_name", "s_suppkey", "revenue", "rnk"))
+
+
+def q_distinct_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct + conditional count over part."""
+    part = _t(spark, sf_dir, "part")
+    return part.agg(
+        F.count_distinct("p_type").alias("n_types"),
+        F.count_distinct("p_brand").alias("n_brands"),
+        F.sum(F.when(F.col("p_size") > 25, 1).otherwise(0))
+         .cast("long").alias("n_large"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # events: windowed/time-series operators
 # ---------------------------------------------------------------------------
@@ -509,6 +586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue": q3_segment_revenue,
         "q5_nation_revenue": q5_nation_revenue,
+        "q_rollup_priority": q_rollup_priority,
+        "q_pivot_segment": q_pivot_segment,
+        "q_customers_without_orders": q_customers_without_orders,
+        "q_top_suppliers_window": q_top_suppliers_window,
+        "q_distinct_part_types": q_distinct_part_types,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "doc_token_stats": doc_token_stats,

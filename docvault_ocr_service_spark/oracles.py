@@ -129,6 +129,57 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
 
+    oracles["q_rollup_priority"] = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+    oracles["q_pivot_segment"] = """
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+    oracles["q_customers_without_orders"] = """
+SELECT n_name, count(*) AS n_idle_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+    oracles["q_top_suppliers_window"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT n_name, s_suppkey, revenue,
+       CAST(row_number() OVER (PARTITION BY n_name
+                               ORDER BY revenue DESC, s_suppkey ASC)
+            AS INT) AS rnk
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+QUALIFY rnk <= 3
+"""
+
+    oracles["q_distinct_part_types"] = """
+SELECT count(DISTINCT p_type) AS n_types,
+       count(DISTINCT p_brand) AS n_brands,
+       CAST(sum(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_large
+FROM part
+"""
+
     oracles["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,

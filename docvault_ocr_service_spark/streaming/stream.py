@@ -1,0 +1,79 @@
+"""Structured Streaming variants of the engine's stages.
+
+The reference has no event-time streaming — its Redis queue is work
+distribution, not stream semantics (SURVEY §2.10) — but a continuously
+crawled corpus is naturally a stream of pages.  Two streaming plans:
+
+- ``stream_extract``: file-source over INPUT_SCHEMA parquet → the same
+  ``mapInPandas`` extraction kernel → parquet sink with a streaming
+  checkpoint.  Exactly-once lands on the sink+checkpoint pair; the batch
+  MERGE checkpoint is not needed because Structured Streaming tracks
+  which input files are consumed.
+- ``stream_event_metrics``: watermarked tumbling-window counts over an
+  event stream (the observability rollup as a live view).
+
+Both are testable with ``trigger(availableNow=True)`` — process
+everything present, then stop — which is how the test suite drives them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import extract_batches
+from ..schemas import INPUT_SCHEMA, RESULT_SCHEMA
+
+
+def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
+                   checkpoint_dir: str, *,
+                   max_files_per_trigger: int | None = None):
+    """Streaming extraction job; returns the started StreamingQuery."""
+    reader = spark.readStream.schema(INPUT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    pages = reader.parquet(input_dir)
+
+    results = pages.mapInPandas(extract_batches, schema=RESULT_SCHEMA)
+
+    return (
+        results.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_event_metrics(spark: SparkSession, input_dir: str,
+                         output_dir: str, checkpoint_dir: str,
+                         window: str = "1 hour",
+                         watermark: str = "2 hours"):
+    """Watermarked tumbling-window event counts (late data dropped after
+    the watermark) — the streaming analogue of ``events_hourly``."""
+    events = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(input_dir)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+    return (
+        agg.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,77 @@
+"""Structured Streaming tests (availableNow trigger: drain-and-stop)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docvault_ocr_service_spark import corpus
+from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
+from docvault_ocr_service_spark.streaming.stream import (
+    stream_event_metrics, stream_extract)
+
+N = 80
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(corpus.corpus_pdf(N), schema=INPUT_SCHEMA) \
+        .write.parquet(src)
+
+    q = stream_extract(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    res = spark.read.parquet(out)
+    assert res.count() == N
+    from docvault_ocr_service_spark.functions.udfs import run_extraction
+    batch = run_extraction(
+        spark.read.schema(INPUT_SCHEMA).parquet(src))
+    stream_texts = {r["url"]: r["text"]
+                    for r in res.select("url", "text").collect()}
+    batch_texts = {r["url"]: r["text"]
+                   for r in batch.select("url", "text").collect()}
+    assert stream_texts == batch_texts  # stream path == batch path
+
+
+def test_stream_extract_is_exactly_once_on_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(corpus.corpus_pdf(N), schema=INPUT_SCHEMA) \
+        .write.parquet(src)
+
+    stream_extract(spark, src, out, ckpt).awaitTermination(300)
+    # restart with the same checkpoint: nothing new to process
+    stream_extract(spark, src, out, ckpt).awaitTermination(300)
+    assert spark.read.parquet(out).count() == N
+
+    # new data arrives → only the delta is processed
+    spark.createDataFrame(
+        corpus.corpus_pdf(N + 20).iloc[N:], schema=INPUT_SCHEMA
+    ).write.mode("append").parquet(src)
+    stream_extract(spark, src, out, ckpt).awaitTermination(300)
+    assert spark.read.parquet(out).count() == N + 20
+
+
+def test_stream_event_metrics(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "evout")
+    ckpt = str(tmp_path / "evckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(src)
+
+    q = stream_event_metrics(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    agg = spark.read.parquet(out)
+    batch = (events.groupBy(F.window("ts", "1 hour"), "event_type")
+             .agg(F.count("*").alias("n")))
+    # append mode emits only windows sealed by the watermark; every
+    # emitted row must match the batch computation
+    emitted = {(r["window_start"], r["event_type"]): r["n_events"]
+               for r in agg.collect()}
+    truth = {(r["window"]["start"], r["event_type"]): r["n"]
+             for r in batch.collect()}
+    assert emitted, "no sealed windows emitted"
+    for key, n in emitted.items():
+        assert truth[key] == n
