@@ -147,6 +147,23 @@ class ParquetCheckpointStore:
 
         self._overwrite_atomic(merged, self.checkpoint_dir)
 
+    def cleanup(self, older_than, *, dry_run: bool = False) -> int:
+        """Drop settled checkpoint rows older than a cutoff — the
+        reference's old-task cleanup (app/redis_queue.py:760-868),
+        including its dry-run mode.  Returns the number of rows that
+        were (or would be) removed."""
+        cp = self.read_checkpoint()
+        doomed = cp.where(
+            (F.col("status") != "failed_retryable")
+            & (F.col("updated_at") < F.lit(older_than)))
+        n = doomed.count()
+        if not dry_run and n:
+            survivors = cp.where(
+                (F.col("status") == "failed_retryable")
+                | (F.col("updated_at") >= F.lit(older_than)))
+            self._overwrite_atomic(survivors, self.checkpoint_dir)
+        return n
+
     def _overwrite_atomic(self, df: DataFrame, target: str) -> None:
         """Write to a staging dir, then swap — a crash mid-write leaves the
         previous checkpoint intact (Iceberg gives this via snapshots)."""

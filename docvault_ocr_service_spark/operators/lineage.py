@@ -69,6 +69,25 @@ def metrics_row(results: DataFrame, checkpoint: DataFrame,
                     "failed", "total_duration", "retry_distribution"))
 
 
+def batch_status(checkpoint: DataFrame) -> DataFrame:
+    """Run-level status matrix — the reference's per-task batch scan
+    (app/redis_queue.py:399-423) as one pivot."""
+    return (checkpoint.groupBy("run_id")
+            .pivot("status",
+                   ["done", "failed_retryable", "failed_permanent"])
+            .count()
+            .na.fill(0))
+
+
+def error_summary(checkpoint: DataFrame, top_n: int = 20) -> DataFrame:
+    """Most-common failure messages (app/error_handler.py:391-418)."""
+    return (checkpoint.where(F.col("error_msg").isNotNull())
+            .groupBy("error_kind", "error_msg")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "error_kind", "error_msg")
+            .limit(top_n))
+
+
 def append_observability(spark: SparkSession, base_dir: str,
                          results: DataFrame, checkpoint: DataFrame,
                          run_id: str) -> None:

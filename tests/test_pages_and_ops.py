@@ -1,0 +1,97 @@
+"""Page-explode route byte-identity + batch-status/error/cleanup ops."""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from docvault_ocr_service_spark import corpus
+from docvault_ocr_service_spark.extract import extract_document
+from docvault_ocr_service_spark.operators.lineage import (
+    batch_status, error_summary)
+from docvault_ocr_service_spark.operators.pages import (
+    explode_pdf_pages, reassemble_pages)
+from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def pdf_rows(spark):
+    rows = [corpus.generate_row(i) for i in range(400)
+            if corpus.template_for(i) in ("pdf_native", "multipage_pdf")]
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows), schema=INPUT_SCHEMA)
+
+
+def test_exploded_route_is_byte_identical(spark, pdf_rows):
+    """A1 as a distributed aggregation == the in-kernel page join."""
+    pages = explode_pdf_pages(pdf_rows.repartition(8))
+    docs = reassemble_pages(pages)
+    got = {r["url"]: (r["text"], r["page_count"])
+           for r in docs.collect()}
+    for row in pdf_rows.collect():
+        want = extract_document(row["url"], row["html"], row["text"],
+                                row["lang"])
+        assert got[row["url"]][0] == want["text"]
+        assert got[row["url"]][1] == want["page_count"]
+
+
+def test_explode_handles_corrupt_pdf(spark):
+    import pandas as pd
+
+    bad = spark.createDataFrame(pd.DataFrame([{
+        "url": "u://bad", "warc_ts": None,
+        "html": b"%PDF-1.4 truncated", "text": None, "lang": "en"}]),
+        schema=INPUT_SCHEMA)
+    docs = reassemble_pages(explode_pdf_pages(bad))
+    row = docs.first()
+    assert row["text"] is None
+    assert row["error_kind"].startswith("corrupted_file")
+
+
+def test_batch_status_pivot(spark):
+    cp = spark.createDataFrame(
+        [("u1", "done", 1, None, None, datetime.now(timezone.utc), "r1"),
+         ("u2", "done", 1, None, None, datetime.now(timezone.utc), "r1"),
+         ("u3", "failed_permanent", 3, "x", "boom",
+          datetime.now(timezone.utc), "r1")],
+        schema="url string, status string, attempt int, error_kind string,"
+               " error_msg string, updated_at timestamp, run_id string")
+    row = batch_status(cp).first()
+    assert row["done"] == 2
+    assert row["failed_permanent"] == 1
+    assert row["failed_retryable"] == 0
+
+
+def test_error_summary_ordering(spark):
+    now = datetime.now(timezone.utc)
+    rows = [(f"u{i}", "failed_permanent", 1, "corrupted_file",
+             "bad header", now, "r1") for i in range(5)]
+    rows += [("u9", "failed_permanent", 1, "empty_payload", "empty",
+              now, "r1")]
+    cp = spark.createDataFrame(
+        rows, schema="url string, status string, attempt int, "
+        "error_kind string, error_msg string, updated_at timestamp, "
+        "run_id string")
+    top = error_summary(cp).collect()
+    assert top[0]["error_msg"] == "bad header" and top[0]["n"] == 5
+
+
+def test_checkpoint_cleanup(spark, tmp_path):
+    from docvault_ocr_service_spark.operators.checkpoint import (
+        ParquetCheckpointStore)
+    from docvault_ocr_service_spark.functions.udfs import run_extraction
+    from docvault_ocr_service_spark.plans.extract_job import run_extract_job
+
+    state = str(tmp_path / "state")
+    df = spark.createDataFrame(corpus.corpus_pdf(60), schema=INPUT_SCHEMA)
+    run_extract_job(spark, df, state)
+    store = ParquetCheckpointStore(spark, state)
+    before = store.read_checkpoint().count()
+    cutoff = datetime.now(timezone.utc) + timedelta(days=1)
+    would = store.cleanup(cutoff, dry_run=True)
+    assert would == before  # everything is settled and old enough
+    assert store.read_checkpoint().count() == before  # dry run: untouched
+    removed = store.cleanup(cutoff)
+    assert removed == before
+    assert store.read_checkpoint().count() == 0
