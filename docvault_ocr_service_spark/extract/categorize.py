@@ -32,6 +32,16 @@ _CATEGORY_TABLE: tuple[tuple[str, tuple[str, ...], tuple[re.Pattern, ...]], ...]
 
 CATEGORY_NAMES: tuple[str, ...] = tuple(name for name, _, _ in _CATEGORY_TABLE)
 
+# (lowered needle, vote weight) per language for detect_languages
+_LANG_VOTE_TABLE: dict[str, tuple[tuple[str, int], ...]] = {
+    lang: tuple(
+        [(kw.lower(), 1) for kw in P.DATE_CTX_BY_LANG[lang]]
+        + [(kw.lower(), 1) for kw in P.AMOUNT_CTX_BY_LANG[lang]]
+        + [(m.lower(), 2) for m in P.MONTH_NAMES_BY_LANG[lang]]
+    )
+    for lang in P.LANGS
+}
+
 UNKNOWN_THRESHOLD = 0.25
 KEYWORD_WEIGHT, KEYWORD_CAP = 0.15, 0.6
 PATTERN_WEIGHT, PATTERN_CAP = 0.2, 0.7
@@ -68,26 +78,52 @@ def category_score(text: str, text_lower: str,
     return min(score, 1.0), indicators
 
 
+# hits beyond these leave min(hits*w, cap) unchanged, so the fast scorer
+# may stop counting there without altering any score
+_KW_SAT = int(KEYWORD_CAP / KEYWORD_WEIGHT)    # 4
+_PAT_SAT = int(PATTERN_CAP / PATTERN_WEIGHT)
+while _PAT_SAT * PATTERN_WEIGHT < PATTERN_CAP:
+    _PAT_SAT += 1
+
+
+def _category_score_fast(text: str, text_lower: str,
+                         keywords: tuple[str, ...],
+                         regexes: tuple[re.Pattern, ...]) -> float:
+    """Score only (no indicators), short-circuiting at the weight caps —
+    numerically identical to category_score()[0]."""
+    kw_hits = 0
+    for kw in keywords:
+        if kw in text_lower:
+            kw_hits += 1
+            if kw_hits >= _KW_SAT:
+                break
+    score = min(kw_hits * KEYWORD_WEIGHT, KEYWORD_CAP)
+    pat_hits = 0
+    for rx in regexes:
+        if rx.search(text):
+            pat_hits += 1
+            if pat_hits >= _PAT_SAT:
+                break
+    score += min(pat_hits * PATTERN_WEIGHT, PATTERN_CAP)
+    return min(score, 1.0)
+
+
 def detect_languages(text_lower: str) -> list[str]:
     """Keyword-vote language ID (reference :151-187).
 
     date-context + amount-context keywords ×1, month names ×2; a language
     is detected at ≥3 votes; no detections → every configured language.
+    (The vote loop stops at 3 — only the threshold matters.)
     """
     detected: list[str] = []
     for lang in P.LANGS:
         votes = 0
-        for kw in P.DATE_CTX_BY_LANG[lang]:
-            if kw.lower() in text_lower:
-                votes += 1
-        for kw in P.AMOUNT_CTX_BY_LANG[lang]:
-            if kw.lower() in text_lower:
-                votes += 1
-        for month in P.MONTH_NAMES_BY_LANG[lang]:
-            if month.lower() in text_lower:
-                votes += 2
-        if votes >= 3:
-            detected.append(lang)
+        for kw in _LANG_VOTE_TABLE[lang]:
+            if kw[0] in text_lower:
+                votes += kw[1]
+                if votes >= 3:
+                    detected.append(lang)
+                    break
     return detected if detected else list(P.LANGS)
 
 
@@ -124,3 +160,24 @@ def categorize_detailed(text: str) -> CategoryResult:
 def categorize(text: str) -> str:
     """Primary category label only (reference :189-201)."""
     return categorize_detailed(text).primary_category
+
+
+def categorize_fast(text: str) -> tuple[str, float, list[str]]:
+    """Hot-path categorization → (primary, confidence, detected_langs).
+
+    Numerically identical to categorize_detailed (same scores, same
+    tie-break, same threshold) but skips indicator bookkeeping and
+    short-circuits scoring at the weight caps.  Pinned equal by tests.
+    """
+    if not text or len(text.strip()) < 3:
+        return "unknown", 0.0, []
+
+    text_lower = text.lower()
+    best_name = "unknown"
+    best_score = -1.0
+    for name, keywords, regexes in _CATEGORY_TABLE:
+        score = _category_score_fast(text, text_lower, keywords, regexes)
+        if score > best_score:  # table is in sorted name order → lex ties
+            best_name, best_score = name, score
+    primary = best_name if best_score >= UNKNOWN_THRESHOLD else "unknown"
+    return primary, best_score, detect_languages(text_lower)

@@ -16,8 +16,6 @@ ocr_unavailable, empty_payload}; anything unexpected = retryable.
 from __future__ import annotations
 
 import time
-from dataclasses import asdict
-
 from . import categorize as cat
 from . import metadata as md
 from .charset import decode_html_bytes
@@ -78,7 +76,7 @@ def _finish(url: str, lang: str | None, pages: list[str], confidence: float,
     full_text = PAGE_JOINER.join(pages)
     meta = md.extract_metadata(full_text)
     meta["dates"] = list(meta["dates"])  # date objects pass through Arrow
-    category = cat.categorize_detailed(full_text)
+    primary, cat_conf, langs = cat.categorize_fast(full_text)
     return {
         "url": url,
         "status": STATUS_DONE,
@@ -90,9 +88,9 @@ def _finish(url: str, lang: str | None, pages: list[str], confidence: float,
         "pages": _page_entries(pages, confidence, source),
         "spans": spans,
         "metadata": meta,
-        "category": category.primary_category,
-        "category_confidence": category.confidence,
-        "detected_languages": category.detected_languages,
+        "category": primary,
+        "category_confidence": cat_conf,
+        "detected_languages": langs,
         "lang": lang,
         "source": source,
         "processing_time": time.monotonic() - started,
@@ -167,8 +165,13 @@ def extract_document(url: str, html: bytes | None, text: str | None,
         if fmt == "html":
             decoded, _codec = decode_html_bytes(html)
             body, spans = extract_main_text(decoded)
+            span_dicts = [
+                {"seq": s.seq, "tag": s.tag, "start": s.start,
+                 "end": s.end, "link_density": s.link_density}
+                for s in spans
+            ]
             return _finish(url, lang, [body], HTML_CONFIDENCE, "html",
-                           started, [asdict(s) for s in spans])
+                           started, span_dicts)
         return _error(url, lang, "invalid_file_type",
                       f"unrecognized payload (first bytes: {html[:16]!r})",
                       started)

@@ -153,15 +153,141 @@ def keep_block(text: str, link_chars: int, in_boilerplate: bool) -> bool:
     return n >= MIN_LONG_BLOCK_CHARS and ld < MAX_LINK_DENSITY_LONG
 
 
-def extract_main_text(html: str) -> tuple[str, list[Span]]:
-    """HTML string → (main-content text, kept-block spans).
+# -- fast tokenizer ----------------------------------------------------------
+# The stdlib HTMLParser costs ~half the whole extraction kernel; this
+# regex scanner implements the identical block state machine ~4× faster.
+# Raw-text elements (script/style) and comments are swallowed in one
+# token; the cross-check test asserts output identity with
+# _BlockCollector over the corpus and malformed fuzz inputs.
 
-    Never raises on malformed markup: ``html.parser`` is error-tolerant by
-    design, and a page with no kept blocks yields ``("", [])``.
-    """
+import html as _html_mod  # noqa: E402  (stdlib unescape)
+import re  # noqa: E402
+
+_TOKEN_RE = re.compile(
+    r"""<!--.*?(?:-->|$)
+      | <!\[CDATA\[.*?(?:\]\]>|$)
+      | <script\b[^>]*>.*?(?:</script\s*>|$)
+      | <style\b[^>]*>.*?(?:</style\s*>|$)
+      | <[!?][^>]*>
+      | </?[a-zA-Z][^>]*>
+    """,
+    re.DOTALL | re.IGNORECASE | re.VERBOSE,
+)
+_TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+_HAS_ENTITY_RE = re.compile(r"&[#a-zA-Z]")
+
+
+class _FastCollector:
+    """Same state machine as _BlockCollector, driven by _TOKEN_RE."""
+
+    __slots__ = ("blocks", "_chunks", "_link_chars", "_drop_depth",
+                 "_boiler_depth", "_link_depth", "_block_tag", "_open")
+
+    def __init__(self) -> None:
+        self.blocks: list[tuple[str, int, bool, str]] = []
+        self._chunks: list[str] = []
+        self._link_chars = 0
+        self._drop_depth = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._block_tag = "body"
+        self._open: list[str] = []
+
+    def _flush(self) -> None:
+        if not self._chunks:
+            return
+        text = " ".join("".join(self._chunks).split())
+        if text:
+            self.blocks.append(
+                (text, self._link_chars, self._boiler_depth > 0,
+                 self._block_tag))
+        self._chunks = []
+        self._link_chars = 0
+
+    def feed(self, html: str) -> None:
+        pos = 0
+        for m in _TOKEN_RE.finditer(html):
+            if m.start() > pos:
+                self._data(html[pos:m.start()])
+            tok = m.group(0)
+            pos = m.end()
+            second = tok[1]
+            if second in "!?":
+                continue  # comment / cdata / doctype / PI
+            name_m = _TAG_NAME_RE.match(tok)
+            if name_m is None:
+                continue
+            name = name_m.group(1).lower()
+            if name in ("script", "style") and second != "/":
+                continue  # raw-text element swallowed whole
+            if second == "/":
+                self._endtag(name)
+            else:
+                self._starttag(name)
+        if pos < len(html):
+            self._data(html[pos:])
+        self._flush()
+
+    def _data(self, data: str) -> None:
+        if self._drop_depth or not data:
+            return
+        if _HAS_ENTITY_RE.search(data):
+            data = _html_mod.unescape(data)
+        self._chunks.append(data)
+        if self._link_depth:
+            self._link_chars += len(" ".join(data.split()))
+
+    def _starttag(self, tag: str) -> None:
+        if tag in _VOID_TAGS:
+            if self._drop_depth == 0:
+                self._chunks.append(" ")
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._block_tag = tag
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+        if tag in BOILERPLATE_TAGS:
+            self._boiler_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        self._open.append(tag)
+
+    def _endtag(self, tag: str) -> None:
+        if tag in _VOID_TAGS:
+            return
+        for i in range(len(self._open) - 1, -1, -1):
+            if self._open[i] == tag:
+                del self._open[i]
+                break
+        else:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag in DROP_TAGS and self._drop_depth > 0:
+            self._drop_depth -= 1
+        if tag in BOILERPLATE_TAGS and self._boiler_depth > 0:
+            self._boiler_depth -= 1
+        if tag == "a" and self._link_depth > 0:
+            self._link_depth -= 1
+
+
+def collect_blocks_reference(html: str) -> list[tuple[str, int, bool, str]]:
+    """HTMLParser-driven collector (cross-check implementation)."""
     collector = _BlockCollector()
     collector.feed(html)
     collector.close()
+    return collector.blocks
+
+
+def extract_main_text(html: str) -> tuple[str, list[Span]]:
+    """HTML string → (main-content text, kept-block spans).
+
+    Never raises on malformed markup; a page with no kept blocks yields
+    ``("", [])``.
+    """
+    collector = _FastCollector()
+    collector.feed(html)
 
     parts: list[str] = []
     spans: list[Span] = []

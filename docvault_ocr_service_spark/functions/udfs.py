@@ -82,10 +82,12 @@ def with_category(df, text_col: str = "text"):
         T.StructField("category_confidence", T.DoubleType()),
     ]))
     def _cat(texts: pd.Series) -> pd.DataFrame:
-        res = [categorize_detailed(t or "") for t in texts]
+        from ..extract.categorize import categorize_fast
+
+        res = [categorize_fast(t or "") for t in texts]
         return pd.DataFrame({
-            "category": [r.primary_category for r in res],
-            "category_confidence": [r.confidence for r in res],
+            "category": [r[0] for r in res],
+            "category_confidence": [r[1] for r in res],
         })
 
     struct = _cat(F.col(text_col))
