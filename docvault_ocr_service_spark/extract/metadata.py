@@ -49,6 +49,27 @@ METADATA_FIELDS: tuple[str, ...] = (
 )
 
 
+# Prefilter gates: every date/amount/phone/postal/tax/address pattern
+# requires at least one ASCII digit, the name pattern an uppercase
+# letter, the email pattern an '@' — cheap scans that let digit-free
+# noise documents skip ~40 regex passes with provably identical output.
+_DIGIT_RE = re.compile(r"\d")
+_UPPER_RE = re.compile(r"[A-Z]")
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=65536)
+def _parse_date_cached(s: str):
+    """dateutil fuzzy parse with memoization — real corpora repeat the
+    same date strings endlessly, and the ISO pattern is matched twice by
+    construction (en+pl both declare it)."""
+    try:
+        return _dateutil_parser.parse(s, fuzzy=True).date()
+    except (ValueError, OverflowError):
+        return None
+
+
 def _tail_context(text: str, pos: int, window: int, keep: int) -> str:
     """Last ``keep`` chars of the stripped ``window`` chars before ``pos``.
 
@@ -69,11 +90,8 @@ def extract_dates(text: str) -> tuple[list[date], list[str]]:
     contexts: list[str] = []
     for rx in _DATE_RES:
         for m in rx.finditer(text):
-            try:
-                parsed = _dateutil_parser.parse(m.group(0), fuzzy=True).date()
-            except (ValueError, OverflowError):
-                continue
-            if 1900 <= parsed.year <= 2100:
+            parsed = _parse_date_cached(m.group(0))
+            if parsed is not None and 1900 <= parsed.year <= 2100:
                 found.append(parsed)
                 contexts.append(_tail_context(text, m.start(), 50, 30))
     return found, contexts
@@ -213,20 +231,31 @@ def extract_metadata(text: str) -> dict:
     level, app/metadata_extractor_v2.py:405-407).
     """
     text = text or ""
-    dates, date_ctx = extract_dates(text)
-    amounts, amount_labels = extract_amounts(text)
-    names, name_ctx = extract_names(text)
+    has_digit = _DIGIT_RE.search(text) is not None
+    has_upper = _UPPER_RE.search(text) is not None
+    if has_digit:
+        dates, date_ctx = extract_dates(text)
+        amounts, amount_labels = extract_amounts(text)
+        phones = extract_phones(text)
+        postal = extract_postal_codes(text)
+        tax_ids = extract_tax_ids(text)
+        addresses = extract_addresses(text)
+    else:
+        dates, date_ctx = [], []
+        amounts, amount_labels = [], []
+        phones, postal, tax_ids, addresses = [], [], [], []
+    names, name_ctx = extract_names(text) if has_upper else ([], [])
     md = {
         "dates": dates,
         "amounts": amounts,
         "names": names,
-        "emails": extract_emails(text),
-        "phones": extract_phones(text),
-        "addresses": extract_addresses(text),
-        "postal_codes": extract_postal_codes(text),
+        "emails": extract_emails(text) if "@" in text else [],
+        "phones": phones,
+        "addresses": addresses,
+        "postal_codes": postal,
         "invoice_numbers": extract_invoice_numbers(text),
         "po_numbers": extract_po_numbers(text),
-        "tax_ids": extract_tax_ids(text),
+        "tax_ids": tax_ids,
         "date_contexts": date_ctx,
         "amount_labels": amount_labels,
         "name_contexts": name_ctx,
