@@ -67,21 +67,9 @@ def _fresh_session(cores: int):
                      shuffle_partitions=max(cores, 8))
 
 
-def _gen_kernel(pdfs: Iterator) -> Iterator:
-    import pandas as pd
-
-    from docvault_ocr_service_spark import corpus
-
-    for pdf in pdfs:
-        rows = [corpus.generate_row(int(i)) for i in pdf["id"]]
-        yield pd.DataFrame(
-            rows, columns=["url", "warc_ts", "html", "text", "lang"])
-
-
 def materialize_bench_corpus(spark, n_rows: int, path: str) -> None:
-    """Distributed corpus generation → parquet (row content is a pure
-    function of the row index, so executors build slices independently)."""
-    from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
+    """Corpus → parquet, cached across bench runs via a row-count marker."""
+    from docvault_ocr_service_spark.corpus import materialize
 
     marker = os.path.join(path, "_ROWS")
     if os.path.isdir(path) and os.path.isfile(marker):
@@ -89,9 +77,7 @@ def materialize_bench_corpus(spark, n_rows: int, path: str) -> None:
             if f.read().strip() == str(n_rows):
                 return
     shutil.rmtree(path, ignore_errors=True)
-    base = spark.range(0, n_rows, 1, 64)
-    base.mapInPandas(_gen_kernel, schema=INPUT_SCHEMA) \
-        .write.mode("overwrite").parquet(path)
+    materialize(spark, n_rows, path)
     with open(marker, "w") as f:
         f.write(str(n_rows))
 

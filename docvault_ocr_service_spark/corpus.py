@@ -293,6 +293,28 @@ def corpus_pdf(n_rows: int):
     return pd.DataFrame(generate_rows(0, n_rows))
 
 
+def materialize(spark, n_rows: int, path: str, partitions: int = 64) -> None:
+    """Distributed corpus materialization → parquet at ``path``.
+
+    ``generate_row`` is a pure function of the row index, so each
+    executor builds its slice independently — no driver-side loop, no
+    broadcast state.
+    """
+    import pandas as pd
+
+    from .schemas import INPUT_SCHEMA
+
+    def kernel(pdfs):
+        for pdf in pdfs:
+            rows = [generate_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    (spark.range(0, n_rows, 1, partitions)
+     .mapInPandas(kernel, schema=INPUT_SCHEMA)
+     .write.mode("overwrite").parquet(path))
+
+
 def fingerprint(n_rows: int) -> str:
     """Stable digest of the first n rows (regression guard for goldens)."""
     h = hashlib.sha256()

@@ -1,0 +1,92 @@
+"""Direct value-parity against the reference implementation.
+
+These tests import the reference package from /root/reference (pure
+Python: re + dateutil only) and assert the engine's extractors compute
+identical values on randomized inputs.  Skipped wherever the reference
+checkout is absent — the frozen goldens in test_golden_corpus.py carry
+the invariant then.
+"""
+
+import random
+import sys
+
+import pytest
+
+REFERENCE_ROOT = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def reference():
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from app.document_categorizer_v2 import DocumentCategorizerV2
+        from app.metadata_extractor_v2 import MetadataExtractorV2
+    except ImportError:
+        pytest.skip("reference checkout not available")
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    return MetadataExtractorV2(), DocumentCategorizerV2()
+
+
+_WORDS = [
+    "invoice", "total", "due", "faktura", "suma", "$500.00", "1.500,00",
+    "zł", "NIP:", "123-456-78-90", "2024-03-15", "15.01.2024", "March",
+    "15,", "2024", "John", "Smith", "Dear", "Mr.", "Sincerely,", "receipt",
+    "paragon", "umowa", "agreement", "report", "memo", "to:", "from:",
+    "PO", "#4521", "john@example.com", "(555)", "123-4567", "+48", "601",
+    "234", "567", "00-950", "Warszawa", "certificate", "statement",
+    "balance", "saldo", "wyciąg", "formularz", "please", "complete",
+    "____", "[ ]", "yes", "Main", "Street", "123", "Elm", "Ave",
+    "stycznia", "zapłacono", "razem", "Betrag:", "€", "£99.99", "\n",
+    "\n\n", ".", ",", "EIN 12-3456789", "Tax ID: 98-7654321",
+]
+
+_SET_FIELDS = ("emails", "phones", "addresses", "postal_codes",
+               "invoice_numbers", "po_numbers", "tax_ids")
+
+
+def _texts(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    return [" ".join(rng.choice(_WORDS)
+                     for _ in range(rng.randrange(0, 50)))
+            for _ in range(n)]
+
+
+def test_metadata_value_parity(reference):
+    from docvault_ocr_service_spark.extract.metadata import extract_metadata
+
+    ref_md, _ = reference
+    for text in _texts(150, seed=101):
+        want = ref_md.extract(text)
+        got = dict(extract_metadata(text))
+        got["dates"] = [d.isoformat() for d in got["dates"]]
+        for key, want_v in want.items():
+            got_v = got[key]
+            if key in _SET_FIELDS:
+                # reference returns list(set(...)) — hash-seed order;
+                # the engine canonicalizes to sorted
+                want_v = sorted(set(want_v))
+            if isinstance(want_v, float):
+                assert abs(want_v - got_v) < 1e-12, (key, text)
+            else:
+                assert want_v == got_v, (key, text)
+
+
+def test_categorizer_value_parity(reference):
+    from docvault_ocr_service_spark.extract.categorize import (
+        categorize_detailed, categorize_fast)
+
+    _, ref_cat = reference
+    for text in _texts(150, seed=202):
+        want = ref_cat.categorize_detailed(text)
+        got = categorize_detailed(text)
+        assert sorted(want.all_categories.items()) == \
+            sorted(got.all_categories.items()), text
+        assert want.detected_languages == got.detected_languages, text
+        # primary matches whenever the reference's argmax is unambiguous
+        scores = list(want.all_categories.values())
+        if scores and scores.count(max(scores)) == 1:
+            assert want.primary_category == got.primary_category, text
+        fast = categorize_fast(text)
+        assert fast[0] == got.primary_category
+        assert abs(fast[1] - got.confidence) < 1e-12
