@@ -113,6 +113,33 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 flavor: EXISTS via left-semi join."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01"))
+    late_items = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1996-07-01").select("l_orderkey")
+    return (orders.join(late_items,
+                        orders.o_orderkey == late_items.l_orderkey,
+                        "left_semi")
+                  .groupBy("o_orderpriority")
+                  .agg(F.count("*").alias("order_count")))
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 flavor: pure filter + aggregate (pushdown showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1997-01-01")
+                     & (F.col("l_discount").between(0.05, 0.07))
+                     & (F.col("l_quantity") < 24))
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * F.col("l_discount")), 2)
+                    .alias("revenue"),
+                   F.count("*").alias("n_items")))
+
+
 def q_rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over orders."""
     orders = _t(spark, sf_dir, "orders")
@@ -518,6 +545,19 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "rank")
 
 
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF coarse-quantizer ANN (scale path #2)."""
+    from docvault_ocr_service_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return ivf_topk(corpus, queries, k=5, dim=dim, n_centroids=16,
+                    nprobe=6).select("query_id", "vec_id", "rank")
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return (
@@ -586,6 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue": q3_segment_revenue,
         "q5_nation_revenue": q5_nation_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "q_rollup_priority": q_rollup_priority,
         "q_pivot_segment": q_pivot_segment,
         "q_customers_without_orders": q_customers_without_orders,
@@ -608,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "knn_bruteforce": knn_bruteforce,
         "knn_lsh": knn_lsh,
+        "knn_ivf": knn_ivf,
         "embedding_centroids": embedding_centroids,
         "embedding_near_dups": embedding_near_dups,
         "corpus_extract_stats": corpus_extract_stats,

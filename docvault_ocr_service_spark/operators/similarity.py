@@ -169,6 +169,92 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                   .select(query_id_col, id_col, "score", "rank"))
 
 
+def train_ivf_centroids(corpus: DataFrame, vec_col: str, dim: int,
+                        n_centroids: int = 16, n_iters: int = 8,
+                        sample_rows: int = 10000,
+                        seed: int = 42) -> np.ndarray:
+    """Coarse-quantizer centroids via deterministic mini k-means.
+
+    Trains on a bounded sample pulled to the driver (a coarse quantizer
+    needs thousands of points, not the corpus) — at 10^12 vectors this is
+    the standard IVF recipe: sample, train small, broadcast centroids.
+    """
+    sample = np.asarray([
+        list(r[0]) for r in
+        corpus.select(vec_col).limit(sample_rows).collect()
+    ], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample),
+                                  size=min(n_centroids, len(sample)),
+                                  replace=False)]
+    for _ in range(n_iters):
+        # cosine k-means: normalize, assign by dot product
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+        assign = (sample @ cn.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _ivf_assign_udf(centroids: np.ndarray, nprobe: int):
+    """(list_id array) — nearest ``nprobe`` centroid ids by cosine."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            vv = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(vv)
+            sims = (cn @ vv) / n if n > 0 else np.zeros(len(cn))
+            out.append([int(i) for i in np.argsort(-sims)[:nprobe]])
+        return pd.Series(out)
+
+    return assign
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             n_centroids: int = 16, nprobe: int = 4,
+             seed: int = 42) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into centroid
+    lists, probe the query's ``nprobe`` nearest lists, exact re-rank.
+
+    Scale shape: corpus carries ONE list id per vector (vs L entries for
+    multi-table LSH); a query scans ``nprobe/n_centroids`` of the corpus.
+    Centroids are trained once on a sample and broadcast in the UDF
+    closure — at 10^12 rows the list assignment is the write-time
+    partitioning of the vector table.
+    """
+    centroids = train_ivf_centroids(corpus, vec_col, dim, n_centroids,
+                                    seed=seed)
+    c_assign = _ivf_assign_udf(centroids, 1)
+    q_assign = _ivf_assign_udf(centroids, nprobe)
+
+    c = (corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+         .withColumn("list_id",
+                     F.element_at(c_assign(F.col("__cvec")), 1)))
+    q = (queries.select(F.col(query_id_col),
+                        F.col(vec_col).alias("__qvec"))
+         .withColumn("list_id",
+                     F.explode(q_assign(F.col("__qvec")))))
+
+    joined = c.join(F.broadcast(q), "list_id").withColumn(
+        "score",
+        cosine(F.col("__qvec").cast("array<double>"),
+               F.col("__cvec").cast("array<double>")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (joined.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, id_col, "score", "rank"))
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, dim: int,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

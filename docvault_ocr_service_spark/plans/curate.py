@@ -1,0 +1,68 @@
+"""Training-data curation plan: the full pipeline a 100 TB pretraining
+corpus runs after extraction.
+
+    results (done rows) →
+      1. quality profile (columnar: tokens, stopword/punct ratios, score)
+      2. quality gate (score ≥ min_quality, token bounds)
+      3. language filter (marker-vote lang id ∈ allowed)
+      4. exact dedup (content-hash groupBy, keep min-url doc)
+      5. near dedup (MinHash-LSH; drop the higher-id side of each pair)
+
+Everything before (5) is shuffle-free column work + one hash groupBy;
+(5) adds the banded self-join.  Returns the surviving corpus plus a
+per-stage funnel count DataFrame for lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import detect_lang, quality_score, token_count
+from ..operators.dedup import minhash_lsh_pairs
+
+
+def curate_corpus(results: DataFrame, *,
+                  id_col: str = "url", text_col: str = "text",
+                  min_quality: float = 0.35,
+                  min_tokens: int = 10, max_tokens: int = 1_000_000,
+                  allowed_langs: tuple[str, ...] = ("en", "pl", "de"),
+                  near_dup_jaccard: float = 0.85
+                  ) -> tuple[DataFrame, DataFrame]:
+    """→ (curated DataFrame, funnel counts DataFrame)."""
+    base = results.where(F.col(text_col).isNotNull())
+
+    profiled = (base
+                .withColumn("__tokens", token_count(F.col(text_col)))
+                .withColumn("__quality", quality_score(F.col(text_col)))
+                .withColumn("__lang", detect_lang(F.col(text_col))))
+
+    gated = profiled.where(
+        (F.col("__quality") >= min_quality)
+        & F.col("__tokens").between(min_tokens, max_tokens)
+        & F.col("__lang").isin(*allowed_langs))
+
+    # exact dedup: keep the minimum id per content hash
+    hashed = gated.withColumn("__h", F.md5(F.col(text_col)))
+    keepers = (hashed.groupBy("__h")
+               .agg(F.min(id_col).alias(id_col)))
+    exact_unique = hashed.join(keepers, [ "__h", id_col], "left_semi")
+
+    # near dedup: longs for the pair join, then map back
+    with_key = exact_unique.withColumn(
+        "__k", F.xxhash64(F.col(id_col)))
+    pairs = minhash_lsh_pairs(with_key, "__k", text_col,
+                              min_jaccard=near_dup_jaccard)
+    drop_side = pairs.select(F.col("b").alias("__k")).distinct()
+    curated = with_key.join(drop_side, "__k", "left_anti") \
+        .drop("__k", "__h", "__tokens", "__quality", "__lang")
+
+    funnel = None
+    for stage, df in (("input", results), ("non_null", base),
+                      ("quality_gated", gated),
+                      ("exact_unique", exact_unique),
+                      ("near_unique", curated)):
+        row = df.select(F.count("*").alias("n")) \
+            .withColumn("stage", F.lit(stage)).select("stage", "n")
+        funnel = row if funnel is None else funnel.unionByName(row)
+    return curated, funnel

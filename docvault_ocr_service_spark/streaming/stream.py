@@ -47,6 +47,50 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     )
 
 
+def stream_user_totals(spark: SparkSession, input_dir: str,
+                       query_name: str = "user_totals"):
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event totals maintained in managed state.
+
+    Demonstrates the engine's custom-stateful-streaming path (the
+    SURVEY's P5 counters as live state instead of post-hoc aggregation).
+    Emits the updated totals each micro-batch (update mode → memory sink
+    here; kafka/foreachBatch-MERGE in production).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(input_dir)
+    )
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [round(total, 6)]})
+
+    totals = events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (totals.writeStream
+            .format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_event_metrics(spark: SparkSession, input_dir: str,
                          output_dir: str, checkpoint_dir: str,
                          window: str = "1 hour",
