@@ -24,6 +24,9 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # oracle SQL runs in DuckDB (TZ-naive); pin the Spark session to UTC
+    # so timestamp truncation/formatting agrees regardless of host TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -30,6 +30,33 @@ _CATEGORY_TABLE: tuple[tuple[str, tuple[str, ...], tuple[re.Pattern, ...]], ...]
     for name, (kws, pats) in P.CATEGORIES.items()
 )
 
+_LITERAL_PREFIX_RE = re.compile(r"^(?:\\b)?([a-ząćęłńóśźż]{3,})")
+
+
+def _mandatory_literal(pattern: str) -> str | None:
+    """A lowercase literal the pattern cannot match without, or None.
+
+    Only a leading literal run is extracted (before any regex metachar),
+    and only when the following metachar cannot make its last character
+    optional — a conservative rule, verified by the parity fuzz tests.
+    """
+    m = _LITERAL_PREFIX_RE.match(pattern)
+    if not m:
+        return None
+    lit = m.group(1)
+    rest = pattern[m.end():]
+    if rest[:1] in ("?", "*", "{"):  # last char may be optional → shrink
+        lit = lit[:-1]
+    return lit if len(lit) >= 3 else None
+
+
+# (name, keywords, [(literal_gate, regex), ...]) for the fast scorer
+_CATEGORY_FAST_TABLE = tuple(
+    (name, keywords,
+     tuple((_mandatory_literal(rx.pattern), rx) for rx in regexes))
+    for name, keywords, regexes in _CATEGORY_TABLE
+)
+
 CATEGORY_NAMES: tuple[str, ...] = tuple(name for name, _, _ in _CATEGORY_TABLE)
 
 # (lowered needle, vote weight) per language for detect_languages
@@ -88,9 +115,10 @@ while _PAT_SAT * PATTERN_WEIGHT < PATTERN_CAP:
 
 def _category_score_fast(text: str, text_lower: str,
                          keywords: tuple[str, ...],
-                         regexes: tuple[re.Pattern, ...]) -> float:
-    """Score only (no indicators), short-circuiting at the weight caps —
-    numerically identical to category_score()[0]."""
+                         gated_regexes) -> float:
+    """Score only (no indicators), short-circuiting at the weight caps
+    and skipping regexes whose mandatory literal is absent — numerically
+    identical to category_score()[0]."""
     kw_hits = 0
     for kw in keywords:
         if kw in text_lower:
@@ -99,7 +127,9 @@ def _category_score_fast(text: str, text_lower: str,
                 break
     score = min(kw_hits * KEYWORD_WEIGHT, KEYWORD_CAP)
     pat_hits = 0
-    for rx in regexes:
+    for lit, rx in gated_regexes:
+        if lit is not None and lit not in text_lower:
+            continue
         if rx.search(text):
             pat_hits += 1
             if pat_hits >= _PAT_SAT:
@@ -175,8 +205,8 @@ def categorize_fast(text: str) -> tuple[str, float, list[str]]:
     text_lower = text.lower()
     best_name = "unknown"
     best_score = -1.0
-    for name, keywords, regexes in _CATEGORY_TABLE:
-        score = _category_score_fast(text, text_lower, keywords, regexes)
+    for name, keywords, gated in _CATEGORY_FAST_TABLE:
+        score = _category_score_fast(text, text_lower, keywords, gated)
         if score > best_score:  # table is in sorted name order → lex ties
             best_name, best_score = name, score
     primary = best_name if best_score >= UNKNOWN_THRESHOLD else "unknown"

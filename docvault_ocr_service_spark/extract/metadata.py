@@ -55,6 +55,10 @@ METADATA_FIELDS: tuple[str, ...] = (
 # noise documents skip ~40 regex passes with provably identical output.
 _DIGIT_RE = re.compile(r"\d")
 _UPPER_RE = re.compile(r"[A-Z]")
+# invoice/po patterns cannot match without one of these literals
+# (IGNORECASE → check on the lowered text)
+_INVOICE_GATES = ("invoice", "inv", "faktura", "fakt", "fv", "fs")
+_PO_GATES = ("po", "p.o.", "purchase order", "zamówienie", "zam")
 
 from functools import lru_cache  # noqa: E402
 
@@ -245,6 +249,7 @@ def extract_metadata(text: str) -> dict:
         amounts, amount_labels = [], []
         phones, postal, tax_ids, addresses = [], [], [], []
     names, name_ctx = extract_names(text) if has_upper else ([], [])
+    text_lower = text.lower()
     md = {
         "dates": dates,
         "amounts": amounts,
@@ -253,8 +258,11 @@ def extract_metadata(text: str) -> dict:
         "phones": phones,
         "addresses": addresses,
         "postal_codes": postal,
-        "invoice_numbers": extract_invoice_numbers(text),
-        "po_numbers": extract_po_numbers(text),
+        "invoice_numbers": (extract_invoice_numbers(text)
+                            if any(g in text_lower
+                                   for g in _INVOICE_GATES) else []),
+        "po_numbers": (extract_po_numbers(text)
+                       if any(g in text_lower for g in _PO_GATES) else []),
         "tax_ids": tax_ids,
         "date_contexts": date_ctx,
         "amount_labels": amount_labels,
