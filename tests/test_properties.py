@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) over the pure kernels."""
+
+from hypothesis import given, settings, strategies as st
+
+from docvault_ocr_service_spark.extract.charset import decode_html_bytes
+from docvault_ocr_service_spark.extract.document import (
+    detect_format, extract_document)
+from docvault_ocr_service_spark.extract.htmltext import extract_main_text
+from docvault_ocr_service_spark.extract.metadata import (
+    _normalize_amount, extract_metadata)
+
+_SETTINGS = dict(max_examples=150, deadline=None)
+
+
+@given(st.binary(max_size=2048))
+@settings(**_SETTINGS)
+def test_decode_never_raises_and_is_deterministic(data):
+    t1, c1 = decode_html_bytes(data)
+    t2, c2 = decode_html_bytes(data)
+    assert (t1, c1) == (t2, c2)
+    assert isinstance(t1, str)
+
+
+@given(st.text(max_size=2000))
+@settings(**_SETTINGS)
+def test_html_extract_total(html):
+    text, spans = extract_main_text(html)
+    for s in spans:
+        assert text[s.start:s.end] != "" or text == ""
+        assert 0.0 <= s.link_density <= 1.0
+    # determinism
+    assert extract_main_text(html)[0] == text
+
+
+@given(st.binary(max_size=512), st.one_of(st.none(), st.text(max_size=50)))
+@settings(**_SETTINGS)
+def test_extract_document_total(payload, text):
+    res = extract_document("u://x", payload, text, "en")
+    assert res["status"] in ("done", "failed_permanent",
+                             "failed_retryable")
+    if res["status"] == "done":
+        assert res["text"] is not None
+        assert res["metadata"]["confidence"] is not None
+        assert 0.0 <= res["metadata"]["confidence"] <= 1.0
+    else:
+        assert res["error_kind"]
+    assert detect_format(payload) in ("pdf", "html", "empty", "unknown")
+
+
+@given(st.integers(1, 999), st.integers(0, 999), st.integers(0, 99))
+@settings(**_SETTINGS)
+def test_amount_normalization_formats_agree(thousands, units, cents):
+    value = thousands * 1000 + units + cents / 100
+    us = f"{thousands},{units:03d}.{cents:02d}"       # 1,500.00
+    eu = f"{thousands}.{units:03d},{cents:02d}"       # 1.500,00
+    spaced = f"{thousands} {units:03d},{cents:02d}"   # 1 500,00
+    for s in (us, eu, spaced):
+        assert abs(_normalize_amount(s) - value) < 1e-9, s
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=591),
+               max_size=500))
+@settings(**_SETTINGS)
+def test_metadata_total_and_sorted(text):
+    md = extract_metadata(text)
+    assert 0.0 <= md["confidence"] <= 1.0
+    for key in ("emails", "phones", "invoice_numbers", "po_numbers",
+                "postal_codes", "addresses", "tax_ids"):
+        assert md[key] == sorted(set(md[key])), key
+    assert len(md["dates"]) == len(md["date_contexts"])
+    assert len(md["amounts"]) == len(md["amount_labels"])
+    assert len(md["names"]) == len(md["name_contexts"])
