@@ -263,6 +263,28 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documents: text-analysis operators (native columnar)
 # ---------------------------------------------------------------------------
 
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click annotated with the user's most recent prior
+    (or simultaneous) purchase value; aggregated per user for stability."""
+    from docvault_ocr_service_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("pvalue")))
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    joined = asof_join(clicks, purchases, key="user_id", order="ts",
+                       payload_cols=("pvalue",))
+    return (joined.groupBy("user_id")
+            .agg(F.count("*").alias("n_clicks"),
+                 F.sum(F.when(F.col("pvalue_asof").isNull(), 1)
+                        .otherwise(0)).cast("long")
+                  .alias("clicks_before_any_purchase"),
+                 F.round(F.sum(F.coalesce("pvalue_asof", F.lit(0.0))), 3)
+                  .alias("sum_asof_value")))
+
+
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docvault_ocr_service_spark.functions.textstats import token_count
 
@@ -638,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_part_types": q_distinct_part_types,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
+        "events_asof_purchase": events_asof_purchase,
         "doc_token_stats": doc_token_stats,
         "doc_stopword_punct": doc_stopword_punct,
         "doc_langid": doc_langid,

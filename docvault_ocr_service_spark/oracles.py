@@ -232,6 +232,24 @@ SELECT user_id, count(*) AS n_sessions,
 FROM per GROUP BY user_id
 """
 
+    oracles["events_asof_purchase"] = """
+WITH purchases AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), joined AS (
+  SELECT c.user_id, p.pvalue
+  FROM clicks c ASOF LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+)
+SELECT user_id, count(*) AS n_clicks,
+       CAST(sum(CASE WHEN pvalue IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS clicks_before_any_purchase,
+       round(sum(coalesce(pvalue, 0.0)), 3) AS sum_asof_value
+FROM joined GROUP BY user_id
+"""
+
     oracles["doc_token_stats"] = f"""
 WITH t AS (SELECT lang, len({_TOKENIZE}) AS n_tok FROM documents)
 SELECT lang, count(*) AS n_docs, round(avg(n_tok), 6) AS avg_tokens,

@@ -95,3 +95,21 @@ def test_checkpoint_cleanup(spark, tmp_path):
     removed = store.cleanup(cutoff)
     assert removed == before
     assert store.read_checkpoint().count() == 0
+
+
+def test_asof_join_semantics(spark):
+    from docvault_ocr_service_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        ["k", "t", "tag"])
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 50, 500.0)],
+        ["k", "t", "v"])
+    out = {r["tag"]: r["v_asof"] for r in
+           asof_join(left, right, key="k", order="t",
+                     payload_cols=("v",)).collect()}
+    assert out["c"] is None        # before any right row
+    assert out["a"] == 100.0       # equal timestamp is inclusive
+    assert out["b"] == 150.0       # latest prior
+    assert out["d"] is None        # right row is in the future

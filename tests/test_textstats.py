@@ -69,3 +69,28 @@ def test_profile_has_all_columns(spark, df):
     cols = set(with_text_profile(df).columns)
     assert {"n_tokens", "quality", "lang_id", "fingerprint",
             "stopword_ratio", "punct_ratio"} <= cols
+
+
+def test_bpe_ish_token_count(spark):
+    from docvault_ocr_service_spark.functions.textstats import (
+        bpe_ish_token_count)
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc123def"), (3, "x,y.z"), (4, "")],
+        ["id", "text"])
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", bpe_ish_token_count(F.col("text")).alias("n")).collect()}
+    assert got[1] == 2          # plain words
+    assert got[2] == 3          # letter/digit boundaries split
+    assert got[3] == 5          # punct boundaries split
+    assert got[4] == 0
+
+
+def test_iceberg_store_requires_catalog(spark):
+    import pytest as _pytest
+
+    from docvault_ocr_service_spark.operators.iceberg import (
+        IcebergCheckpointStore)
+
+    with _pytest.raises(RuntimeError, match="Iceberg"):
+        IcebergCheckpointStore(spark, "cp", "res")
