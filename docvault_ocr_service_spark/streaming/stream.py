@@ -91,6 +91,37 @@ def stream_user_totals(spark: SparkSession, input_dir: str,
             .start())
 
 
+def stream_session_windows(spark: SparkSession, input_dir: str,
+                           output_dir: str, checkpoint_dir: str,
+                           gap: str = "30 minutes",
+                           watermark: str = "2 hours"):
+    """Native session windows: per-user sessions close after ``gap`` of
+    inactivity (``F.session_window`` — Spark's built-in session state),
+    sealed by the watermark and appended to parquet."""
+    events = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(input_dir)
+    )
+    sessions = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 3).alias("session_value"))
+        .select(F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "user_id", "n_events", "session_value")
+    )
+    return (sessions.writeStream
+            .format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_event_metrics(spark: SparkSession, input_dir: str,
                          output_dir: str, checkpoint_dir: str,
                          window: str = "1 hour",

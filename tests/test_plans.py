@@ -1,0 +1,67 @@
+"""Plan-hygiene regression tests: pushdown, pruning, broadcast.
+
+These pin the physical-plan properties docs/PLANS.md documents — a
+regression here is a silent 100×-scale performance bug even when results
+stay correct.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = plan_of(entrymod.q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+
+
+def test_q6_all_filters_pushed(spark):
+    plan = plan_of(entrymod.q6_forecast_revenue(spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24" in plan
+
+
+def test_q3_broadcasts_filtered_dimension(spark):
+    plan = plan_of(entrymod.q3_segment_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed before join
+
+
+def test_doc_queries_prune_columns(spark):
+    plan = plan_of(entrymod.doc_token_stats(spark, SF))
+    # only text+lang read — never the rest of the documents table
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schemas and all(
+        "text" in l and "lang" in l and "doc_id" not in l
+        for l in scan_schemas)
+
+
+def test_extraction_plan_has_single_map_stage(spark):
+    import pandas as pd
+
+    from docvault_ocr_service_spark import corpus
+    from docvault_ocr_service_spark.functions.udfs import run_extraction
+    from docvault_ocr_service_spark.operators.skew import route_by_size
+    from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
+
+    df = spark.createDataFrame(corpus.corpus_pdf(20), schema=INPUT_SCHEMA)
+    normal, giants = route_by_size(df, 4)
+    out = run_extraction(normal).unionByName(run_extraction(giants))
+    plan = plan_of(out)
+    # formatted explain lists each node twice (tree + detail):
+    # two MapInPandas branches (normal + giants), at most the two
+    # explicit route_by_size exchanges, and nothing else shuffle-shaped
+    assert plan.count("MapInPandas") == 4
+    assert plan.count("Exchange") <= 4

@@ -75,3 +75,29 @@ def test_stream_event_metrics(spark, tmp_path):
     assert emitted, "no sealed windows emitted"
     for key, n in emitted.items():
         assert truth[key] == n
+
+
+def test_stream_session_windows(spark, tmp_path):
+    from docvault_ocr_service_spark.streaming.stream import (
+        stream_session_windows)
+
+    src = str(tmp_path / "sev")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(src)
+
+    q = stream_session_windows(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    sessions = spark.read.parquet(out)
+    assert sessions.count() > 0
+    # every emitted session must match the batch session_window agg
+    batch = (events.groupBy(F.session_window("ts", "30 minutes")
+                            .alias("win"), "user_id")
+             .agg(F.count("*").alias("n")))
+    truth = {(r["win"]["start"], r["user_id"]): r["n"]
+             for r in batch.collect()}
+    for r in sessions.collect():
+        key = (r["session_start"], r["user_id"])
+        assert truth[key] == r["n_events"]
