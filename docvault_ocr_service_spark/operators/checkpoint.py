@@ -50,10 +50,20 @@ class ParquetCheckpointStore:
 
     # -- reads ---------------------------------------------------------------
     def read_checkpoint(self) -> DataFrame:
+        self._recover_interrupted_swap(self.checkpoint_dir)
         if not os.path.isdir(self.checkpoint_dir):
             return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
         return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(
             self.checkpoint_dir)
+
+    @staticmethod
+    def _recover_interrupted_swap(target: str) -> None:
+        """A crash between the two renames in _overwrite_atomic leaves the
+        previous table at ``.old`` and no ``target`` — restore it rather
+        than silently treating the checkpoint as empty."""
+        backup = target + ".old"
+        if os.path.isdir(backup) and not os.path.isdir(target):
+            os.rename(backup, target)
 
     def read_results(self) -> DataFrame | None:
         if not os.path.isdir(self.results_dir):
@@ -113,9 +123,12 @@ class ParquetCheckpointStore:
                       .withColumn("run_id", F.lit(run_id))
         done.write.mode("append").parquet(self.results_dir)
 
+        # no broadcast hint: Catalyst broadcasts while the checkpoint is
+        # small and switches to a shuffled join once it isn't — forcing a
+        # broadcast here would OOM at 10^12-url state
         new_cp = (
             results
-            .join(F.broadcast(self.prior_attempts()), "url", "left")
+            .join(self.prior_attempts(), "url", "left")
             .withColumn("attempt",
                         F.coalesce(F.col("prior_attempt"), F.lit(0)) + 1)
             .withColumn(
@@ -170,6 +183,8 @@ class ParquetCheckpointStore:
         staging = target + ".staging"
         df.write.mode("overwrite").parquet(staging)
         backup = target + ".old"
+        if os.path.isdir(backup):  # stale backup from an interrupted swap
+            shutil.rmtree(backup)
         if os.path.isdir(target):
             os.rename(target, backup)
         os.rename(staging, target)

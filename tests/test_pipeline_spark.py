@@ -131,3 +131,27 @@ def test_skew_routing_partitions(spark, input_df):
     # every giant really is above threshold
     assert giants.where(
         F.octet_length("html") <= 50_000).count() == 0
+
+
+def test_interrupted_swap_recovers(spark, input_df, tmp_path):
+    """Crash between the two renames of the checkpoint swap must not
+    lose the table: read path restores the .old backup."""
+    import os
+    import shutil as sh
+
+    state = str(tmp_path / "swapcrash")
+    run_extract_job(spark, input_df, state)
+    store = ParquetCheckpointStore(spark, state)
+    n = store.read_checkpoint().count()
+
+    cp = os.path.join(state, "checkpoint")
+    os.rename(cp, cp + ".old")  # simulate crash mid-swap
+    assert store.read_checkpoint().count() == n  # recovered
+
+    # stale backup alongside a live table must not break the next swap
+    sh.copytree(cp, cp + ".old")
+    store.merge_results(
+        spark.read.parquet(os.path.join(
+            state, "runs", os.listdir(os.path.join(state, "runs"))[0])),
+        "rerun")
+    assert store.read_checkpoint().count() == n
