@@ -125,29 +125,45 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     candidate pair; estimated Jaccard = fraction of matching signature
     positions.
     """
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed)
+    from pyspark import StorageLevel
 
+    rows_per_band = num_perm // bands
+    # consumed three times (banding + two pair-side joins): persist so the
+    # signature UDF runs once per partition, spilling to disk if needed
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n,
+                              seed).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Slim banding: the exploded table carries only (doc, band, band_hash)
+    # — 24 bytes/row — so the 16×-duplicated self-join shuffle never moves
+    # signatures; the 512-byte signatures are attached to the deduplicated
+    # candidate pairs afterwards.
     banded = sigs.select(
-        "doc", "signature",
+        "doc",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-    ).withColumn(
-        "band_hash",
+        F.col("signature"),
+    ).select(
+        "doc", "band",
         F.xxhash64(F.slice(F.col("signature"),
                            F.col("band") * rows_per_band + 1,
-                           rows_per_band).cast("string"), F.col("band")),
-    ).select("doc", "signature", "band", "band_hash")
+                           rows_per_band).cast("string"), F.col("band"))
+         .alias("band_hash"),
+    )
 
-    cand = (
+    cand_ids = (
         banded.alias("l").join(
             banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.doc") < F.col("r.doc")))
-        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"),
-                F.col("l.signature").alias("sig_a"),
-                F.col("r.signature").alias("sig_b"))
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
         .dropDuplicates(["a", "b"])
+    )
+    cand = (
+        cand_ids
+        .join(sigs.select(F.col("doc").alias("a"),
+                          F.col("signature").alias("sig_a")), "a")
+        .join(sigs.select(F.col("doc").alias("b"),
+                          F.col("signature").alias("sig_b")), "b")
     )
 
     matches = F.size(F.filter(

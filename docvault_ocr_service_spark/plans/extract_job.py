@@ -58,9 +58,13 @@ def run_extract_job(spark: SparkSession, input_df: DataFrame,
     checkpoint = store.read_checkpoint()
     append_observability(spark, state_dir, staged, checkpoint, run_id)
 
-    agg = staged.groupBy().agg(
-        {"*": "count"}).collect()
-    total = agg[0][0] if agg else 0
-    completed = staged.where("status = 'done'").count()
-    return RunReport(run_id=run_id, claimed=total, completed=completed,
-                     failed=total - completed)
+    from pyspark.sql import functions as F
+
+    counts = staged.agg(
+        F.count("*").alias("total"),
+        F.coalesce(F.sum(F.when(F.col("status") == "done", 1)
+                         .otherwise(0)), F.lit(0)).alias("done"),
+    ).first()
+    return RunReport(run_id=run_id, claimed=counts["total"],
+                     completed=counts["done"],
+                     failed=counts["total"] - counts["done"])
