@@ -172,8 +172,9 @@ def _html_page(body: str, charset: str, declared: str, lang: str,
 
 # -- minimal PDF writer -------------------------------------------------------
 
-def make_pdf(pages: list[str]) -> bytes:
-    """Minimal valid PDF with uncompressed literal-string content streams."""
+def make_pdf(pages: list[str], compress: bool = False) -> bytes:
+    """Minimal valid PDF with literal-string content streams, raw or
+    FlateDecode-compressed (``compress=True``)."""
     objects: list[bytes] = []
 
     def esc(s: str) -> str:
@@ -202,10 +203,18 @@ def make_pdf(pages: list[str]) -> bytes:
             ops.append(f"({esc(line)}) Tj")
         ops.append("ET")
         stream = " ".join(ops).encode("latin-1", errors="replace")
-        objects.append(
-            b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
-            + stream + b"\nendstream"
-        )
+        if compress:
+            stream = zlib.compress(stream)
+            objects.append(
+                b"<< /Length " + str(len(stream)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n"
+                + stream + b"\nendstream"
+            )
+        else:
+            objects.append(
+                b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+                + stream + b"\nendstream"
+            )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

@@ -5,20 +5,20 @@ The analogue of the reference's pypdf fast path
 out of the PDF's content streams and gate on "has native text" =
 **≥ 100 stripped chars total** (``app/document_processor.py:200-202``).
 
-Scope: uncompressed (no ``/Filter``) content streams with literal-string
-``Tj`` / ``TJ`` text operators — exactly what this repo's corpus generator
-emits and what a Common-Crawl-derived corpus's *extractable* tier looks
-like after upstream normalization.  Compressed or exotic PDFs raise
-``PdfParseError`` → the pipeline converts that into an error row (the
-reference's corrupted-file path, ``tests/test_document_processor.py:260-285``),
-never a task failure.  The rasterize+OCR fallback the reference runs for
-scan-only PDFs needs Tesseract/PIL, absent from this container — see
-``ocr_stub.py``.
+Scope: content streams with literal-string ``Tj`` / ``TJ`` text
+operators, stored raw or FlateDecode-compressed (zlib — the overwhelming
+majority of real-world PDFs).  Other filters (LZW, ASCII85, DCT) and
+exotic layouts raise ``PdfParseError`` → the pipeline converts that into
+an error row (the reference's corrupted-file path,
+``tests/test_document_processor.py:260-285``), never a task failure.
+The rasterize+OCR fallback the reference runs for scan-only PDFs needs
+Tesseract/PIL, absent from this container.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
 PDF_MAGIC = b"%PDF-"
 NATIVE_TEXT_MIN_CHARS = 100  # app/document_processor.py:200-202
@@ -30,6 +30,7 @@ class PdfParseError(ValueError):
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode(?:\s*\])?")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
@@ -121,10 +122,21 @@ def extract_pdf_pages(data: bytes) -> list[str]:
         if content_obj is None:
             pages.append("")
             continue
-        if _FILTER_RE.search(_STREAM_RE.split(content_obj)[0]):
-            raise PdfParseError("compressed content streams unsupported")
+        head = _STREAM_RE.split(content_obj)[0]
         sm = _STREAM_RE.search(content_obj)
-        pages.append(_stream_text(sm.group(1)) if sm else "")
+        if sm is None:
+            pages.append("")
+            continue
+        stream = sm.group(1)
+        if _FILTER_RE.search(head):
+            if not _FLATE_RE.search(head):
+                raise PdfParseError(
+                    "unsupported content-stream filter (only FlateDecode)")
+            try:
+                stream = zlib.decompress(stream.rstrip(b"\r\n"))
+            except zlib.error as e:
+                raise PdfParseError(f"FlateDecode failed: {e}") from e
+        pages.append(_stream_text(stream))
     return pages
 
 

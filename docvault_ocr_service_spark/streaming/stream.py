@@ -47,6 +47,41 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     )
 
 
+def stream_extract_merge(spark: SparkSession, input_dir: str,
+                         state_dir: str, checkpoint_dir: str):
+    """Streaming extraction with the batch MERGE state as the sink.
+
+    ``foreachBatch`` gives each micro-batch a normal DataFrame, which is
+    merged through ``ParquetCheckpointStore`` — so a page re-crawled in a
+    later file updates (not duplicates) its result, and the lineage/
+    metrics tables grow per micro-batch exactly as per batch run.  This
+    is the production shape for continuous crawls: Structured Streaming
+    tracks *file* progress, the MERGE keys correctness on *url*.
+    """
+    from ..operators.checkpoint import ParquetCheckpointStore
+    from ..operators.lineage import append_observability
+
+    pages = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+    results = pages.mapInPandas(extract_batches, schema=RESULT_SCHEMA)
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        store = ParquetCheckpointStore(batch_df.sparkSession, state_dir)
+        batch_df.persist()
+        try:
+            run_id = f"stream{batch_id:08d}"
+            store.merge_results(batch_df, run_id)
+            append_observability(batch_df.sparkSession, state_dir,
+                                 batch_df, store.read_checkpoint(), run_id)
+        finally:
+            batch_df.unpersist()
+
+    return (results.writeStream
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_user_totals(spark: SparkSession, input_dir: str,
                        query_name: str = "user_totals"):
     """Custom stateful operator via ``applyInPandasWithState``: running

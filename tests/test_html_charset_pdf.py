@@ -150,3 +150,24 @@ def test_truncated_pdf_raises():
     pdf = make_pdf(["some content"])[:60]
     with pytest.raises(PdfParseError):
         extract_pdf_pages(pdf)
+
+
+def test_pdf_flate_compressed_roundtrip():
+    pages = ["Compressed page one with plenty of text.",
+             "PAGE-2 follows\nwith a newline."]
+    raw = make_pdf(pages)
+    flate = make_pdf(pages, compress=True)
+    assert extract_pdf_pages(flate) == extract_pdf_pages(raw) == pages
+
+
+def test_pdf_unsupported_filter_raises():
+    pdf = make_pdf(["x"]).replace(b">>\nstream", b"/Filter /LZWDecode >>\nstream")
+    with pytest.raises(PdfParseError, match="filter"):
+        extract_pdf_pages(pdf)
+
+
+def test_pdf_corrupt_flate_raises():
+    flate = make_pdf(["hello compressed world"], compress=True)
+    broken = flate.replace(b"stream\n", b"stream\nXX", 1)
+    with pytest.raises(PdfParseError):
+        extract_pdf_pages(broken)

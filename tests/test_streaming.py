@@ -101,3 +101,37 @@ def test_stream_session_windows(spark, tmp_path):
     for r in sessions.collect():
         key = (r["session_start"], r["user_id"])
         assert truth[key] == r["n_events"]
+
+
+def test_stream_extract_merge_updates_not_duplicates(spark, tmp_path):
+    """foreachBatch MERGE sink: a re-crawled url updates its result."""
+    from docvault_ocr_service_spark.operators.checkpoint import (
+        ParquetCheckpointStore)
+    from docvault_ocr_service_spark.streaming.stream import (
+        stream_extract_merge)
+
+    src = str(tmp_path / "msrc")
+    state = str(tmp_path / "mstate")
+    ckpt = str(tmp_path / "mckpt")
+    first = corpus.corpus_pdf(40)
+    spark.createDataFrame(first, schema=INPUT_SCHEMA).write.parquet(src)
+
+    q = stream_extract_merge(spark, src, state, ckpt)
+    q.awaitTermination(300)
+    store = ParquetCheckpointStore(spark, state)
+    assert store.read_checkpoint().count() == 40
+
+    # re-crawl of an existing url with NEW pre-extracted text
+    recrawl = first.iloc[:1].copy()
+    recrawl["text"] = "recrawled fresh content for this url"
+    spark.createDataFrame(recrawl, schema=INPUT_SCHEMA) \
+        .write.mode("append").parquet(src)
+    q2 = stream_extract_merge(spark, src, state, ckpt)
+    q2.awaitTermination(300)
+
+    url = recrawl.iloc[0]["url"]
+    cp = store.read_checkpoint()
+    assert cp.count() == 40  # still one checkpoint row per url
+    cur = store.read_results_current()
+    row = cur.where(F.col("url") == url).first()
+    assert row["text"] == "recrawled fresh content for this url"
