@@ -263,6 +263,18 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documents: text-analysis operators (native columnar)
 # ---------------------------------------------------------------------------
 
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (linear interpolation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6)
+                  .alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 6)
+                  .alias("p90"),
+                 F.round(F.min("value"), 6).alias("vmin"),
+                 F.round(F.max("value"), 6).alias("vmax")))
+
+
 def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click annotated with the user's most recent prior
     (or simultaneous) purchase value; aggregated per user for stability."""
@@ -661,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "events_asof_purchase": events_asof_purchase,
+        "events_value_quantiles": events_value_quantiles,
         "doc_token_stats": doc_token_stats,
         "doc_stopword_punct": doc_stopword_punct,
         "doc_langid": doc_langid,

@@ -232,6 +232,15 @@ SELECT user_id, count(*) AS n_sessions,
 FROM per GROUP BY user_id
 """
 
+    oracles["events_value_quantiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY event_type
+"""
+
     oracles["events_asof_purchase"] = """
 WITH purchases AS (
   SELECT user_id, ts, max(value) AS pvalue
