@@ -42,15 +42,20 @@ SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 HEADLINE = (
     "q1_pricing_summary",
     "q3_segment_revenue",
+    "q4_order_priority",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
     "events_hourly",
     "events_sessions",
+    "events_asof_purchase",
+    "events_value_quantiles",
     "doc_token_stats",
     "doc_categories",
     "doc_exact_dups",
     "invoice_metadata_from_orders",
     "minhash_dup_pairs",
     "knn_bruteforce",
+    "knn_lsh",
     "embedding_centroids",
 )
 

@@ -18,9 +18,7 @@ import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import functions as F
 
-from ..extract.categorize import categorize_detailed
 from ..extract.document import extract_document
-from ..extract.metadata import extract_metadata
 from ..schemas import RESULT_SCHEMA
 
 RESULT_COLUMNS = [f.name for f in RESULT_SCHEMA.fields]
@@ -43,7 +41,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-def run_extraction(df, *, batch_hint: int | None = None):
+def run_extraction(df):
     """input DataFrame → result DataFrame (no shuffle added here).
 
     Partitioning/skew policy is the caller's job (``operators/skew.py``);
@@ -51,26 +49,6 @@ def run_extraction(df, *, batch_hint: int | None = None):
     plan chose.
     """
     return df.mapInPandas(extract_batches, schema=RESULT_SCHEMA)
-
-
-def metadata_udf_frame(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel for text-only metadata extraction:
-    (id-ish columns..., text) → same columns + metadata fields flattened.
-
-    Used for corpora that already carry extracted text (e.g. the driver's
-    ``documents`` table) where re-running DOM parsing would be wasted work.
-    """
-    for pdf in pdf_iter:
-        metas = [extract_metadata(t or "") for t in pdf["text"]]
-        cats = [categorize_detailed(t or "") for t in pdf["text"]]
-        out = pdf.copy()
-        out["md_confidence"] = [m["confidence"] for m in metas]
-        out["n_dates"] = [len(m["dates"]) for m in metas]
-        out["n_amounts"] = [len(m["amounts"]) for m in metas]
-        out["n_emails"] = [len(m["emails"]) for m in metas]
-        out["category"] = [c.primary_category for c in cats]
-        out["category_confidence"] = [c.confidence for c in cats]
-        yield out
 
 
 def with_category(df, text_col: str = "text"):
