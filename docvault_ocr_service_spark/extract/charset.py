@@ -64,8 +64,10 @@ def decode_html_bytes(data: bytes) -> tuple[str, str]:
     for bom, codec in _BOMS:
         if data.startswith(bom):
             try:
-                raw = data.decode(codec) if codec != "utf-8-sig" \
-                    else data.decode("utf-8-sig")
+                # utf-8-sig strips its own BOM; the UTF-16/32 endian
+                # codecs do not, so skip the BOM bytes explicitly
+                raw = (data.decode("utf-8-sig") if codec == "utf-8-sig"
+                       else data[len(bom):].decode(codec))
                 return unicodedata.normalize("NFC", raw), codec
             except (UnicodeDecodeError, ValueError):
                 break  # malformed despite BOM → continue down the ladder

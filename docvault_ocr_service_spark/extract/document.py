@@ -56,9 +56,22 @@ def detect_format(payload: bytes | None) -> str:
         return "empty"
     if payload.startswith(PDF_MAGIC):
         return "pdf"
-    head = payload[:2048].lstrip()[:256].lower()
-    if head.startswith((b"<!doctype", b"<html", b"<head", b"<body", b"<?xml")) \
-            or b"<html" in head or b"<div" in head or b"<p>" in head:
+    head = payload[:2048]
+    if head.startswith((b"\xff\xfe", b"\xfe\xff", b"\xef\xbb\xbf",
+                        b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff")):
+        # BOM'd payload: the ASCII markers are interleaved with NULs in
+        # UTF-16/32 — sniff on the decoded text instead
+        decoded, _ = decode_html_bytes(head)
+        dh = decoded[:256].lstrip().lower()
+        if dh.startswith(("<!doctype", "<html", "<head", "<body",
+                          "<?xml")) or "<html" in dh or "<div" in dh \
+                or "<p>" in dh:
+            return "html"
+        return "unknown"
+    h = head.lstrip()[:256].lower()
+    if h.startswith((b"<!doctype", b"<html", b"<head", b"<body",
+                     b"<?xml")) \
+            or b"<html" in h or b"<div" in h or b"<p>" in h:
         return "html"
     return "unknown"
 

@@ -166,8 +166,8 @@ import re  # noqa: E402
 _TOKEN_RE = re.compile(
     r"""<!--.*?(?:-->|$)
       | <!\[CDATA\[.*?(?:\]\]>|$)
-      | <script\b[^>]*>.*?(?:</script\s*>|$)
-      | <style\b[^>]*>.*?(?:</style\s*>|$)
+      | <script\b[^>]*(?<!/)>.*?(?:</script\s*>|$)
+      | <style\b[^>]*(?<!/)>.*?(?:</style\s*>|$)
       | <[!?][^>]*>
       | </?[a-zA-Z][^>]*>
     """,
@@ -221,6 +221,11 @@ class _FastCollector:
             if name in ("script", "style") and second != "/":
                 continue  # raw-text element swallowed whole
             if second == "/":
+                self._endtag(name)
+            elif tok.endswith("/>"):
+                # XHTML self-closing: open+close (HTMLParser's
+                # handle_startendtag default does exactly this)
+                self._starttag(name)
                 self._endtag(name)
             else:
                 self._starttag(name)

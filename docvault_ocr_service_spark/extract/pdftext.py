@@ -31,9 +31,11 @@ class PdfParseError(ValueError):
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode(?:\s*\])?")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARRAY_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _FILTER_RE = re.compile(rb"/Filter\b")
 # Literal strings fed to Tj, and TJ arrays (strings mixed with kerning nums).
 _TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj")
@@ -117,26 +119,49 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     pages: list[str] = []
     for pid in page_ids:
         body = objects.get(pid, b"")
-        cm = _CONTENTS_RE.search(body)
-        content_obj = objects.get(int(cm.group(1))) if cm else body
-        if content_obj is None:
-            pages.append("")
-            continue
-        head = _STREAM_RE.split(content_obj)[0]
-        sm = _STREAM_RE.search(content_obj)
-        if sm is None:
-            pages.append("")
-            continue
-        stream = sm.group(1)
-        if _FILTER_RE.search(head):
-            if not _FLATE_RE.search(head):
-                raise PdfParseError(
-                    "unsupported content-stream filter (only FlateDecode)")
-            try:
-                stream = zlib.decompress(stream.rstrip(b"\r\n"))
-            except zlib.error as e:
-                raise PdfParseError(f"FlateDecode failed: {e}") from e
-        pages.append(_stream_text(stream))
+        content_ids: list[int]
+        am = _CONTENTS_ARRAY_RE.search(body)
+        if am:  # /Contents [5 0 R 6 0 R ...] — concatenated streams
+            content_ids = [int(r.group(1))
+                           for r in _REF_RE.finditer(am.group(1))]
+        else:
+            cm = _CONTENTS_RE.search(body)
+            if cm:
+                content_ids = [int(cm.group(1))]
+            else:
+                content_ids = [pid]  # inline content in the page object
+
+        parts: list[str] = []
+        for cid in content_ids:
+            content_obj = objects.get(cid)
+            if content_obj is None:
+                raise PdfParseError(f"unresolvable /Contents ref {cid}")
+            head = _STREAM_RE.split(content_obj)[0]
+            sm = _STREAM_RE.search(content_obj)
+            if sm is None:
+                continue
+            stream = sm.group(1)
+            # /Length gives the exact data size — the EOL before
+            # `endstream` is not part of the stream, but trailing \r/\n
+            # BYTES can be legitimate deflate checksum data, so a strip
+            # heuristic corrupts ~1% of compressed streams.  Fall back to
+            # stripping one bare \n only when /Length is indirect.
+            lm = _LENGTH_RE.search(head)
+            if lm:
+                stream = stream[:int(lm.group(1))]
+            elif stream.endswith(b"\n"):
+                stream = stream[:-1]
+            if _FILTER_RE.search(head):
+                if not _FLATE_RE.search(head):
+                    raise PdfParseError(
+                        "unsupported content-stream filter "
+                        "(only FlateDecode)")
+                try:
+                    stream = zlib.decompress(stream)
+                except zlib.error as e:
+                    raise PdfParseError(f"FlateDecode failed: {e}") from e
+            parts.append(_stream_text(stream))
+        pages.append("\n".join(p for p in parts if p))
     return pages
 
 

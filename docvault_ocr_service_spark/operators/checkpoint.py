@@ -81,7 +81,11 @@ class ParquetCheckpointStore:
         raw = self.read_results()
         if raw is None:
             return None
-        w = Window.partitionBy("url").orderBy(F.col("run_id").desc())
+        # order by wall-clock merge time (run_id is a random uuid and
+        # carries no recency; run_id desc only breaks exact-tie stamps)
+        order = [F.col("merged_at").desc(), F.col("run_id").desc()] \
+            if "merged_at" in raw.columns else [F.col("run_id").desc()]
+        w = Window.partitionBy("url").orderBy(*order)
         return (raw.withColumn("_rank", F.row_number().over(w))
                    .where(F.col("_rank") == 1).drop("_rank"))
 
@@ -119,8 +123,9 @@ class ParquetCheckpointStore:
         """
         now = datetime.now(timezone.utc)
 
-        done = results.where(F.col("status") == "done") \
-                      .withColumn("run_id", F.lit(run_id))
+        done = (results.where(F.col("status") == "done")
+                .withColumn("run_id", F.lit(run_id))
+                .withColumn("merged_at", F.lit(now).cast("timestamp")))
         done.write.mode("append").parquet(self.results_dir)
 
         # no broadcast hint: Catalyst broadcasts while the checkpoint is

@@ -39,9 +39,12 @@ _MAX_HASH = (1 << 32) - 1
 
 
 def _hash_permutations(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    # a < 2^31 and x < 2^32 keep a·x + b < 2^63: the universal-hash
+    # arithmetic stays exact in int64 (larger coefficients silently wrap
+    # and break min-wise independence)
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, 1 << 31, size=num_perm, dtype=np.int64)
     return a, b
 
 

@@ -55,8 +55,11 @@ class IcebergCheckpointStore:
               error_msg string, updated_at timestamp, run_id string)
             USING iceberg PARTITIONED BY (bucket(64, url))
         """)
-        results_like.limit(0).writeTo(self.results_table) \
-            .partitionedBy(F.bucket(256, F.col("url"))).createOrReplace()
+        # IF-NOT-EXISTS for the results table too — createOrReplace would
+        # truncate accumulated results on every call
+        if not self.spark.catalog.tableExists(self.results_table):
+            results_like.limit(0).writeTo(self.results_table) \
+                .partitionedBy(F.bucket(256, F.col("url"))).create()
 
     def claimable(self, input_df: DataFrame) -> DataFrame:
         cp = self.spark.table(self.checkpoint_table)

@@ -43,11 +43,15 @@ def _explode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for url, payload in zip(pdf["url"], pdf["html"]):
             try:
                 pages = extract_pdf_pages(payload)
-            except (PdfParseError, Exception) as e:  # noqa: BLE001
+            except Exception as e:  # noqa: BLE001 — poison page ≠ dead task
+                # mirror document.py's taxonomy: parse failures are
+                # permanent corrupted_file, anything else retryable
+                kind = ("corrupted_file" if isinstance(e, PdfParseError)
+                        else "unexpected")
                 urls.append(url)
                 nos.append(-1)
                 texts.append(None)
-                errs.append(f"corrupted_file:{type(e).__name__}")
+                errs.append(f"{kind}:{type(e).__name__}")
                 continue
             for i, text in enumerate(pages):
                 urls.append(url)

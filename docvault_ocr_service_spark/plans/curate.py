@@ -48,14 +48,21 @@ def curate_corpus(results: DataFrame, *,
                .agg(F.min(id_col).alias(id_col)))
     exact_unique = hashed.join(keepers, [ "__h", id_col], "left_semi")
 
-    # near dedup: longs for the pair join, then map back
+    # near dedup: longs for the pair join, then map back.  exact_unique
+    # feeds three consumers (minhash, anti-join, funnel count) and its
+    # lineage includes the quality UDF work — persist so the expensive
+    # stages run once, not once per funnel row.
+    from pyspark import StorageLevel
+
+    exact_unique = exact_unique.persist(StorageLevel.MEMORY_AND_DISK)
     with_key = exact_unique.withColumn(
         "__k", F.xxhash64(F.col(id_col)))
     pairs = minhash_lsh_pairs(with_key, "__k", text_col,
                               min_jaccard=near_dup_jaccard)
     drop_side = pairs.select(F.col("b").alias("__k")).distinct()
     curated = with_key.join(drop_side, "__k", "left_anti") \
-        .drop("__k", "__h", "__tokens", "__quality", "__lang")
+        .drop("__k", "__h", "__tokens", "__quality", "__lang") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     funnel = None
     for stage, df in (("input", results), ("non_null", base),

@@ -171,3 +171,55 @@ def test_pdf_corrupt_flate_raises():
     broken = flate.replace(b"stream\n", b"stream\nXX", 1)
     with pytest.raises(PdfParseError):
         extract_pdf_pages(broken)
+
+
+# -- review-finding regressions ------------------------------------------------
+
+def test_self_closing_anchor_does_not_poison_following_blocks():
+    html = ('<p>Short intro.</p><p><a href="/x"/>text</p>'
+            '<p>The real article content, long enough to matter.</p>')
+    text, _ = extract_main_text(html)
+    assert "real article content" in text
+    assert "text" in text
+
+
+def test_self_closing_script_does_not_swallow_content():
+    text, _ = extract_main_text("<script/><p>visible body text</p>")
+    assert "visible body text" in text
+
+
+def test_utf16_bom_html_extracts():
+    from docvault_ocr_service_spark.extract.document import (
+        detect_format, extract_document)
+
+    payload = ("<html><body><p>utf sixteen page body with enough words"
+               "</p></body></html>").encode("utf-16")
+    assert detect_format(payload) == "html"
+    res = extract_document("u://utf16", payload, None, "en")
+    assert res["status"] == "done"
+    assert res["text"] == "utf sixteen page body with enough words"
+    assert not res["text"].startswith("\ufeff")
+
+
+def test_pdf_flate_trailing_newline_checksum():
+    # deflate checksums ending in 0x0A used to be stripped -> corrupt
+    for i in range(300):  # sweep content until a checksum ends with \n
+        pages = [f"Page text {i} hello world"]
+        assert extract_pdf_pages(make_pdf(pages, compress=True)) == pages
+
+
+def test_pdf_contents_array():
+    # hand-build a page whose /Contents is an array of two streams
+    pdf = make_pdf(["part one"])
+    assert extract_pdf_pages(pdf) == ["part one"]
+    two = make_pdf(["part one", "part two"])
+    # rewrite page 1 to reference both content streams as an array
+    body = two.replace(b"/Contents 6 0 R", b"/Contents [6 0 R 7 0 R]", 1)
+    pages = extract_pdf_pages(body)
+    assert pages[0].startswith("part one")
+
+
+def test_pdf_unresolvable_contents_ref_raises():
+    pdf = make_pdf(["x"]).replace(b"/Contents 5 0 R", b"/Contents 99 0 R")
+    with pytest.raises(PdfParseError, match="unresolvable"):
+        extract_pdf_pages(pdf)
