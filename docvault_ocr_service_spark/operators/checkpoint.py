@@ -68,7 +68,10 @@ class ParquetCheckpointStore:
     def read_results(self) -> DataFrame | None:
         if not os.path.isdir(self.results_dir):
             return None
-        return self.spark.read.parquet(self.results_dir)
+        # mergeSchema: results files written before a schema addition
+        # (e.g. merged_at) must still read alongside new ones
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(self.results_dir))
 
     def read_results_current(self) -> DataFrame | None:
         """Results view with exactly one row per url (latest run wins).
