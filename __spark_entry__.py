@@ -363,6 +363,21 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_sample_tenth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/10 content-hash sample (portable across engines —
+    unlike seeded RNG sampling, the same rows come back on any re-run)."""
+    from docvault_ocr_service_spark.functions.textstats import (
+        deterministic_sample, token_count)
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = deterministic_sample(docs, F.col("text"), 10)
+    return (sample.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(token_count(F.col("text"))).cast("long")
+                  .alias("total_tokens"),
+                 F.min("doc_id").alias("min_id")))
+
+
 def doc_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docvault_ocr_service_spark.functions.udfs import with_category
 
@@ -680,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dups": doc_exact_dups,
         "doc_fingerprints": doc_fingerprints,
         "doc_categories": doc_categories,
+        "doc_sample_tenth": doc_sample_tenth,
         "invoice_metadata_from_orders": invoice_metadata_from_orders,
         "categorize_orders_docs": categorize_orders_docs,
         "minhash_dup_pairs": minhash_dup_pairs,

@@ -141,6 +141,16 @@ def fingerprint64(text: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+def deterministic_sample(df: DataFrame, key: Column, rate_denominator: int,
+                         bucket: int = 0) -> DataFrame:
+    """Reproducible 1/k sampling by content hash — the training-data
+    sampler that survives re-runs, backfills, and engine swaps (md5 is
+    portable; seeded RNG sampling is not).  Rows where
+    ``md5(key)[0:8] as int % k == bucket``."""
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return df.where(h % rate_denominator == bucket)
+
+
 def with_text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the full profile column set (the 'quality scoring' operator)."""
     c = F.col(text_col)

@@ -331,6 +331,19 @@ FROM documents GROUP BY lang
 
     oracles["doc_categories"] = doc_categories_sql()
 
+    oracles["doc_sample_tenth"] = f"""
+WITH sample AS (
+  SELECT * FROM documents
+  WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = 0
+), t AS (
+  SELECT lang, doc_id, len({_TOKENIZE}) AS n_tok FROM sample
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_id
+FROM t GROUP BY lang
+"""
+
     oracles["invoice_metadata_from_orders"] = """
 SELECT o_orderkey AS okey,
        CAST(2 AS INT) AS n_dates,
