@@ -95,16 +95,23 @@ def extract_once(cores: int) -> dict:
     from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
 
     spark = _fresh_session(cores)
+    from pyspark.sql import functions as F
+
     df = spark.read.schema(INPUT_SCHEMA).parquet(BENCH_CORPUS_DIR)
     normal, giants = route_by_size(df, cores * 2)
     out = run_extraction(normal).unionByName(run_extraction(giants))
     df.count()  # warm the scan
     t0 = time.monotonic()
-    n = out.count()
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("chars"),
+    ).first()
     dt = time.monotonic() - t0
     spark.stop()
+    n = stats["n"]
     return {"cores": cores, "docs": n, "secs": round(dt, 2),
-            "docs_per_sec": round(n / dt, 1)}
+            "docs_per_sec": round(n / dt, 1),
+            "extracted_mb_per_sec": round(stats["chars"] / dt / 1e6, 2)}
 
 
 def _pinned_extract(cores: int) -> dict:
