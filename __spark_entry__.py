@@ -553,7 +553,7 @@ def simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard over the deterministic pair set doc_id < 80 —
+    """Exact 3-gram Jaccard over the deterministic pair set doc_id < 250 —
     fully SQL-expressible, so the oracle recomputes it from scratch."""
     from docvault_ocr_service_spark.operators.dedup import (
         ngram_jaccard_pairs)

@@ -115,10 +115,16 @@ while _PAT_SAT * PATTERN_WEIGHT < PATTERN_CAP:
 
 def _category_score_fast(text: str, text_lower: str,
                          keywords: tuple[str, ...],
-                         gated_regexes) -> float:
+                         gated_regexes, gates_sound: bool = True) -> float:
     """Score only (no indicators), short-circuiting at the weight caps
     and skipping regexes whose mandatory literal is absent — numerically
-    identical to category_score()[0]."""
+    identical to category_score()[0].
+
+    ``gates_sound`` must be False for non-ASCII text: re.IGNORECASE
+    case-folds some non-ASCII uppercase (Turkish 'İ' matches 'i') that
+    str.lower() maps to multi-char sequences, so the literal gate would
+    wrongly skip a regex that matches.
+    """
     kw_hits = 0
     for kw in keywords:
         if kw in text_lower:
@@ -128,7 +134,7 @@ def _category_score_fast(text: str, text_lower: str,
     score = min(kw_hits * KEYWORD_WEIGHT, KEYWORD_CAP)
     pat_hits = 0
     for lit, rx in gated_regexes:
-        if lit is not None and lit not in text_lower:
+        if gates_sound and lit is not None and lit not in text_lower:
             continue
         if rx.search(text):
             pat_hits += 1
@@ -203,10 +209,12 @@ def categorize_fast(text: str) -> tuple[str, float, list[str]]:
         return "unknown", 0.0, []
 
     text_lower = text.lower()
+    gates_sound = text.isascii()
     best_name = "unknown"
     best_score = -1.0
     for name, keywords, gated in _CATEGORY_FAST_TABLE:
-        score = _category_score_fast(text, text_lower, keywords, gated)
+        score = _category_score_fast(text, text_lower, keywords, gated,
+                                     gates_sound)
         if score > best_score:  # table is in sorted name order → lex ties
             best_name, best_score = name, score
     primary = best_name if best_score >= UNKNOWN_THRESHOLD else "unknown"

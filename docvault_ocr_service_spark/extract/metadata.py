@@ -56,7 +56,11 @@ METADATA_FIELDS: tuple[str, ...] = (
 _DIGIT_RE = re.compile(r"\d")
 _UPPER_RE = re.compile(r"[A-Z]")
 # invoice/po patterns cannot match without one of these literals
-# (IGNORECASE → check on the lowered text)
+# (IGNORECASE → check on the lowered text).  The gate is only sound on
+# pure-ASCII text: re.IGNORECASE case-folds some non-ASCII uppercase
+# (e.g. Turkish 'İ' matches 'i') that str.lower() maps to a multi-char
+# sequence ('i' + U+0307), so 'inv' would be absent from text.lower()
+# while the regex still matches — non-ASCII text skips the gate.
 _INVOICE_GATES = ("invoice", "inv", "faktura", "fakt", "fv", "fs")
 _PO_GATES = ("po", "p.o.", "purchase order", "zamówienie", "zam")
 
@@ -250,6 +254,7 @@ def extract_metadata(text: str) -> dict:
         phones, postal, tax_ids, addresses = [], [], [], []
     names, name_ctx = extract_names(text) if has_upper else ([], [])
     text_lower = text.lower()
+    gates_sound = text.isascii()
     md = {
         "dates": dates,
         "amounts": amounts,
@@ -257,12 +262,14 @@ def extract_metadata(text: str) -> dict:
         "emails": extract_emails(text) if "@" in text else [],
         "phones": phones,
         "addresses": addresses,
-        "postal_codes": postal,
         "invoice_numbers": (extract_invoice_numbers(text)
-                            if any(g in text_lower
+                            if not gates_sound
+                            or any(g in text_lower
                                    for g in _INVOICE_GATES) else []),
         "po_numbers": (extract_po_numbers(text)
-                       if any(g in text_lower for g in _PO_GATES) else []),
+                       if not gates_sound
+                       or any(g in text_lower for g in _PO_GATES) else []),
+        "postal_codes": postal,
         "tax_ids": tax_ids,
         "date_contexts": date_ctx,
         "amount_labels": amount_labels,

@@ -56,9 +56,12 @@ class IcebergCheckpointStore:
             USING iceberg PARTITIONED BY (bucket(64, url))
         """)
         # IF-NOT-EXISTS for the results table too — createOrReplace would
-        # truncate accumulated results on every call
+        # truncate accumulated results on every call.  merge_results appends
+        # with a run_id column, so the created schema must carry it.
         if not self.spark.catalog.tableExists(self.results_table):
-            results_like.limit(0).writeTo(self.results_table) \
+            results_like.limit(0) \
+                .withColumn("run_id", F.lit("").cast("string")) \
+                .writeTo(self.results_table) \
                 .partitionedBy(F.bucket(256, F.col("url"))).create()
 
     def claimable(self, input_df: DataFrame) -> DataFrame:

@@ -42,11 +42,16 @@ def _category_score_exprs() -> dict[str, str]:
             "THEN 1 ELSE 0 END"
             for p in pats
         )
+        # IEEE-754 DOUBLE throughout (not DuckDB DECIMAL): the engine
+        # scores in Python floats where 3*0.2 = 0.6000000000000001, so a
+        # DECIMAL-exact 0.6 tie would resolve differently on each side.
         exprs[name] = (
             f"least(CASE WHEN ({kw_hits}) > 0 "
-            f"THEN 0.15 * ({kw_hits}) ELSE 0.0 END, 0.6) "
+            f"THEN 0.15::DOUBLE * ({kw_hits}) ELSE 0.0::DOUBLE END, "
+            f"0.6::DOUBLE) "
             f"+ least(CASE WHEN ({pat_hits}) > 0 "
-            f"THEN 0.2 * ({pat_hits}) ELSE 0.0 END, 0.7)"
+            f"THEN 0.2::DOUBLE * ({pat_hits}) ELSE 0.0::DOUBLE END, "
+            f"0.7::DOUBLE)"
         )
     return exprs
 

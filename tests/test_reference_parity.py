@@ -90,3 +90,43 @@ def test_categorizer_value_parity(reference):
         fast = categorize_fast(text)
         assert fast[0] == got.primary_category
         assert abs(fast[1] - got.confidence) < 1e-12
+
+
+# Non-ASCII uppercase (Turkish dotted-İ and friends): re.IGNORECASE
+# case-folds these against ASCII literals, but str.lower() maps them to
+# multi-char sequences — the substring prefilter gates must not drop
+# matches the reference's ungated regex pass finds.
+_NONASCII_CASES = [
+    "İNV #123",
+    "İNVOICE İNV-77 total due $12.00",
+    "zamówienie İ PO #900",
+    "FAKTURA İ FV/2024/01 suma 1.500,00 zł",
+    "İNVOICE Number: INV-42 Amount Due: $100.00 payment terms net 30",
+    "ſtatement İNV: 5 receipt ſubtotal",  # long-s folds to 's' too
+]
+
+
+def test_metadata_parity_nonascii_case_folding(reference):
+    from docvault_ocr_service_spark.extract.metadata import extract_metadata
+
+    ref_md, _ = reference
+    for text in _NONASCII_CASES:
+        want = ref_md.extract(text)
+        got = extract_metadata(text)
+        for key in ("invoice_numbers", "po_numbers"):
+            assert sorted(set(want[key])) == got[key], (key, text)
+
+
+def test_categorizer_parity_nonascii_case_folding(reference):
+    from docvault_ocr_service_spark.extract.categorize import (
+        categorize_detailed, categorize_fast)
+
+    _, ref_cat = reference
+    for text in _NONASCII_CASES:
+        want = ref_cat.categorize_detailed(text)
+        got = categorize_detailed(text)
+        assert sorted(want.all_categories.items()) == \
+            sorted(got.all_categories.items()), text
+        fast = categorize_fast(text)
+        assert fast[0] == got.primary_category, text
+        assert abs(fast[1] - got.confidence) < 1e-12, text
