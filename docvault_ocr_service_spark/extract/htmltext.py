@@ -155,30 +155,59 @@ def keep_block(text: str, link_chars: int, in_boilerplate: bool) -> bool:
 
 # -- fast tokenizer ----------------------------------------------------------
 # The stdlib HTMLParser costs ~half the whole extraction kernel; this
-# regex scanner implements the identical block state machine ~4× faster.
-# Raw-text elements (script/style) and comments are swallowed in one
-# token; the cross-check test asserts output identity with
-# _BlockCollector over the corpus and malformed fuzz inputs.
+# scanner implements the identical block state machine faster by (a)
+# dispatching benign tags through one compiled regex and (b) skipping
+# HTMLParser's attribute materialization, charref event splitting and
+# method indirection.  For anything non-benign it replays HTMLParser's
+# own tolerant algorithms (tagfind/attrfind/locatestarttagend,
+# CPython Lib/html/parser.py) token for token, so the two collectors
+# are output-identical — tests/test_fastcollector_differential.py pins
+# this over the corpus and malformed fuzz inputs.
 
 import html as _html_mod  # noqa: E402  (stdlib unescape)
 import re  # noqa: E402
 
-_TOKEN_RE = re.compile(
-    r"""<!--.*?(?:-->|$)
-      | <!\[CDATA\[.*?(?:\]\]>|$)
-      | <script\b[^>]*(?<!/)>.*?(?:</script\s*>|$)
-      | <style\b[^>]*(?<!/)>.*?(?:</style\s*>|$)
-      | <[!?][^>]*>
-      | </?[a-zA-Z][^>]*>
-    """,
-    re.DOTALL | re.IGNORECASE | re.VERBOSE,
+# HTMLParser's own tolerant tag grammar (module-level in html.parser
+# since 3.5; reusing the exact compiled patterns keeps the replay
+# bit-identical with the stdlib the container runs).
+from html.parser import (  # noqa: E402
+    attrfind_tolerant as _ATTRFIND,
+    commentclose as _COMMENTCLOSE,
+    endtagfind as _ENDTAGFIND,
+    locatestarttagend_tolerant as _LOCATE_START_END,
+    starttagopen as _STARTTAGOPEN,
+    tagfind_tolerant as _TAGFIND,
 )
-_TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+
 _HAS_ENTITY_RE = re.compile(r"&[#a-zA-Z]")
+# _markupbase's marked-section terminators (private there; same shape)
+_MARKEDSECTIONCLOSE = re.compile(r"]\s*]\s*>")
+_MSMARKEDSECTIONCLOSE = re.compile(r"]\s*>")
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+# raw-text (cdata) content ends only at a full close tag — this is
+# HTMLParser.set_cdata_mode's `interesting` pattern
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
+}
+
+# Benign-tag fast path: a start/end tag whose simple reading provably
+# agrees with the tolerant grammar — name of common shape; attributes
+# `name` or `name=value` with quoted values free of <>, or unquoted
+# values free of quotes/slashes/angle brackets; optional XHTML '/'.
+# Anything else (unquoted values containing '/', quoted '>', junk)
+# falls through to the exact HTMLParser replay.
+_FAST_TAG = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:-]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s\"'=<>`/]+(?=[\s>])))?)*)"
+    r"\s*(/?)>"
+)
 
 
 class _FastCollector:
-    """Same state machine as _BlockCollector, driven by _TOKEN_RE."""
+    """Same state machine as _BlockCollector, same tolerant tokenizer
+    semantics as HTMLParser(convert_charrefs=True), scanner-driven."""
 
     __slots__ = ("blocks", "_chunks", "_link_chars", "_drop_depth",
                  "_boiler_depth", "_link_depth", "_block_tag", "_open")
@@ -205,39 +234,165 @@ class _FastCollector:
         self._link_chars = 0
 
     def feed(self, html: str) -> None:
-        pos = 0
-        for m in _TOKEN_RE.finditer(html):
-            if m.start() > pos:
-                self._data(html[pos:m.start()])
-            tok = m.group(0)
-            pos = m.end()
-            second = tok[1]
-            if second in "!?":
-                continue  # comment / cdata / doctype / PI
-            name_m = _TAG_NAME_RE.match(tok)
-            if name_m is None:
+        i, n = 0, len(html)
+        while i < n:
+            j = html.find("<", i)
+            if j < 0:
+                self._data(html[i:])
+                break
+            if j > i:
+                self._data(html[i:j])
+            i = j
+            m = _FAST_TAG.match(html, i)
+            if m is not None:
+                closing, name, _, slash = m.groups()
+                name = name.lower()
+                k = m.end()
+                if closing:
+                    self._endtag(name)
+                elif slash:
+                    self._starttag(name)
+                    self._endtag(name)
+                else:
+                    self._starttag(name)
+                    if name in _CDATA_CLOSE:
+                        k = self._skip_rawtext(html, name, k, n)
+                i = k
                 continue
-            name = name_m.group(1).lower()
-            if name in ("script", "style") and second != "/":
-                continue  # raw-text element swallowed whole
-            if second == "/":
-                self._endtag(name)
-            elif tok.endswith("/>"):
-                # XHTML self-closing: open+close (HTMLParser's
-                # handle_startendtag default does exactly this)
-                self._starttag(name)
-                self._endtag(name)
-            else:
-                self._starttag(name)
-        if pos < len(html):
-            self._data(html[pos:])
+            k = self._parse_other(html, i, n)
+            if k < 0:
+                # incomplete construct at EOF — HTMLParser's close()
+                # fallback: raw text through the next '>' (else '<',
+                # else one char) becomes visible data
+                k = html.find(">", i + 1)
+                if k < 0:
+                    k = html.find("<", i + 1)
+                    if k < 0:
+                        k = i + 1
+                else:
+                    k += 1
+                self._data(html[i:k])
+            i = k
         self._flush()
+
+    # -- HTMLParser replay for non-benign constructs -------------------------
+    def _parse_other(self, html: str, i: int, n: int) -> int:
+        """Dispatch one '<'-construct exactly like HTMLParser.goahead;
+        returns the resume position, or -1 for incomplete-at-EOF."""
+        if _STARTTAGOPEN.match(html, i):
+            return self._parse_starttag(html, i, n)
+        if html.startswith("</", i):
+            return self._parse_endtag(html, i)
+        if html.startswith("<!--", i):
+            cm = _COMMENTCLOSE.search(html, i + 4)
+            return cm.end() if cm else -1
+        if html.startswith("<?", i):
+            p = html.find(">", i + 2)
+            return -1 if p < 0 else p + 1
+        if html.startswith("<![", i):
+            return self._parse_marked_section(html, i, n)
+        if html.startswith("<!", i):
+            # doctype and bogus comments both consume through '>'
+            p = html.find(">", i + 2)
+            return -1 if p < 0 else p + 1
+        self._data("<")
+        return i + 1
+
+    def _parse_starttag(self, html: str, i: int, n: int) -> int:
+        endpos = self._whole_start_tag_end(html, i, n)
+        if endpos < 0:
+            return -1
+        tm = _TAGFIND.match(html, i + 1)
+        name = tm.group(1).lower()
+        k = tm.end()
+        while k < endpos:
+            am = _ATTRFIND.match(html, k)
+            if am is None:
+                break
+            k = am.end()
+        end = html[k:endpos].strip()
+        if end not in (">", "/>"):
+            # junk in the start tag: HTMLParser emits the raw tag text
+            # as data (parse_starttag's handle_data call — no unescape)
+            self._data_raw(html[i:endpos])
+            return endpos
+        if end == "/>":
+            self._starttag(name)
+            self._endtag(name)
+            return endpos
+        self._starttag(name)
+        if name in _CDATA_CLOSE:
+            return self._skip_rawtext(html, name, endpos, n)
+        return endpos
+
+    def _whole_start_tag_end(self, html: str, i: int, n: int) -> int:
+        """HTMLParser.check_for_whole_start_tag, verbatim semantics."""
+        j = _LOCATE_START_END.match(html, i).end()
+        nxt = html[j:j + 1]
+        if nxt == ">":
+            return j + 1
+        if nxt == "/":
+            return j + 2 if html.startswith("/>", j) else -1
+        if nxt == "":
+            return -1
+        if nxt in ("abcdefghijklmnopqrstuvwxyz=/"
+                   "ABCDEFGHIJKLMNOPQRSTUVWXYZ"):
+            return -1
+        return j if j > i else i + 1
+
+    def _parse_endtag(self, html: str, i: int) -> int:
+        gt = html.find(">", i + 1)
+        if gt < 0:
+            return -1
+        em = _ENDTAGFIND.match(html, i)
+        if em is not None:
+            self._endtag(em.group(1).lower())
+            return em.end()
+        nm = _TAGFIND.match(html, i + 2)
+        if nm is None:
+            if html.startswith("</>", i):
+                return i + 3
+            p = html.find(">", i + 2)  # bogus comment, no event
+            return -1 if p < 0 else p + 1
+        self._endtag(nm.group(1).lower())
+        return html.find(">", nm.end()) + 1
+
+    def _parse_marked_section(self, html: str, i: int, n: int) -> int:
+        dm = _DECLNAME.match(html, i + 3)
+        if dm is None or dm.end() == n:
+            return -1
+        keyword = dm.group(0).strip().lower()
+        if keyword in ("temp", "cdata", "ignore", "include", "rcdata"):
+            cm = _MARKEDSECTIONCLOSE.search(html, i + 3)
+        elif keyword in ("if", "else", "endif"):
+            cm = _MSMARKEDSECTIONCLOSE.search(html, i + 3)
+        else:
+            return -1  # html.parser raises here; degrade to data
+        return cm.end() if cm else -1
+
+    def _skip_rawtext(self, html: str, name: str, pos: int, n: int) -> int:
+        """cdata mode: content runs to a full '</\\s*name\\s*>' close;
+        an unterminated element swallows the rest of the document.  The
+        content itself is inside a DROP_TAGS subtree, so skipping it is
+        state-identical to HTMLParser feeding it as dropped data."""
+        cm = _CDATA_CLOSE[name].search(html, pos)
+        if cm is None:
+            return n
+        self._endtag(name)
+        return cm.end()
 
     def _data(self, data: str) -> None:
         if self._drop_depth or not data:
             return
         if _HAS_ENTITY_RE.search(data):
             data = _html_mod.unescape(data)
+        self._chunks.append(data)
+        if self._link_depth:
+            self._link_chars += len(" ".join(data.split()))
+
+    def _data_raw(self, data: str) -> None:
+        if self._drop_depth or not data:
+            return
         self._chunks.append(data)
         if self._link_depth:
             self._link_chars += len(" ".join(data.split()))
