@@ -86,11 +86,15 @@ def _stream_text(stream: bytes) -> str:
     return "\n".join(lines)
 
 
-def extract_pdf_pages(data: bytes) -> list[str]:
-    """PDF bytes → per-page text, in page-tree order.
+def split_pdf_pages_raw(data: bytes) -> list[list[tuple[bytes, bool]]]:
+    """PDF bytes → per page, the raw ``(stream_bytes, is_flate)`` content
+    parts in page-tree order — the *cheap* structural pass.
 
-    Raises ``PdfParseError`` for non-PDF bytes, compressed streams, or a
-    payload with no parseable page objects.
+    This is the scale split point: a 500-page giant becomes 500 small
+    raw-stream rows that different tasks decode, instead of one task's
+    unit of work.  Raises ``PdfParseError`` for non-PDF bytes, unsupported
+    filters, or a payload with no parseable page objects — the same
+    structural failures ``extract_pdf_pages`` raises, in the same order.
     """
     if not data.startswith(PDF_MAGIC):
         raise PdfParseError("missing %PDF- header")
@@ -116,7 +120,7 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     if not page_ids:
         raise PdfParseError("no page objects found")
 
-    pages: list[str] = []
+    pages: list[list[tuple[bytes, bool]]] = []
     for pid in page_ids:
         body = objects.get(pid, b"")
         content_ids: list[int]
@@ -131,7 +135,7 @@ def extract_pdf_pages(data: bytes) -> list[str]:
             else:
                 content_ids = [pid]  # inline content in the page object
 
-        parts: list[str] = []
+        parts: list[tuple[bytes, bool]] = []
         for cid in content_ids:
             content_obj = objects.get(cid)
             if content_obj is None:
@@ -151,18 +155,41 @@ def extract_pdf_pages(data: bytes) -> list[str]:
                 stream = stream[:int(lm.group(1))]
             elif stream.endswith(b"\n"):
                 stream = stream[:-1]
+            is_flate = False
             if _FILTER_RE.search(head):
                 if not _FLATE_RE.search(head):
                     raise PdfParseError(
                         "unsupported content-stream filter "
                         "(only FlateDecode)")
-                try:
-                    stream = zlib.decompress(stream)
-                except zlib.error as e:
-                    raise PdfParseError(f"FlateDecode failed: {e}") from e
-            parts.append(_stream_text(stream))
-        pages.append("\n".join(p for p in parts if p))
+                is_flate = True
+            parts.append((stream, is_flate))
+        pages.append(parts)
     return pages
+
+
+def page_text_from_raw(parts: list[tuple[bytes, bool]]) -> str:
+    """One page's raw content parts → page text — the *expensive* pass
+    (inflate + text-operator scan), distributable per page."""
+    texts: list[str] = []
+    for stream, is_flate in parts:
+        if is_flate:
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error as e:
+                raise PdfParseError(f"FlateDecode failed: {e}") from e
+        texts.append(_stream_text(stream))
+    return "\n".join(t for t in texts if t)
+
+
+def extract_pdf_pages(data: bytes) -> list[str]:
+    """PDF bytes → per-page text, in page-tree order.
+
+    Composed of ``split_pdf_pages_raw`` + ``page_text_from_raw`` so the
+    whole-document kernel and the distributed page-explode route share
+    one code path — byte-identity between them holds by construction.
+    Raises ``PdfParseError`` exactly as the split/decode passes do.
+    """
+    return [page_text_from_raw(parts) for parts in split_pdf_pages_raw(data)]
 
 
 def has_native_text(pages: list[str]) -> bool:

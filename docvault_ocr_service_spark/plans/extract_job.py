@@ -18,9 +18,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from ..extract.document import MAX_PAYLOAD_BYTES
 from ..functions.udfs import run_extraction
 from ..operators.checkpoint import ParquetCheckpointStore, new_run_id
 from ..operators.lineage import append_observability
+from ..operators.pages import extract_pdf_docs
 from ..operators.skew import route_by_size
 
 
@@ -46,7 +50,22 @@ def run_extract_job(spark: SparkSession, input_df: DataFrame,
 
     normal, giants = route_by_size(claimed, n_partitions,
                                    size_threshold=size_threshold)
-    extracted = run_extraction(normal).unionByName(run_extraction(giants))
+    # Oversized PDFs take the page-explode route (the reference's own
+    # unit-of-work choice for big documents, app/worker.py:254-324): a
+    # 500-page giant becomes 500 distributable page rows instead of one
+    # straggler task.  Giant HTML (no page structure), admission-cap
+    # violations, and precomputed-text rows keep the whole-doc kernel.
+    giant_pdf = (
+        (F.col("text").isNull() | (F.col("text") == ""))
+        & (F.substring("html", 1, 5) == F.lit(b"%PDF-"))
+        & (F.octet_length("html") <= MAX_PAYLOAD_BYTES)
+    )
+    extracted = (
+        run_extraction(normal)
+        .unionByName(run_extraction(giants.where(~giant_pdf)))
+        .unionByName(extract_pdf_docs(giants.where(giant_pdf),
+                                      n_partitions))
+    )
 
     # Stage the raw run output once — everything downstream (merge, lineage,
     # metrics) reads the staged parquet instead of re-running extraction.
@@ -57,8 +76,6 @@ def run_extract_job(spark: SparkSession, input_df: DataFrame,
     store.merge_results(staged, run_id)
     checkpoint = store.read_checkpoint()
     append_observability(spark, state_dir, staged, checkpoint, run_id)
-
-    from pyspark.sql import functions as F
 
     counts = staged.agg(
         F.count("*").alias("total"),

@@ -113,3 +113,102 @@ def test_asof_join_semantics(spark):
     assert out["a"] == 100.0       # equal timestamp is inclusive
     assert out["b"] == 150.0       # latest prior
     assert out["d"] is None        # right row is in the future
+
+
+def _drop_volatile(row):
+    d = row.asDict(recursive=True)
+    d.pop("processing_time", None)
+    d.pop("partition_id", None)
+    return d
+
+
+def test_extract_pdf_docs_matches_whole_doc_kernel(spark, pdf_rows):
+    """The two-stage page route yields RESULT_SCHEMA rows identical to
+    run_extraction (same kernels by construction — pinned here)."""
+    from docvault_ocr_service_spark.functions.udfs import run_extraction
+    from docvault_ocr_service_spark.operators.pages import extract_pdf_docs
+
+    want = {r["url"]: _drop_volatile(r)
+            for r in run_extraction(pdf_rows).collect()}
+    got = {r["url"]: _drop_volatile(r)
+           for r in extract_pdf_docs(pdf_rows, n_partitions=8).collect()}
+    assert set(got) == set(want)
+    for url, row in got.items():
+        assert row == want[url], url
+
+
+def test_extract_pdf_docs_scant_and_corrupt(spark):
+    """ocr_unavailable and corrupted_file taxonomy survives the route."""
+    import pandas as pd
+
+    from docvault_ocr_service_spark.operators.pages import extract_pdf_docs
+
+    rows = [
+        {"url": "u://scant", "warc_ts": None,
+         "html": corpus.make_pdf(["tiny"]), "text": None, "lang": "en"},
+        {"url": "u://bad", "warc_ts": None,
+         "html": b"%PDF-1.4 truncated", "text": None, "lang": "en"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=INPUT_SCHEMA)
+    got = {r["url"]: r for r in extract_pdf_docs(df, 4).collect()}
+    assert got["u://scant"]["error_kind"] == "ocr_unavailable"
+    assert got["u://scant"]["status"] == "failed_permanent"
+    assert got["u://bad"]["error_kind"] == "corrupted_file"
+
+
+def test_giant_pdf_pages_spread_across_partitions(spark):
+    """One 120-page giant must not stay one task's unit of work: after
+    the (url, page_no) repartition its pages occupy many partitions."""
+    import pandas as pd
+
+    from docvault_ocr_service_spark.operators.pages import (
+        decode_pages, explode_pdf_pages_raw)
+
+    pages = [f"Giant page {i} with some body text to extract " * 30
+             for i in range(120)]
+    df = spark.createDataFrame(pd.DataFrame([{
+        "url": "u://giant", "warc_ts": None,
+        "html": corpus.make_pdf(pages, compress=True),
+        "text": None, "lang": "en"}]), schema=INPUT_SCHEMA)
+    raw = explode_pdf_pages_raw(df).repartition(8, "url", "page_no")
+    decoded = decode_pages(raw)
+    parts = (decoded.select(F.spark_partition_id().alias("pid"))
+             .distinct().count())
+    assert parts >= 6, "giant's pages still concentrated in few tasks"
+    assert decoded.count() == 120
+
+
+def test_job_routes_giant_pdf_through_page_explode(spark, tmp_path):
+    """Flagship-job parity: a multipage giant goes through the explode
+    route and its stored result matches the whole-doc kernel."""
+    import pandas as pd
+
+    from docvault_ocr_service_spark.operators.checkpoint import (
+        ParquetCheckpointStore)
+    from docvault_ocr_service_spark.plans.extract_job import run_extract_job
+
+    pages = [" ".join(f"Invoice page {i} line {j}: Amount Due: $1{j}.00 "
+                      f"on 2024-03-15" for j in range(40))
+             for i in range(40)]
+    giant_pdf = corpus.make_pdf(pages, compress=True)
+    assert len(giant_pdf) > 16 * 1024
+    rows = [{"url": f"https://normal.example/{i}", "warc_ts": None,
+             "html": b"<html><body><p>small page body</p></body></html>",
+             "text": None, "lang": "en"} for i in range(20)]
+    rows.append({"url": "https://giant.example/pdf", "warc_ts": None,
+                 "html": giant_pdf, "text": None, "lang": "en"})
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=INPUT_SCHEMA)
+
+    report = run_extract_job(spark, df, str(tmp_path / "state"),
+                             n_partitions=8, size_threshold=16 * 1024)
+    assert report.claimed == 21
+    assert report.failed == 0
+
+    store = ParquetCheckpointStore(spark, str(tmp_path / "state"))
+    res = {r["url"]: r for r in store.read_results_current().collect()}
+    giant = res["https://giant.example/pdf"]
+    want = extract_document("https://giant.example/pdf", giant_pdf,
+                            None, "en")
+    assert giant["text"] == want["text"]
+    assert giant["page_count"] == 40
+    assert giant["source"] == "native_pdf"
