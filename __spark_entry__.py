@@ -650,6 +650,46 @@ def corpus_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count("*").alias("n_docs")))
 
 
+def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked: deterministic 16×16 gray
+    gradient PNGs are built per doc_id, decoded through the pure-Python
+    PNG codec (zlib inflate + unfiltering), and their quality metrics
+    (app/ocr_service.py:100-133 analogue) aggregated; DuckDB recomputes
+    brightness/contrast analytically from the pixel formula
+    v = (doc_id*7 + k²) % 256 — an end-to-end encode→decode→stats check."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.extract.images import encode_png
+    from docvault_ocr_service_spark.functions.multimodal import (
+        extract_media_features)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 300)
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_png(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in ids:
+            k = np.arange(256)
+            pix = ((int(d) * 7 + k * k) % 256) \
+                .astype("uint8").reshape(16, 16)
+            out.append(encode_png(pix))
+        return pd.Series(out)
+
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        mk_png(F.col("doc_id")).alias("payload"))
+    feats = extract_media_features(media, fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "decode_status", "width", "height",
+        F.round("brightness", 6).alias("brightness"),
+        F.round("contrast", 6).alias("contrast"))
+
+
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (deterministic fake decode) over documents."""
     from docvault_ocr_service_spark.functions.multimodal import (
@@ -709,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": embedding_centroids,
         "embedding_near_dups": embedding_near_dups,
         "corpus_extract_stats": corpus_extract_stats,
+        "png_pixel_stats": png_pixel_stats,
         "media_feature_stats": media_feature_stats,
     }
 

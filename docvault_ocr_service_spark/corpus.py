@@ -30,18 +30,21 @@ TEMPLATE_IDS: tuple[str, ...] = (
     "invoice_en", "receipt_en", "contract_en", "letter_en", "invoice_pl",
     "amounts_eu", "multi_date", "unknown_noise", "boilerplate_heavy",
     "pdf_native", "pdf_scant", "multipage_pdf", "charset_l2",
-    "charset_mislabel", "poison", "precomputed",
+    "charset_mislabel", "poison", "precomputed", "image_png",
+    "image_jpeg", "image_tiff",
 )
 
 # template mix per 100 rows (deterministic wheel; poison ≈2 %, pdf ≈7 %,
-# precomputed fast-path ≈10 %, charset cases ≈6 %)
+# precomputed fast-path ≈10 %, charset cases ≈6 %, images ≈4 % — the
+# crawl reality the reference's V1 filter admits as valid types)
 _WHEEL: tuple[str, ...] = (
-    ("invoice_en",) * 14 + ("receipt_en",) * 11 + ("contract_en",) * 7
+    ("invoice_en",) * 13 + ("receipt_en",) * 10 + ("contract_en",) * 7
     + ("letter_en",) * 7 + ("invoice_pl",) * 11 + ("amounts_eu",) * 5
-    + ("multi_date",) * 5 + ("unknown_noise",) * 6
-    + ("boilerplate_heavy",) * 9 + ("pdf_native",) * 4 + ("pdf_scant",) * 1
+    + ("multi_date",) * 5 + ("unknown_noise",) * 5
+    + ("boilerplate_heavy",) * 8 + ("pdf_native",) * 4 + ("pdf_scant",) * 1
     + ("multipage_pdf",) * 2 + ("charset_l2",) * 4 + ("charset_mislabel",) * 2
     + ("poison",) * 2 + ("precomputed",) * 10
+    + ("image_png",) * 2 + ("image_jpeg",) * 1 + ("image_tiff",) * 1
 )
 assert len(_WHEEL) == 100
 
@@ -270,6 +273,25 @@ def generate_row(i: int) -> dict:
     elif template == "charset_mislabel":
         # bytes are cp1250 but the page *claims* iso-8859-2
         html = _html_page(body, "cp1250", "iso-8859-2", lang, rng)
+    elif template == "image_png":
+        # real decodable PNG: deterministic gray gradient keyed on i
+        import numpy as np
+
+        from .extract.images import encode_png
+
+        w, h = 16 + (i % 3) * 8, 16
+        pix = np.fromfunction(
+            lambda y, x: (i + x + y * w) % 256, (h, w)).astype("uint8")
+        html = encode_png(pix)
+    elif template == "image_jpeg":
+        # JFIF magic + deterministic noise (no DCT codec needed to sniff)
+        html = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01"
+                + bytes(rng.randrange(256) for _ in range(128))
+                + b"\xff\xd9")
+    elif template == "image_tiff":
+        from .extract.images import encode_tiff_frames
+
+        html = encode_tiff_frames((i % 5) + 1)
     elif template == "poison":
         choice = i % 3
         if choice == 0:

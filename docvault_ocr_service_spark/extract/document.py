@@ -20,6 +20,7 @@ from . import categorize as cat
 from . import metadata as md
 from .charset import decode_html_bytes
 from .htmltext import extract_main_text
+from .images import sniff_image_format
 from .pdftext import (
     NATIVE_TEXT_MIN_CHARS,
     PDF_MAGIC,
@@ -50,12 +51,16 @@ def detect_format(payload: bytes | None) -> str:
     """Magic-byte container sniff (analogue of
     app/document_processor.py:48-97, minus libmagic).
 
-    Returns 'pdf' | 'html' | 'empty' | 'unknown'.
+    Returns 'pdf' | 'html' | 'png' | 'jpeg' | 'tiff' | 'gif' | 'empty'
+    | 'unknown'.
     """
     if not payload:
         return "empty"
     if payload.startswith(PDF_MAGIC):
         return "pdf"
+    img = sniff_image_format(payload[:8])
+    if img is not None:
+        return img
     head = payload[:2048]
     if head.startswith((b"\xff\xfe", b"\xfe\xff", b"\xef\xbb\xbf",
                         b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff")):
@@ -112,7 +117,10 @@ def _finish(url: str, lang: str | None, pages: list[str], confidence: float,
 
 def _error(url: str, lang: str | None, kind: str, msg: str,
            started: float) -> dict:
-    status = (STATUS_FAILED_PERMANENT if kind in PERMANENT_ERROR_KINDS
+    # kinds may carry a subtype ('unsupported_format:image/png');
+    # permanence is decided on the base kind
+    base_kind = kind.split(":", 1)[0]
+    status = (STATUS_FAILED_PERMANENT if base_kind in PERMANENT_ERROR_KINDS
               else STATUS_FAILED_RETRYABLE)
     return {
         "url": url,
@@ -175,6 +183,16 @@ def extract_document(url: str, html: bytes | None, text: str | None,
                 url, lang, "ocr_unavailable",
                 f"native text < {NATIVE_TEXT_MIN_CHARS} chars and no OCR "
                 "runtime in this environment", started)
+        if fmt in ("png", "jpeg", "tiff", "gif"):
+            # valid *type* (V1: images pass admission), but this engine
+            # has no OCR runtime to turn pixels into text — permanent
+            # unsupported_format with the honest subtype, not
+            # invalid_file_type.  Media features for these payloads live
+            # in functions/multimodal.py.
+            return _error(
+                url, lang, f"unsupported_format:image/{fmt}",
+                f"{fmt} payload: no OCR runtime in this environment "
+                "(decode/features available via the media path)", started)
         if fmt == "html":
             decoded, _codec = decode_html_bytes(html)
             body, spans = extract_main_text(decoded)

@@ -1,0 +1,261 @@
+"""Image payload support: magic sniffing, pure-Python PNG codec, TIFF
+frame counting, and pixel-quality stats (no PIL/cv2 in this container).
+
+Reference behaviors re-expressed:
+
+- format sniffing: ``/root/reference/app/document_processor.py:84-93``
+  (PDF/PNG/JPEG/TIFF magic bytes; GIF added for honest taxonomy).
+- image quality analysis: ``app/ocr_service.py:100-133`` — sharpness =
+  Laplacian variance, contrast = stddev, brightness = mean over the
+  grayscale pixels.  The reference feeds these into OCR preprocessing;
+  this engine surfaces them as media features (no OCR runtime here).
+- TIFF multi-frame handling: ``app/document_processor.py:130-153``
+  iterates frames; frame *counting* from the IFD chain is pure-Python
+  and gives page_count without a decoder.
+
+The PNG decoder is complete for the common web cases: 8-bit depth,
+color types 0/2/3/4/6, all five scanline filters, non-interlaced.
+Anything else raises ``ImageDecodeError`` (→ the pipeline's permanent
+corrupted_file/unsupported taxonomy, never a task failure).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+class ImageDecodeError(ValueError):
+    """Payload is not an image this engine can decode."""
+
+
+def sniff_image_format(head: bytes) -> str | None:
+    """PNG/JPEG/TIFF/GIF magic-byte sniff (document_processor.py:84-93)."""
+    if head.startswith(PNG_MAGIC[:4]):
+        return "png"
+    if head.startswith(JPEG_MAGIC):
+        return "jpeg"
+    if head.startswith(TIFF_MAGICS):
+        return "tiff"
+    if head.startswith(GIF_MAGICS):
+        return "gif"
+    return None
+
+
+# -- PNG ----------------------------------------------------------------------
+
+_CHANNELS_BY_COLOR_TYPE = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """8-bit gray (H,W) or RGB (H,W,3) array → PNG bytes (filter 0).
+
+    Deterministic fixture/writer path — the encoder the tests and the
+    synthetic corpus use; also the proof the decoder round-trips.
+    """
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, h, w = 0, *arr.shape
+        raw = arr
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, h, w = 2, arr.shape[0], arr.shape[1]
+        raw = arr.reshape(h, w * 3)
+    else:
+        raise ValueError("encode_png supports (H,W) gray or (H,W,3) RGB")
+
+    def chunk(kind: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + kind + payload
+                + struct.pack(">I", zlib.crc32(kind + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scanlines))
+            + chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (H,W) gray or (H,W,C) for C>1.
+
+    Raises ``ImageDecodeError`` on anything outside the supported
+    envelope (8-bit, color types 0/2/3/4/6, non-interlaced).
+    """
+    if not data.startswith(PNG_MAGIC):
+        raise ImageDecodeError("missing PNG signature")
+    pos = len(PNG_MAGIC)
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), kind = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if len(payload) < length:
+            raise ImageDecodeError("truncated chunk")
+        if kind == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif kind == b"PLTE":
+            palette = np.frombuffer(payload, dtype=np.uint8) \
+                .reshape(-1, 3)
+        elif kind == b"IDAT":
+            idat += payload
+        elif kind == b"IEND":
+            break
+        pos += 12 + length  # length + kind + payload + crc
+    if ihdr is None or not idat:
+        raise ImageDecodeError("missing IHDR/IDAT")
+    w, h, depth, color_type, compression, filt, interlace = ihdr
+    if depth != 8:
+        raise ImageDecodeError(f"unsupported bit depth {depth}")
+    if color_type not in _CHANNELS_BY_COLOR_TYPE:
+        raise ImageDecodeError(f"unsupported color type {color_type}")
+    if compression != 0 or filt != 0:
+        raise ImageDecodeError("nonstandard compression/filter method")
+    if interlace != 0:
+        raise ImageDecodeError("interlaced PNG not supported")
+    channels = _CHANNELS_BY_COLOR_TYPE[color_type]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ImageDecodeError(f"IDAT inflate failed: {e}") from e
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ImageDecodeError("IDAT size mismatch")
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=row_start + 1).astype(np.int32)
+        if ftype == 0:                                   # None
+            recon = line
+        elif ftype == 1:                                 # Sub
+            recon = line.copy()
+            for x in range(bpp, stride):
+                recon[x] = (recon[x] + recon[x - bpp]) & 0xFF
+        elif ftype == 2:                                 # Up
+            recon = (line + prev) & 0xFF
+        elif ftype == 3:                                 # Average
+            recon = line.copy()
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (recon[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:                                 # Paeth
+            recon = line.copy()
+            for x in range(stride):
+                left = int(recon[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                recon[x] = (recon[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ImageDecodeError(f"unknown scanline filter {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = out[y]
+
+    if color_type == 3:
+        if palette is None:
+            raise ImageDecodeError("palette image without PLTE")
+        return palette[out.reshape(h, w)]
+    if channels == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, channels)
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """Luma grayscale (ITU-R 601, what PIL's convert('L') uses)."""
+    if img.ndim == 2:
+        return img.astype(np.float64)
+    rgb = img[..., :3].astype(np.float64)
+    return rgb @ np.array([0.299, 0.587, 0.114])
+
+
+def pixel_stats(img: np.ndarray) -> dict:
+    """The ocr_service.py:100-133 quality metrics over a decoded image:
+    brightness = mean, contrast = stddev, sharpness = variance of the
+    4-neighbor Laplacian (edge-replicated borders)."""
+    g = to_grayscale(img)
+    padded = np.pad(g, 1, mode="edge")
+    lap = (padded[:-2, 1:-1] + padded[2:, 1:-1] + padded[1:-1, :-2]
+           + padded[1:-1, 2:] - 4.0 * g)
+    return {
+        "width": int(g.shape[1]),
+        "height": int(g.shape[0]),
+        "brightness": float(g.mean()),
+        "contrast": float(g.std()),
+        "sharpness": float(lap.var()),
+    }
+
+
+# -- TIFF ---------------------------------------------------------------------
+
+def encode_tiff_frames(n_frames: int, width: int = 8,
+                       height: int = 8) -> bytes:
+    """Minimal little-endian TIFF whose IFD chain declares ``n_frames``
+    frames (fixture writer for the frame counter; no pixel data)."""
+    if n_frames < 1:
+        raise ValueError("need at least one frame")
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", 8)  # first IFD right after the header
+    pos = 8
+    for k in range(n_frames):
+        # 2 entries: ImageWidth (256), ImageLength (257), SHORT values
+        entries = [(256, 3, 1, width), (257, 3, 1, height)]
+        ifd = struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            ifd += struct.pack("<HHI4s", tag, typ, cnt,
+                               struct.pack("<HH", val, 0))
+        next_off = 0 if k == n_frames - 1 else pos + 2 + 12 * len(entries) + 4
+        ifd += struct.pack("<I", next_off)
+        out += ifd
+        pos += len(ifd)
+    return bytes(out)
+
+
+def count_tiff_frames(data: bytes, max_frames: int = 100_000) -> int:
+    """Number of IFDs in the TIFF directory chain
+    (app/document_processor.py:130-153's n_frames, sans decoder).
+
+    Raises ``ImageDecodeError`` on a malformed header or a cyclic /
+    out-of-bounds chain.
+    """
+    if data[:4] == b"II*\x00":
+        u16, u32 = "<H", "<I"
+    elif data[:4] == b"MM\x00*":
+        u16, u32 = ">H", ">I"
+    else:
+        raise ImageDecodeError("not a TIFF payload")
+    (offset,) = struct.unpack_from(u32, data, 4)
+    seen: set[int] = set()
+    frames = 0
+    while offset:
+        if offset in seen or offset + 2 > len(data) or frames >= max_frames:
+            raise ImageDecodeError("malformed IFD chain")
+        seen.add(offset)
+        (n_entries,) = struct.unpack_from(u16, data, offset)
+        next_at = offset + 2 + 12 * n_entries
+        if next_at + 4 > len(data):
+            raise ImageDecodeError("truncated IFD")
+        (offset,) = struct.unpack_from(u32, data, next_at)
+        frames += 1
+    return frames

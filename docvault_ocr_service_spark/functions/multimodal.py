@@ -1,18 +1,21 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
 Image/audio/video payloads ride as ``binary`` columns with a metadata
-struct, processed by ``mapInPandas`` stages whose Spark-side plumbing —
-schema, batch shape, partitioning — is real and tested here.  The actual
-codec work (JPEG decode, resampling, frame extraction) requires libraries
-this container does not ship (PIL/cv2/ffmpeg), so the decode kernel is a
-clearly-marked STUB: by default it raises ``NotImplementedError``; with
-``fake=True`` it produces a deterministic fake (byte-stat features) so the
-distributed plumbing can be exercised end-to-end.
+struct, processed by ``mapInPandas`` stages.  The image path is REAL:
+PNG payloads decode through the pure-Python codec in
+``extract/images.py`` (zlib inflate + scanline unfiltering) and emit the
+reference's quality metrics (brightness/contrast/sharpness —
+``/root/reference/app/ocr_service.py:100-133``); TIFF payloads get IFD
+frame counts (``app/document_processor.py:130-153``).  JPEG/GIF decode
+needs a DCT/LZW codec this container does not ship, and audio/video need
+ffmpeg — those rows come back with ``decode_status`` explaining why,
+never a task failure.  ``fake=True`` keeps the deterministic byte-stat
+path for plumbing tests.
 
 The reference's analogue is the thumbnail sink
-(``/root/reference/app/thumbnail_generator.py:82-153``) and image decode
+(``app/thumbnail_generator.py:82-153``) and image decode
 (``app/document_processor.py:99-176``) — same shape: bytes in, decoded
-features/resized bytes out, one row per item.
+features out, one row per item.
 """
 
 from __future__ import annotations
@@ -22,8 +25,15 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..extract.images import (
+    ImageDecodeError,
+    count_tiff_frames,
+    decode_png,
+    pixel_stats,
+    sniff_image_format,
+)
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType(), False),
@@ -42,44 +52,100 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("kind", T.StringType(), False),
     T.StructField("n_bytes", T.LongType(), True),
     T.StructField("content_digest", T.StringType(), True),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("decode_status", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("brightness", T.DoubleType(), True),
+    T.StructField("contrast", T.DoubleType(), True),
+    T.StructField("sharpness", T.DoubleType(), True),
     T.StructField("features", T.ArrayType(T.DoubleType()), True),
 ])
 
+_FEATURE_COLUMNS = [f.name for f in FEATURE_SCHEMA.fields]
+
 
 def _fake_features(payload: bytes, n: int = 8) -> list[float]:
-    """Deterministic stand-in features: normalized byte histogram moments."""
+    """Deterministic stand-in features: normalized byte digest moments."""
     if not payload:
         return [0.0] * n
     digest = hashlib.blake2b(payload, digest_size=n).digest()
     return [b / 255.0 for b in digest]
 
 
+def _base_row(media_id: str, kind: str, payload: bytes | None) -> dict:
+    return {
+        "media_id": media_id,
+        "kind": kind,
+        "n_bytes": len(payload) if payload is not None else 0,
+        "content_digest": hashlib.blake2b(
+            payload or b"", digest_size=16).hexdigest(),
+        "format": None, "decode_status": None,
+        "width": None, "height": None, "n_frames": None,
+        "brightness": None, "contrast": None, "sharpness": None,
+        "features": None,
+    }
+
+
+def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
+    """The real per-item decode: PNG → pixel stats, TIFF → frame count,
+    everything else honestly labeled undecodable."""
+    row = _base_row(media_id, kind, payload)
+    if kind != "image":
+        row["decode_status"] = f"unsupported_kind:{kind}"
+        return row
+    if not payload:
+        row["decode_status"] = "empty_payload"
+        return row
+    fmt = sniff_image_format(payload[:8])
+    row["format"] = fmt
+    if fmt is None:
+        row["decode_status"] = "unknown_format"
+        return row
+    try:
+        if fmt == "png":
+            img = decode_png(payload)
+            stats = pixel_stats(img)
+            row.update(stats | {
+                "n_frames": 1,
+                "decode_status": "ok",
+                "features": [stats["brightness"], stats["contrast"],
+                             stats["sharpness"]],
+            })
+        elif fmt == "tiff":
+            row["n_frames"] = count_tiff_frames(payload)
+            row["decode_status"] = "metadata_only:no_tiff_decoder"
+        else:  # jpeg/gif: no DCT/LZW codec in this container
+            row["decode_status"] = f"no_codec:{fmt}"
+    except ImageDecodeError as e:
+        row["decode_status"] = f"corrupted:{e}"
+    except Exception as e:  # noqa: BLE001 — poison payload ≠ dead task
+        row["decode_status"] = f"unexpected:{type(e).__name__}"
+    return row
+
+
 def decode_media_batches(fake: bool):
     """Build the mapInPandas kernel for media decode / feature extraction.
 
-    ``fake=False`` raises NotImplementedError per batch — the honest
-    "codec libraries not present" stub.  ``fake=True`` emits
-    deterministic byte-derived features with the real schema and batch
-    shape, so partitioning/skew behavior is testable.
+    ``fake=True`` emits deterministic byte-derived features with the real
+    schema and batch shape (plumbing tests); ``fake=False`` runs the real
+    PNG/TIFF decode path.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires PIL/cv2/ffmpeg, not present in "
-                    "this container; pass fake=True for plumbing tests")
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
-                "n_bytes": [len(p) if p is not None else 0
-                            for p in pdf["payload"]],
-                "content_digest": [
-                    hashlib.blake2b(p or b"", digest_size=16).hexdigest()
-                    for p in pdf["payload"]],
-                "features": [_fake_features(p or b"")
-                             for p in pdf["payload"]],
-            })
+            rows = []
+            for media_id, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if fake:
+                    row = _base_row(media_id, kind, payload)
+                    row["decode_status"] = "fake"
+                    row["features"] = _fake_features(payload or b"")
+                else:
+                    row = _decode_row(media_id, kind, payload)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=_FEATURE_COLUMNS)
 
     return kernel
 

@@ -74,24 +74,6 @@ def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.normal(size=(dim, n_planes)).astype(np.float64)
 
 
-def add_lsh_bucket(df: DataFrame, vec_col: str, dim: int,
-                   n_planes: int = 12, seed: int = 42,
-                   out_col: str = "bucket") -> DataFrame:
-    """Append a random-hyperplane sign-bucket id (long)."""
-
-    @F.pandas_udf(T.LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        planes = _plane_matrix(dim, n_planes, seed)
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        if mat.size == 0:
-            return pd.Series([], dtype="int64")
-        signs = (mat @ planes) > 0
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series(signs @ weights)
-
-    return df.withColumn(out_col, bucket(F.col(vec_col)))
-
-
 def _table_buckets_udf(dim: int, n_planes: int, n_tables: int,
                        n_probes: int, seed: int, multiprobe: bool):
     """(table, bucket) pairs for OR-amplified hyperplane LSH.
@@ -178,12 +160,20 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str, dim: int,
     Trains on a bounded sample pulled to the driver (a coarse quantizer
     needs thousands of points, not the corpus) — at 10^12 vectors this is
     the standard IVF recipe: sample, train small, broadcast centroids.
+    The sample is a seeded Bernoulli ``sample()`` over the WHOLE corpus
+    (``limit()`` would take the first partitions only — one shard's
+    distribution — and the quantizer would mis-balance lists), then a
+    seeded driver-side shuffle truncates to ``sample_rows``.
     """
-    sample = np.asarray([
-        list(r[0]) for r in
-        corpus.select(vec_col).limit(sample_rows).collect()
-    ], dtype=np.float64)
+    total = corpus.count()
+    fraction = min(1.0, (2.0 * sample_rows) / max(total, 1))
     rng = np.random.RandomState(seed)
+    collected = (corpus.select(vec_col)
+                 .sample(fraction=fraction, seed=seed).collect())
+    sample = np.asarray([list(r[0]) for r in collected], dtype=np.float64)
+    if len(sample) > sample_rows:
+        sample = sample[rng.choice(len(sample), size=sample_rows,
+                                   replace=False)]
     centroids = sample[rng.choice(len(sample),
                                   size=min(n_centroids, len(sample)),
                                   replace=False)]
@@ -259,27 +249,50 @@ def embedding_near_dup_pairs(corpus: DataFrame, dim: int,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              min_cosine: float = 0.95,
-                             n_planes: int = 10,
+                             n_planes: int = 12,
+                             n_tables: int = 6,
+                             max_bucket: int = 10_000,
                              seed: int = 42) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a, b, score) with a < b.
 
-    Self bucket-join: vectors above ``min_cosine`` almost always share a
-    sign bucket at modest n_planes; exact cosine filters the candidates.
+    OR-amplified multi-table self bucket-join (the ``lsh_topk``
+    machinery): a pair is a candidate if it collides in ANY of the
+    ``n_tables`` independent hyperplane tables — recall at high
+    ``min_cosine`` approaches 1 − (1 − (1−θ/π)^planes)^tables instead of
+    one table's single-sided miss rate.  Scale discipline:
+
+    - the candidate self-join carries only (table, bucket, id) — vectors
+      are joined back to the deduplicated candidate list afterwards
+      (the slim-shuffle pattern the MinHash banding path uses);
+    - buckets above ``max_bucket`` rows are dropped before the
+      self-join: a degenerate bucket (near-constant embedding regions —
+      exactly the near-duplicate-heavy corpora this targets) would go
+      quadratic within the bucket.  The cap bounds any bucket's pair
+      count; the multi-table OR makes it overwhelmingly likely a true
+      pair still collides in a healthier table.
     """
-    b = add_lsh_bucket(
-        corpus.select(F.col(id_col).alias("doc"),
-                      F.col(vec_col).alias("vec")),
-        "vec", dim, n_planes, seed)
-    pairs = (
-        b.alias("l").join(
-            b.alias("r"),
-            (F.col("l.bucket") == F.col("r.bucket"))
+    base = corpus.select(F.col(id_col).alias("doc"),
+                         F.col(vec_col).alias("vec"))
+    buckets = _table_buckets_udf(dim, n_planes, n_tables, 1, seed, False)
+    keyed = (base.withColumn("__tb", F.explode(buckets(F.col("vec"))))
+             .select("doc", "__tb"))
+
+    sizes = keyed.groupBy("__tb").agg(F.count("*").alias("__n"))
+    keyed = (keyed.join(sizes.where(F.col("__n") <= max_bucket), "__tb")
+             .select("doc", "__tb"))
+
+    cand = (
+        keyed.alias("l").join(
+            keyed.alias("r"),
+            (F.col("l.__tb") == F.col("r.__tb"))
             & (F.col("l.doc") < F.col("r.doc")))
-        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"),
-                F.col("l.vec").alias("va"), F.col("r.vec").alias("vb"))
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .dropDuplicates(["a", "b"])
     )
-    return (pairs.withColumn(
-                "score", cosine(F.col("va").cast("array<double>"),
-                                F.col("vb").cast("array<double>")))
-                 .where(F.col("score") >= min_cosine)
-                 .select("a", "b", "score"))
+    va = base.select(F.col("doc").alias("a"), F.col("vec").alias("va"))
+    vb = base.select(F.col("doc").alias("b"), F.col("vec").alias("vb"))
+    return (cand.join(va, "a").join(vb, "b")
+            .withColumn("score", cosine(F.col("va").cast("array<double>"),
+                                        F.col("vb").cast("array<double>")))
+            .where(F.col("score") >= min_cosine)
+            .select("a", "b", "score"))

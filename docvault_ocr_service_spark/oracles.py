@@ -417,6 +417,27 @@ WITH g AS (
 SELECT a, b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.15
 """
 
+    # analytic twin of the real PNG encode→decode→stats path: the Spark
+    # side decodes actual PNG bytes; the oracle recomputes the metrics
+    # from the pixel formula.  Exact-arithmetic forms (power-of-two
+    # divisors, integer sums) so both sides produce bit-identical
+    # doubles before rounding.
+    oracles["png_pixel_stats"] = """
+WITH px AS (
+  SELECT d.doc_id, (d.doc_id * 7 + k.k * k.k) % 256 AS v
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS k) k
+)
+SELECT doc_id,
+       'ok' AS decode_status,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       round(sum(v)::DOUBLE / 256, 6) AS brightness,
+       round(sqrt(sum(v*v)::DOUBLE / 256
+                  - (sum(v)::DOUBLE / 256) * (sum(v)::DOUBLE / 256)), 6)
+         AS contrast
+FROM px GROUP BY doc_id
+"""
+
     oracles["knn_bruteforce"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe
            FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,207 @@
+"""Image layer: sniffing taxonomy, pure-Python PNG codec, TIFF frames,
+and the real multimodal decode path."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from docvault_ocr_service_spark.extract.document import (
+    detect_format, extract_document)
+from docvault_ocr_service_spark.extract.images import (
+    ImageDecodeError, count_tiff_frames, decode_png, encode_png,
+    encode_tiff_frames, pixel_stats, sniff_image_format)
+
+
+def _gray(i: int = 3, w: int = 24, h: int = 16) -> np.ndarray:
+    return np.fromfunction(
+        lambda y, x: (i + x + y * w) % 256, (h, w)).astype(np.uint8)
+
+
+# -- sniffing + taxonomy ------------------------------------------------------
+
+def test_detect_format_image_magics():
+    assert detect_format(encode_png(_gray())) == "png"
+    assert detect_format(b"\xff\xd8\xff\xe0\x00\x10JFIF") == "jpeg"
+    assert detect_format(encode_tiff_frames(2)) == "tiff"
+    assert detect_format(b"MM\x00*" + b"\x00" * 8) == "tiff"
+    assert detect_format(b"GIF89a" + b"\x00" * 8) == "gif"
+    assert detect_format(b"random garbage bytes") == "unknown"
+
+
+@pytest.mark.parametrize("payload,fmt", [
+    (encode_png(_gray()), "png"),
+    (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x01" * 64, "jpeg"),
+    (encode_tiff_frames(3), "tiff"),
+    (b"GIF87a" + b"\x02" * 32, "gif"),
+])
+def test_image_payloads_get_unsupported_format_taxonomy(payload, fmt):
+    res = extract_document(f"u://img/{fmt}", payload, None, "en")
+    assert res["status"] == "failed_permanent"
+    assert res["error_kind"] == f"unsupported_format:image/{fmt}"
+    assert res["text"] is None
+
+
+def test_sniff_rejects_non_images():
+    assert sniff_image_format(b"%PDF-1.4") is None
+    assert sniff_image_format(b"<html><b") is None
+    assert sniff_image_format(b"") is None
+
+
+# -- PNG codec ----------------------------------------------------------------
+
+def test_png_roundtrip_gray_and_rgb():
+    g = _gray(7)
+    assert np.array_equal(decode_png(encode_png(g)), g)
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+
+
+def test_png_all_scanline_filters_decode():
+    """Forward-filter a known image with every filter type per row and
+    assert the decoder reconstructs it (spec filters 0-4)."""
+    rng = np.random.RandomState(5)
+    h, w = 15, 11
+    img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    lines = []
+    prev = np.zeros(w, dtype=int)
+    for y in range(h):
+        row = img[y].astype(int)
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = [(row[x] - (row[x - 1] if x else 0)) & 0xFF
+                    for x in range(w)]
+        elif f == 2:
+            filt = (row - prev) & 0xFF
+        elif f == 3:
+            filt = [(row[x] - (((row[x - 1] if x else 0) + prev[x]) >> 1))
+                    & 0xFF for x in range(w)]
+        else:
+            filt = [(row[x] - paeth(row[x - 1] if x else 0, prev[x],
+                                    prev[x - 1] if x else 0)) & 0xFF
+                    for x in range(w)]
+        lines.append(bytes([f]) + bytes(np.array(filt, dtype=np.uint8)))
+        prev = row
+
+    def chunk(kind, payload):
+        return (struct.pack(">I", len(payload)) + kind + payload
+                + struct.pack(">I", zlib.crc32(kind + payload)))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_png_palette_decodes():
+    pal = b"".join(bytes([i, 255 - i, i // 2]) for i in range(4))
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+
+    def chunk(kind, payload):
+        return (struct.pack(">I", len(payload)) + kind + payload
+                + struct.pack(">I", zlib.crc32(kind + payload)))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", pal)
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b""))
+    out = decode_png(data)
+    assert out.shape == (2, 2, 3)
+    assert tuple(out[1, 1]) == (3, 252, 1)
+
+
+def test_png_decode_rejects_garbage():
+    with pytest.raises(ImageDecodeError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot chunks")
+    with pytest.raises(ImageDecodeError):
+        decode_png(b"JFIF")
+    # interlaced is declared unsupported, not mis-decoded
+    def chunk(kind, payload):
+        return (struct.pack(">I", len(payload)) + kind + payload
+                + struct.pack(">I", zlib.crc32(kind + payload)))
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(b"\x00ab\x00cd"))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ImageDecodeError):
+        decode_png(data)
+
+
+def test_pixel_stats_known_values():
+    flat = np.full((10, 10), 100, dtype=np.uint8)
+    s = pixel_stats(flat)
+    assert s["brightness"] == 100.0
+    assert s["contrast"] == 0.0
+    assert s["sharpness"] == 0.0  # constant image has zero Laplacian var
+    s2 = pixel_stats(_gray())
+    assert s2["width"] == 24 and s2["height"] == 16
+    assert s2["contrast"] > 0 and s2["sharpness"] > 0
+
+
+# -- TIFF ---------------------------------------------------------------------
+
+def test_tiff_frame_count_chain():
+    for n in (1, 2, 7, 40):
+        assert count_tiff_frames(encode_tiff_frames(n)) == n
+
+
+def test_tiff_frame_count_rejects_malformed():
+    with pytest.raises(ImageDecodeError):
+        count_tiff_frames(b"II*\x00\x08\x00\x00\x00")  # truncated IFD
+    # cyclic chain
+    t = bytearray(encode_tiff_frames(1))
+    t[-4:] = struct.pack("<I", 8)  # last IFD points back to the first
+    with pytest.raises(ImageDecodeError):
+        count_tiff_frames(bytes(t))
+    with pytest.raises(ImageDecodeError):
+        count_tiff_frames(b"not a tiff")
+
+
+# -- multimodal real path -----------------------------------------------------
+
+def test_media_real_decode_path(spark):
+    import pandas as pd
+
+    from docvault_ocr_service_spark.functions.multimodal import (
+        extract_media_features)
+
+    g = _gray(9)
+    want = pixel_stats(g)
+    rows = [
+        {"media_id": "png1", "kind": "image", "payload": encode_png(g)},
+        {"media_id": "tif1", "kind": "image",
+         "payload": encode_tiff_frames(4)},
+        {"media_id": "jpg1", "kind": "image",
+         "payload": b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 32},
+        {"media_id": "junk", "kind": "image", "payload": b"zzzz"},
+        {"media_id": "aud1", "kind": "audio", "payload": b"RIFF...."},
+        {"media_id": "bad1", "kind": "image",
+         "payload": b"\x89PNG\r\n\x1a\ntruncated"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {r["media_id"]: r for r in
+           extract_media_features(df, fake=False).collect()}
+    png = got["png1"]
+    assert png["decode_status"] == "ok"
+    assert (png["width"], png["height"]) == (want["width"], want["height"])
+    assert abs(png["brightness"] - want["brightness"]) < 1e-9
+    assert abs(png["sharpness"] - want["sharpness"]) < 1e-9
+    assert got["tif1"]["n_frames"] == 4
+    assert got["tif1"]["decode_status"].startswith("metadata_only")
+    assert got["jpg1"]["decode_status"] == "no_codec:jpeg"
+    assert got["junk"]["decode_status"] == "unknown_format"
+    assert got["aud1"]["decode_status"] == "unsupported_kind:audio"
+    assert got["bad1"]["decode_status"].startswith("corrupted:")
