@@ -633,6 +633,68 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b")
 
 
+def embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: the OR-amplified multi-table LSH recovers 100% of the
+    doubled-corpus exact pairs — an identical vector hashes to the same
+    bucket in EVERY table, so (i, i+SHIFT) always collides."""
+    from docvault_ocr_service_spark.operators.similarity import (
+        embedding_near_dup_pairs)
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "embedding"))
+    dim = len(emb.select("embedding").first()[0])
+    truth = emb.select(F.col("vec_id").alias("a"),
+                       (F.col("vec_id") + _SHIFT).alias("b"))
+    found = embedding_near_dup_pairs(doubled, dim, id_col="vec_id",
+                                     min_cosine=0.999999) \
+        .select("a", "b").withColumn("hit", F.lit(1))
+    joined = truth.join(found, ["a", "b"], "left")
+    return joined.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_recovered"),
+    )
+
+
+def _self_query_ann_recall(found: DataFrame) -> DataFrame:
+    """Shared invariant shape: every self-query must retrieve a vector at
+    cosine ≈ 1.0 (its own corpus copy is a guaranteed candidate)."""
+    per_q = found.groupBy("query_id").agg(F.max("score").alias("best"))
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum((F.col("best") >= 0.999999).cast("long")).alias("n_perfect"),
+    )
+
+
+def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: multi-table LSH always retrieves the exact duplicate of
+    a self-query — identical vectors share every table's bucket, so the
+    candidate set contains the copy and exact re-rank scores it 1.0."""
+    from docvault_ocr_service_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + _SHIFT).alias("query_id"), "embedding")
+    found = lsh_topk(emb, queries, k=5, dim=dim, n_planes=6,
+                     n_tables=16, n_probes=2)
+    return _self_query_ann_recall(found)
+
+
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: IVF always retrieves the exact duplicate of a
+    self-query — an identical vector quantizes to the same nearest
+    centroid, which is always among the query's nprobe probed lists."""
+    from docvault_ocr_service_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + _SHIFT).alias("query_id"), "embedding")
+    found = ivf_topk(emb, queries, k=5, dim=dim, n_centroids=16, nprobe=4)
+    return _self_query_ann_recall(found)
+
+
 # ---------------------------------------------------------------------------
 # rows-only showcase ops (non-SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -746,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": knn_bruteforce,
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
+        "knn_lsh_recall": knn_lsh_recall,
+        "knn_ivf_recall": knn_ivf_recall,
+        "embedding_near_dup_recall": embedding_near_dup_recall,
         "embedding_centroids": embedding_centroids,
         "embedding_near_dups": embedding_near_dups,
         "corpus_extract_stats": corpus_extract_stats,

@@ -392,6 +392,51 @@ SELECT count(*) AS n_true_pairs, count(*) AS n_recovered FROM truth
     oracles["minhash_recall"] = _recall
     oracles["simhash_recall"] = _recall
 
+    # ANN recall invariants: a self-query's identical corpus copy is a
+    # guaranteed candidate (same buckets in every LSH table / same
+    # nearest IVF centroid), so every query retrieves a cosine-1.0 hit.
+    _ann_recall = """
+SELECT count(*) AS n_queries, count(*) AS n_perfect
+FROM embeddings WHERE vec_id < 50
+"""
+    oracles["knn_lsh_recall"] = _ann_recall
+    oracles["knn_ivf_recall"] = _ann_recall
+
+    # identical vector ⇒ identical sign bucket in every table ⇒ each
+    # doubled pair (i, i+SHIFT) always collides; recall is 100 %.
+    oracles["embedding_near_dup_recall"] = """
+SELECT count(*) AS n_true_pairs, count(*) AS n_recovered FROM embeddings
+"""
+
+    # full-pipeline showcase: the 300-row corpus is seed-deterministic
+    # (corpus.py), so its status/source/category counts are a constant —
+    # pinned here as a frozen golden (same mechanism as
+    # tests/goldens/corpus_goldens.json; regenerate deliberately by
+    # re-running the query and updating these literals).  This turns the
+    # end-to-end extraction path into a driver-gated regression check.
+    oracles["corpus_extract_stats"] = """
+SELECT * FROM (VALUES
+  ('done', 'html', 'contract', CAST(21 AS BIGINT)),
+  ('done', 'html', 'invoice', 105),
+  ('done', 'html', 'letter', 21),
+  ('done', 'html', 'receipt', 30),
+  ('done', 'html', 'unknown', 56),
+  ('done', 'native_pdf', 'unknown', 18),
+  ('done', 'precomputed', 'invoice', 30),
+  ('failed_permanent', 'error', NULL, 19)
+) AS t(status, source, category, n_docs)
+"""
+
+    # the fake-decode plumbing is a pure function of the text payload:
+    # row count, distinct blake2b digests (collision-free ⇒ distinct
+    # texts), total UTF-8 bytes — all recomputable in SQL.
+    oracles["media_feature_stats"] = """
+SELECT count(*) AS n_media,
+       count(DISTINCT text) AS n_distinct,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+FROM documents
+"""
+
     # exact 3-gram Jaccard recomputed from scratch in SQL
     oracles["ngram_jaccard_dups"] = r"""
 WITH g AS (

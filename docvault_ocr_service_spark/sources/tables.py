@@ -35,3 +35,35 @@ def read_corpus(spark: SparkSession, path: str) -> DataFrame:
     from ..schemas import INPUT_SCHEMA
 
     return spark.read.schema(INPUT_SCHEMA).parquet(path)
+
+
+def read_binary_corpus(spark: SparkSession, path: str,
+                       glob: str | None = None) -> DataFrame:
+    """S2 path ingest: scan a directory tree of raw document files
+    (.html/.pdf/images) with Spark's ``binaryFile`` source and adapt to
+    INPUT_SCHEMA (the reference's filesystem upload route,
+    ``app/routes.py:92-138``, minus the HTTP hop).
+
+    The file path becomes ``url`` and the filesystem mtime ``warc_ts``.
+    No extension trust: format identification happens downstream via
+    magic bytes in ``extract_document`` — exactly the reference's
+    validation order.  ``binaryFile`` rows are unsplittable (one file =
+    one row), so oversized-blob skew is handled by the same size-routing
+    the extraction plan applies to any corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from ..schemas import INPUT_SCHEMA
+
+    reader = (spark.read.format("binaryFile")
+              .option("recursiveFileLookup", "true"))
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast(INPUT_SCHEMA["text"].dataType).alias("text"),
+        F.lit(None).cast(INPUT_SCHEMA["lang"].dataType).alias("lang"),
+    )
