@@ -6,10 +6,13 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "extraction": {...}}
 
 Scaling methodology (no real cluster in this sandbox): the same
-extraction job runs in *taskset-pinned* subprocesses at N and 4N CPUs,
-so the whole Spark process tree (JVM + Python workers) shares exactly
+extraction job runs in *taskset-pinned* subprocesses at each level of
+every N→4N pair in $SPARK_GRAFT_SCALE_PAIRS (default "4:16,8:32"), so
+the whole Spark process tree (JVM + Python workers) shares exactly
 the advertised core budget — the faithful single-box stand-in for an
-N-executor vs 4N-executor cluster.  A pure-multiprocessing probe
+N-executor vs 4N-executor cluster.  Throughput is measured WARM (one
+untimed pass first): worker startup is a fixed cost that amortizes to
+zero at 100 TB.  A pure-multiprocessing probe
 measures the box's intrinsic scaling ceiling at the same levels (cloud
 CPUs drop per-core frequency as occupancy rises — a coupling real
 clusters don't have), and the normalized efficiency
@@ -38,6 +41,12 @@ BENCH_CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "60000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 SCALE_4N = 4 * SCALE_N
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+# N→4N pairs to evidence (primary first; flat legacy keys use it)
+SCALE_PAIRS = tuple(
+    tuple(int(x) for x in p.split(":"))
+    for p in os.environ.get("SPARK_GRAFT_SCALE_PAIRS",
+                            f"{SCALE_N}:{SCALE_4N},8:32").split(","))
+SCALE_LEVELS = tuple(sorted({lvl for p in SCALE_PAIRS for lvl in p}))
 
 HEADLINE = (
     "q1_pricing_summary",
@@ -87,9 +96,15 @@ def materialize_bench_corpus(spark, n_rows: int, path: str) -> None:
         f.write(str(n_rows))
 
 
-def extract_once(cores: int) -> dict:
-    """One full extraction pass (claim-free, no sinks) → timing dict.
-    Runs inside the pinned subprocess."""
+def extract_once(cores: int, reps: int = SCALE_REPS) -> dict:
+    """Warm extraction throughput (claim-free, no sinks) → timing dict.
+    Runs inside the pinned subprocess.
+
+    One untimed pass first: it starts the Python workers and imports the
+    extraction modules — a per-job fixed cost that amortizes to nothing
+    on a 100 TB run, so timing it would charge steady-state throughput
+    for startup.  Then best-of-``reps`` timed passes (shared-host noise
+    is ±20-40 %; max is the least-contended estimate)."""
     from docvault_ocr_service_spark.functions.udfs import run_extraction
     from docvault_ocr_service_spark.operators.skew import route_by_size
     from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
@@ -100,14 +115,19 @@ def extract_once(cores: int) -> dict:
     df = spark.read.schema(INPUT_SCHEMA).parquet(BENCH_CORPUS_DIR)
     normal, giants = route_by_size(df, cores * 2)
     out = run_extraction(normal).unionByName(run_extraction(giants))
-    df.count()  # warm the scan
-    t0 = time.monotonic()
-    stats = out.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("chars"),
-    ).first()
-    dt = time.monotonic() - t0
+    out.count()  # warm pass: workers up, modules imported, scan cached
+    best = None
+    for _ in range(max(reps, 1)):
+        t0 = time.monotonic()
+        stats = out.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("chars"),
+        ).first()
+        dt = time.monotonic() - t0
+        if best is None or dt < best[1]:
+            best = (stats, dt)
     spark.stop()
+    stats, dt = best
     n = stats["n"]
     return {"cores": cores, "docs": n, "secs": round(dt, 2),
             "docs_per_sec": round(n / dt, 1),
@@ -180,29 +200,37 @@ def main() -> None:
     materialize_bench_corpus(spark, BENCH_CORPUS_ROWS, BENCH_CORPUS_DIR)
     spark.stop()
 
-    # Phase B: pinned N vs 4N extraction (best-of-R to cut thermal noise)
-    best: dict[int, dict] = {}
-    for cores in (SCALE_N, SCALE_4N):
-        runs = [_pinned_extract(cores) for _ in range(SCALE_REPS)]
-        best[cores] = max(runs, key=lambda r: r["docs_per_sec"])
-    thr_n = best[SCALE_N]["docs_per_sec"]
-    thr_4n = best[SCALE_4N]["docs_per_sec"]
-    eff = (thr_4n / thr_n) / 4
+    # Phase B: pinned warm extraction at every scaling level (timed reps
+    # run inside one subprocess per level — best-of against host noise)
+    best: dict[int, dict] = {
+        cores: _pinned_extract(cores) for cores in SCALE_LEVELS}
 
     # Phase C: hardware ceiling at the same levels
-    ceiling = _mp_ceiling_probe((SCALE_N, SCALE_4N))
-    hw_scaling = (ceiling[SCALE_4N] / ceiling[SCALE_N]) / 4
+    ceiling = _mp_ceiling_probe(SCALE_LEVELS)
 
+    pairs = {}
+    for lo, hi in SCALE_PAIRS:
+        eff = (best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"]) \
+            / (hi / lo)
+        hw = (ceiling[hi] / ceiling[lo]) / (hi / lo)
+        pairs[f"{lo}->{hi}"] = {
+            "raw_efficiency": round(eff, 3),
+            "hardware_ceiling_efficiency": round(hw, 3),
+            "normalized_efficiency":
+                round(min(eff / hw, 1.0), 3) if hw > 0 else None,
+        }
+
+    primary = pairs[f"{SCALE_N}->{SCALE_4N}"]
     extraction = {
         "docs": BENCH_CORPUS_ROWS,
-        f"docs_per_sec_local{SCALE_N}": thr_n,
-        f"docs_per_sec_local{SCALE_4N}": thr_4n,
-        f"seconds_local{SCALE_N}": best[SCALE_N]["secs"],
-        f"seconds_local{SCALE_4N}": best[SCALE_4N]["secs"],
-        "scaling_efficiency": round(eff, 3),
-        "hardware_ceiling_efficiency": round(hw_scaling, 3),
-        "normalized_efficiency": round(min(eff / hw_scaling, 1.0), 3)
-        if hw_scaling > 0 else None,
+        **{f"docs_per_sec_local{c}": best[c]["docs_per_sec"]
+           for c in SCALE_LEVELS},
+        **{f"seconds_local{c}": best[c]["secs"] for c in SCALE_LEVELS},
+        "scaling_efficiency": primary["raw_efficiency"],
+        "hardware_ceiling_efficiency":
+            primary["hardware_ceiling_efficiency"],
+        "normalized_efficiency": primary["normalized_efficiency"],
+        "pairs": pairs,
         "pinning": "taskset" if shutil.which("taskset") else "none",
     }
 
