@@ -29,47 +29,61 @@ def curate_corpus(results: DataFrame, *,
                   allowed_langs: tuple[str, ...] = ("en", "pl", "de"),
                   near_dup_jaccard: float = 0.85
                   ) -> tuple[DataFrame, DataFrame]:
-    """→ (curated DataFrame, funnel counts DataFrame)."""
-    base = results.where(F.col(text_col).isNotNull())
+    """→ (curated DataFrame, funnel counts DataFrame).
 
-    profiled = (base
-                .withColumn("__tokens", token_count(F.col(text_col)))
-                .withColumn("__quality", quality_score(F.col(text_col)))
-                .withColumn("__lang", detect_lang(F.col(text_col))))
-
-    gated = profiled.where(
-        (F.col("__quality") >= min_quality)
-        & F.col("__tokens").between(min_tokens, max_tokens)
-        & F.col("__lang").isin(*allowed_langs))
-
-    # exact dedup: keep the minimum id per content hash
-    hashed = gated.withColumn("__h", F.md5(F.col(text_col)))
-    keepers = (hashed.groupBy("__h")
-               .agg(F.min(id_col).alias(id_col)))
-    exact_unique = hashed.join(keepers, [ "__h", id_col], "left_semi")
-
-    # near dedup: longs for the pair join, then map back.  exact_unique
-    # feeds three consumers (minhash, anti-join, funnel count) and its
-    # lineage includes the quality UDF work — persist so the expensive
-    # stages run once, not once per funnel row.
+    One-pass discipline: ``results``' lineage (typically the extraction
+    job itself) runs exactly ONCE — the profiled frame is persisted and
+    every later stage and every funnel count derives from that cache or
+    from the other persisted frames.  The profile columns are all native
+    columnar expressions, null-safe, so null-text rows ride through and
+    are gated out by ``__keep`` instead of a separate pre-filter scan.
+    """
     from pyspark import StorageLevel
 
-    exact_unique = exact_unique.persist(StorageLevel.MEMORY_AND_DISK)
+    keep = (F.col(text_col).isNotNull()
+            & (F.col("__quality") >= min_quality)
+            & F.col("__tokens").between(min_tokens, max_tokens)
+            & F.col("__lang").isin(*allowed_langs))
+    profiled = (results
+                .withColumn("__tokens", token_count(F.col(text_col)))
+                .withColumn("__quality", quality_score(F.col(text_col)))
+                .withColumn("__lang", detect_lang(F.col(text_col)))
+                .withColumn("__keep", F.coalesce(keep, F.lit(False)))
+                .withColumn("__h", F.md5(F.col(text_col)))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+
+    gated = profiled.where(F.col("__keep"))
+
+    # exact dedup: keep the minimum id per content hash
+    keepers = (gated.groupBy("__h")
+               .agg(F.min(id_col).alias(id_col)))
+    # exact_unique feeds three consumers (minhash, anti-join, funnel
+    # count) — persist so the dedup shuffle runs once, not three times
+    exact_unique = gated.join(keepers, ["__h", id_col], "left_semi") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    # near dedup: longs for the pair join, then map back
     with_key = exact_unique.withColumn(
         "__k", F.xxhash64(F.col(id_col)))
     pairs = minhash_lsh_pairs(with_key, "__k", text_col,
                               min_jaccard=near_dup_jaccard)
     drop_side = pairs.select(F.col("b").alias("__k")).distinct()
     curated = with_key.join(drop_side, "__k", "left_anti") \
-        .drop("__k", "__h", "__tokens", "__quality", "__lang") \
+        .drop("__k", "__h", "__tokens", "__quality", "__lang", "__keep") \
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-    funnel = None
-    for stage, df in (("input", results), ("non_null", base),
-                      ("quality_gated", gated),
-                      ("exact_unique", exact_unique),
+    # funnel: the first three stages are ONE aggregation over the cached
+    # profile; the last two are counts of already-persisted frames
+    head = profiled.agg(
+        F.count("*").alias("input"),
+        F.count(text_col).alias("non_null"),
+        F.sum(F.col("__keep").cast("long")).alias("quality_gated"))
+    funnel = head.selectExpr(
+        "stack(3, 'input', input, 'non_null', non_null, "
+        "'quality_gated', quality_gated) AS (stage, n)")
+    for stage, df in (("exact_unique", exact_unique),
                       ("near_unique", curated)):
         row = df.select(F.count("*").alias("n")) \
             .withColumn("stage", F.lit(stage)).select("stage", "n")
-        funnel = row if funnel is None else funnel.unionByName(row)
+        funnel = funnel.unionByName(row)
     return curated, funnel
