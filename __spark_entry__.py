@@ -752,6 +752,43 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrast", 6).alias("contrast"))
 
 
+def warc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC codec invariant, oracle-checked: document texts are encoded
+    into per-shard .warc.gz archives (per-record gzip members + HTTP
+    framing, sources/warc.py) and parsed back; every record must survive
+    byte-identical.  The oracle recomputes the record count from the
+    same slice — n_match < n_records would fail the hash compare."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.sources.warc import (
+        encode_warc, parse_warc)
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200) \
+        .select("doc_id", "text")
+
+    out_schema = T.StructType([
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_match", T.LongType()),
+    ])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [{"url": f"https://corpus.local/{d}", "warc_ts": None,
+                 "html": (t or "").encode("utf-8")}
+                for d, t in zip(pdf["doc_id"], pdf["text"])]
+        parsed = list(parse_warc(encode_warc(recs, gzip_members=True)))
+        match = sum(1 for r, p in zip(recs, parsed)
+                    if p["url"] == r["url"] and p["html"] == r["html"])
+        return pd.DataFrame({"n_records": [len(parsed)],
+                             "n_match": [match]})
+
+    per_shard = (docs.withColumn("__g", F.col("doc_id") % 8)
+                 .groupBy("__g").applyInPandas(kernel, schema=out_schema))
+    return per_shard.agg(
+        F.sum("n_records").cast("long").alias("n_records"),
+        F.sum("n_match").cast("long").alias("n_match"))
+
+
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (deterministic fake decode) over documents."""
     from docvault_ocr_service_spark.functions.multimodal import (
@@ -815,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": embedding_near_dups,
         "corpus_extract_stats": corpus_extract_stats,
         "png_pixel_stats": png_pixel_stats,
+        "warc_roundtrip_stats": warc_roundtrip_stats,
         "media_feature_stats": media_feature_stats,
     }
 

@@ -427,6 +427,13 @@ SELECT * FROM (VALUES
 ) AS t(status, source, category, n_docs)
 """
 
+    # WARC round-trip: encode→parse must preserve every record, so both
+    # counters equal the slice's row count.
+    oracles["warc_roundtrip_stats"] = """
+SELECT count(*) AS n_records, count(*) AS n_match
+FROM documents WHERE doc_id < 200
+"""
+
     # the fake-decode plumbing is a pure function of the text payload:
     # row count, distinct blake2b digests (collision-free ⇒ distinct
     # texts), total UTF-8 bytes — all recomputable in SQL.

@@ -1,0 +1,104 @@
+"""WARC source: round-trip, HTTP framing, gzip members, garbage files."""
+
+import gzip
+from datetime import datetime, timezone
+
+import pytest
+
+from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
+from docvault_ocr_service_spark.sources.warc import (
+    WarcFormatError,
+    encode_warc,
+    parse_warc,
+    read_warc,
+    split_http_response,
+)
+
+TS = datetime(2024, 5, 17, 12, 0, 5, tzinfo=timezone.utc)
+RECS = [
+    {"url": "https://a.example/x", "warc_ts": TS,
+     "html": b"<html><body>alpha</body></html>"},
+    {"url": "https://b.example/y", "warc_ts": TS,
+     "html": "<html><body>łódź</body></html>".encode()},
+    {"url": "https://c.example/z", "warc_ts": TS, "html": b"", "status": 404},
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip(gz):
+    data = encode_warc(RECS, gzip_members=gz)
+    got = list(parse_warc(data))
+    assert [r["url"] for r in got] == [r["url"] for r in RECS]
+    assert [r["html"] for r in got] == [r["html"] for r in RECS]
+    assert all(r["warc_ts"] == TS for r in got)
+    assert [r["http_status"] for r in got] == [200, 200, 404]
+    assert all(r["warc_type"] == "response" for r in got)
+
+
+def test_encode_deterministic():
+    assert encode_warc(RECS, gzip_members=True) == \
+        encode_warc(RECS, gzip_members=True)
+
+
+def test_http_chunked_and_gzip_body():
+    body = b"hello chunked world"
+    chunked = b"7\r\nhello c\r\nC\r\nhunked world\r\n0\r\n\r\n"
+    raw = (b"HTTP/1.1 200 OK\r\ntransfer-encoding: chunked\r\n\r\n" + chunked)
+    headers, got = split_http_response(raw)
+    assert got == body
+    gz_body = gzip.compress(b"compressed page", mtime=0)
+    raw = (b"HTTP/1.1 200 OK\r\ncontent-encoding: gzip\r\n\r\n" + gz_body)
+    _, got = split_http_response(raw)
+    assert got == b"compressed page"
+    # mislabeled content-encoding: keep raw bytes, don't raise
+    raw = b"HTTP/1.1 200 OK\r\ncontent-encoding: gzip\r\n\r\nnot-gzip"
+    _, got = split_http_response(raw)
+    assert got == b"not-gzip"
+
+
+def test_non_response_records_and_truncation():
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+            b"\r\nabcd\r\n\r\n")
+    data = info + encode_warc(RECS[:1])
+    got = list(parse_warc(data))
+    assert [r["warc_type"] for r in got] == ["warcinfo", "response"]
+    with pytest.raises(WarcFormatError):
+        list(parse_warc(encode_warc(RECS)[:40]))
+    with pytest.raises(WarcFormatError):
+        list(parse_warc(b"\x1f\x8btruncated-gzip"))
+
+
+def test_read_warc_spark(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(encode_warc(RECS))
+    (tmp_path / "b.warc.gz").write_bytes(
+        encode_warc([{"url": "https://d.example/w", "warc_ts": TS,
+                      "html": b"<p>gzipped member</p>"}], gzip_members=True))
+    (tmp_path / "junk.warc").write_bytes(b"not a warc at all")
+    df = read_warc(spark, str(tmp_path))
+    assert df.schema == INPUT_SCHEMA or \
+        df.schema.fieldNames() == INPUT_SCHEMA.fieldNames()
+    rows = {r.url: r for r in df.collect()}
+    # 404 record filtered; junk file surfaces as an error row
+    assert set(rows) == {"https://a.example/x", "https://b.example/y",
+                         "https://d.example/w",
+                         next(u for u in rows if u.endswith("junk.warc"))}
+    assert rows["https://a.example/x"].html == RECS[0]["html"]
+    assert rows["https://d.example/w"].html == b"<p>gzipped member</p>"
+    assert rows["https://a.example/x"].warc_ts is not None
+    junk = next(u for u in rows if u.endswith("junk.warc"))
+    assert rows[junk].html is None
+
+
+def test_warc_to_extraction(spark, tmp_path):
+    """WARC archive → read_warc → run_extraction end-to-end."""
+    from docvault_ocr_service_spark.functions.udfs import run_extraction
+
+    page = (b"<html><head><meta charset='utf-8'></head><body><article><p>"
+            + b"Important invoice content here. " * 20
+            + b"</p></article></body></html>")
+    (tmp_path / "c.warc.gz").write_bytes(encode_warc(
+        [{"url": "https://e.example/p", "warc_ts": TS, "html": page}],
+        gzip_members=True))
+    res = run_extraction(read_warc(spark, str(tmp_path))).collect()
+    assert len(res) == 1 and res[0].status == "done"
+    assert "Important invoice content here." in res[0].text
