@@ -552,6 +552,27 @@ def simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: incremental dedup against a persisted signature index
+    drops EVERY re-crawled copy — an identical text has an identical
+    signature, so all its band keys collide with the index row and the
+    verified estimate is 1.0.  (The continuous-crawl operator:
+    operators/dedup.py::minhash_dedup_incremental.)"""
+    from docvault_ocr_service_spark.operators.dedup import (
+        minhash_dedup_incremental, minhash_signatures)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = minhash_signatures(docs, "doc_id", "text")
+    new = docs.select((F.col("doc_id") + _SHIFT).alias("doc_id"), "text")
+    unique, pairs = minhash_dedup_incremental(
+        new, index, "doc_id", "text", min_jaccard=0.95)
+    n_new = docs.agg(F.count("*").alias("n_new"))
+    n_dropped = (pairs.select("b").distinct()
+                 .agg(F.count("*").alias("n_dropped")))
+    n_unique = unique.agg(F.count("*").alias("n_unique"))
+    return n_new.crossJoin(n_dropped).crossJoin(n_unique)
+
+
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over the deterministic pair set doc_id < 250 —
     fully SQL-expressible, so the oracle recomputes it from scratch."""
@@ -841,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": simhash_dup_pairs,
         "minhash_recall": minhash_recall,
         "simhash_recall": simhash_recall,
+        "minhash_incremental_recall": minhash_incremental_recall,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "knn_bruteforce": knn_bruteforce,
         "knn_lsh": knn_lsh,

@@ -118,6 +118,36 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return prepared.mapInPandas(compute, schema=out_schema)
 
 
+def minhash_band_keys(sigs: DataFrame, num_perm: int = 64,
+                      bands: int = 16) -> DataFrame:
+    """(doc, band, band_hash) keys from a (doc, signature) table.
+
+    Fully columnar (explode + slice + xxhash64), so band keys are always
+    *derived* — a persisted MinHash index stores only the signatures
+    (8·num_perm bytes/doc), never the ×bands-duplicated key rows.
+    """
+    rows_per_band = num_perm // bands
+    return sigs.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("signature"),
+    ).select(
+        "doc", "band",
+        F.xxhash64(F.slice(F.col("signature"),
+                           F.col("band") * rows_per_band + 1,
+                           rows_per_band).cast("string"), F.col("band"))
+         .alias("band_hash"),
+    )
+
+
+def _est_jaccard(num_perm: int) -> Column:
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        lambda eq: eq,
+    ))
+    return matches.cast("double") / F.lit(num_perm)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_perm: int = 64, bands: int = 16,
                       shingle_n: int = 3, seed: int = 42,
@@ -130,7 +160,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     from pyspark import StorageLevel
 
-    rows_per_band = num_perm // bands
     # consumed three times (banding + two pair-side joins): persist so the
     # signature UDF runs once per partition, spilling to disk if needed
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n,
@@ -140,17 +169,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # — 24 bytes/row — so the 16×-duplicated self-join shuffle never moves
     # signatures; the 512-byte signatures are attached to the deduplicated
     # candidate pairs afterwards.
-    banded = sigs.select(
-        "doc",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        F.col("signature"),
-    ).select(
-        "doc", "band",
-        F.xxhash64(F.slice(F.col("signature"),
-                           F.col("band") * rows_per_band + 1,
-                           rows_per_band).cast("string"), F.col("band"))
-         .alias("band_hash"),
-    )
+    banded = minhash_band_keys(sigs, num_perm, bands)
 
     cand_ids = (
         banded.alias("l").join(
@@ -169,14 +188,86 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                           F.col("signature").alias("sig_b")), "b")
     )
 
-    matches = F.size(F.filter(
-        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-        lambda eq: eq,
-    ))
-    est = matches.cast("double") / F.lit(num_perm)
-    return (cand.withColumn("est_jaccard", est)
+    return (cand.withColumn("est_jaccard", _est_jaccard(num_perm))
                 .where(F.col("est_jaccard") >= min_jaccard)
                 .select("a", "b", "est_jaccard"))
+
+
+def minhash_dedup_incremental(new_df: DataFrame, index_sigs: DataFrame | None,
+                              id_col: str, text_col: str,
+                              num_perm: int = 64, bands: int = 16,
+                              shingle_n: int = 3, seed: int = 42,
+                              min_jaccard: float = 0.5,
+                              ) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against a persisted MinHash index — the
+    continuous-crawl shape: at 100 TB you never re-signature the corpus
+    per batch; you keep a (doc, signature) table and join each day's
+    crawl against it.
+
+    ``index_sigs`` is the persisted (doc: long, signature: array<long>)
+    table from previous batches (None / empty for the first batch); its
+    MinHash parameters (num_perm/shingle_n/seed) are pinned at index
+    creation and must match.
+
+    Returns ``(unique_new_sigs, dup_pairs)``:
+
+    - ``unique_new_sigs`` — (doc, signature) rows for new docs that
+      matched nothing: append them to the index table (Iceberg append —
+      no rewrite) and keep the corresponding documents.
+    - ``dup_pairs`` — (a, b, est_jaccard) where ``b`` is the dropped new
+      doc and ``a`` its surviving match (an index doc, or a smaller-id
+      new doc for in-batch duplicates).
+
+    Scale shape: band keys are *derived* from both signature tables
+    (``minhash_band_keys``, columnar), so the join shuffles only
+    24-byte key rows; the new side is typically ≪ the index, and AQE
+    will broadcast it when it fits.  In-batch duplicates are handled by
+    the same keyed join (new ∪ index keys would double-count — instead
+    the new side self-joins once, exactly like ``minhash_lsh_pairs``).
+    """
+    from pyspark import StorageLevel
+
+    new_sigs = minhash_signatures(new_df, id_col, text_col, num_perm,
+                                  shingle_n, seed) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    new_keys = minhash_band_keys(new_sigs, num_perm, bands)
+
+    def _verified(cand_ids: DataFrame, a_sigs: DataFrame) -> DataFrame:
+        cand = (cand_ids
+                .join(a_sigs.select(F.col("doc").alias("a"),
+                                    F.col("signature").alias("sig_a")), "a")
+                .join(new_sigs.select(F.col("doc").alias("b"),
+                                      F.col("signature").alias("sig_b")),
+                      "b"))
+        return (cand.withColumn("est_jaccard", _est_jaccard(num_perm))
+                    .where(F.col("est_jaccard") >= min_jaccard)
+                    .select("a", "b", "est_jaccard"))
+
+    # in-batch pairs: self-join on derived keys, a < b
+    batch_cand = (
+        new_keys.alias("l").join(
+            new_keys.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .dropDuplicates(["a", "b"]))
+    dup_pairs = _verified(batch_cand, new_sigs)
+
+    if index_sigs is not None:
+        index_keys = minhash_band_keys(index_sigs, num_perm, bands)
+        cross_cand = (
+            index_keys.alias("l").join(
+                new_keys.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_hash") == F.col("r.band_hash")))
+            .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+            .dropDuplicates(["a", "b"]))
+        dup_pairs = dup_pairs.unionByName(_verified(cross_cand, index_sigs))
+
+    dropped = dup_pairs.select(F.col("b").alias("doc")).distinct()
+    unique_new_sigs = new_sigs.join(dropped, "doc", "left_anti")
+    return unique_new_sigs, dup_pairs
 
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,

@@ -392,6 +392,14 @@ SELECT count(*) AS n_true_pairs, count(*) AS n_recovered FROM truth
     oracles["minhash_recall"] = _recall
     oracles["simhash_recall"] = _recall
 
+    # incremental dedup: every re-crawled copy collides with its index
+    # row (identical signature ⇒ identical band keys) and is dropped
+    oracles["minhash_incremental_recall"] = """
+SELECT count(*) AS n_new, count(*) AS n_dropped,
+       CAST(0 AS BIGINT) AS n_unique
+FROM documents
+"""
+
     # ANN recall invariants: a self-query's identical corpus copy is a
     # guaranteed candidate (same buckets in every LSH table / same
     # nearest IVF centroid), so every query retrieves a cosine-1.0 hit.

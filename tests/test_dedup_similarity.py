@@ -127,3 +127,35 @@ def test_embedding_near_dups(spark, emb_df):
                                      min_cosine=0.999)
     got = {(r["a"], r["b"]) for r in pairs.collect()}
     assert (0, 1) in got
+
+
+def test_minhash_incremental(spark, docs_df):
+    from docvault_ocr_service_spark.operators.dedup import (
+        minhash_dedup_incremental)
+
+    # batch 1, no index: docs 1,2 identical -> 2 dropped, rest kept
+    uniq1, pairs1 = minhash_dedup_incremental(
+        docs_df, None, "doc_id", "text", min_jaccard=0.95)
+    kept1 = {r["doc"] for r in uniq1.collect()}
+    assert kept1 == {1, 3, 4, 5, 6}
+    assert {(r["a"], r["b"]) for r in pairs1.collect()} == {(1, 2)}
+
+    # batch 2 against the persisted index: a re-crawl of doc 1 (id 11,
+    # dropped vs index), a fresh doc (12, kept), an in-batch exact dup
+    # pair (13 < 14 -> 14 dropped)
+    batch2 = spark.createDataFrame(
+        [(11, _BASE), (12, "genuinely new page about iceberg manifests"),
+         (13, "twin page body repeated verbatim for the pair test etc"),
+         (14, "twin page body repeated verbatim for the pair test etc")],
+        ["doc_id", "text"])
+    uniq2, pairs2 = minhash_dedup_incremental(
+        batch2, uniq1, "doc_id", "text", min_jaccard=0.95)
+    assert {r["doc"] for r in uniq2.collect()} == {12, 13}
+    got = {(r["a"], r["b"]) for r in pairs2.collect()}
+    assert (1, 11) in got and (13, 14) in got
+    assert all(b in (11, 14) for _, b in got)  # only new docs dropped
+
+    # parameters pinned: index and batch signatures are comparable
+    # (identical text across batches produced est_jaccard 1.0)
+    ests = {(r["a"], r["b"]): r["est_jaccard"] for r in pairs2.collect()}
+    assert ests[(1, 11)] == 1.0
