@@ -327,6 +327,25 @@ def doc_stopword_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rollup — the per-host analytics a crawl
+    pipeline runs to decide which sources to keep (fully columnar; the
+    oracle re-derives the composite quality score in SQL)."""
+    from docvault_ocr_service_spark.functions.textstats import (
+        quality_score, token_count)
+
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("source",
+                        quality_score(F.col("text")).alias("q"),
+                        token_count(F.col("text")).alias("n_tok"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("q"), 6).alias("avg_quality"),
+                 F.round(F.min("q"), 6).alias("min_quality"),
+                 F.round(F.max("q"), 6).alias("max_quality"),
+                 F.round(F.avg("n_tok"), 6).alias("avg_tokens")))
+
+
 def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docvault_ocr_service_spark.functions.textstats import detect_lang
 
@@ -851,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": events_value_quantiles,
         "doc_token_stats": doc_token_stats,
         "doc_stopword_punct": doc_stopword_punct,
+        "source_quality_stats": source_quality_stats,
         "doc_langid": doc_langid,
         "doc_exact_dups": doc_exact_dups,
         "doc_fingerprints": doc_fingerprints,

@@ -295,6 +295,45 @@ SELECT lang, round(avg(sw), 6) AS avg_stopword_ratio,
 FROM r GROUP BY lang
 """
 
+    # full SQL twin of functions/textstats.py::quality_score — same
+    # component order and the same left-associative double arithmetic,
+    # so both sides share IEEE-754 rounding before round(..., 6)
+    oracles["source_quality_stats"] = f"""
+WITH t AS (
+  SELECT source, text, {_TOKENIZE} AS toks, {_TOKENIZE_LOWER} AS ltoks
+  FROM documents
+), c AS (
+  SELECT source,
+    len(toks) AS n_tok,
+    CASE WHEN len(ltoks) > 0
+         THEN CAST(len(list_filter(ltoks, x -> list_contains({en}, x)))
+                   AS DOUBLE) / len(ltoks) ELSE 0.0 END AS sw,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, x -> len(x)))
+                   AS DOUBLE) / len(toks) ELSE 0.0 END AS wl,
+    CASE WHEN text IS NOT NULL AND len(text) > 0
+         THEN CAST(len(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '',
+                                      'g')) AS DOUBLE) / len(text)
+         ELSE 0.0 END AS pr,
+    CASE WHEN text IS NOT NULL AND len(text) > 0
+         THEN CAST(len(regexp_replace(text, '[^0-9]', '', 'g'))
+                   AS DOUBLE) / len(text) ELSE 0.0 END AS dr
+  FROM t
+), q AS (
+  SELECT source, n_tok,
+    least(n_tok / 20.0, 1.0) * 0.25
+    + least(sw * 4, 1.0) * 0.25
+    + (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.3 END) * 0.2
+    + greatest(0.0, 1.0 - pr * 3) * 0.15
+    + greatest(0.0, 1.0 - dr * 2) * 0.15 AS q
+  FROM c
+)
+SELECT source, count(*) AS n_docs, round(avg(q), 6) AS avg_quality,
+       round(min(q), 6) AS min_quality, round(max(q), 6) AS max_quality,
+       round(avg(n_tok), 6) AS avg_tokens
+FROM q GROUP BY source
+"""
+
     oracles["doc_langid"] = f"""
 WITH t AS (SELECT lang, {_TOKENIZE_LOWER} AS toks FROM documents),
 v AS (

@@ -187,3 +187,55 @@ def stream_event_metrics(spark: SparkSession, input_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(spark: SparkSession, input_dir: str, index_dir: str,
+                 output_dir: str, checkpoint_dir: str,
+                 min_jaccard: float = 0.85):
+    """Streaming near-duplicate filter: each micro-batch of pages is
+    deduped against the persisted MinHash signature index
+    (``operators/dedup.py::minhash_dedup_incremental``) — the
+    continuous-crawl shape where the corpus is never re-signatured.
+
+    Unique pages land in ``output_dir``; their signatures append to the
+    ``index_dir`` table.  Idempotency: both writes go to a
+    ``batch=<id>`` partition directory in ``overwrite`` mode, so a
+    replayed micro-batch rewrites its own partition instead of
+    double-appending (the parquet stand-in for an Iceberg
+    ``overwritePartitions``; Structured Streaming tracks file progress,
+    the partition key makes the side effects exactly-once).
+
+    Pages with null/empty text share the all-MAX signature and are
+    treated as duplicates of each other — drop empties upstream if that
+    is not wanted.
+    """
+    from ..operators.dedup import minhash_dedup_incremental
+
+    pages = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        docs = batch_df.withColumn("__doc", F.xxhash64("url"))
+        try:
+            index = s.read.parquet(index_dir).select("doc", "signature")
+        except Exception:  # noqa: BLE001 — first batch: no index yet
+            index = None
+        uniq_sigs, _pairs = minhash_dedup_incremental(
+            docs, index, "__doc", "text", min_jaccard=min_jaccard)
+        uniq_sigs = uniq_sigs.persist()
+        try:
+            kept = docs.join(
+                uniq_sigs.select(F.col("doc").alias("__doc")),
+                "__doc", "left_semi").drop("__doc")
+            kept.write.mode("overwrite").parquet(
+                f"{output_dir}/batch={batch_id}")
+            uniq_sigs.write.mode("overwrite").parquet(
+                f"{index_dir}/batch={batch_id}")
+        finally:
+            uniq_sigs.unpersist()
+
+    return (pages.writeStream
+            .foreachBatch(dedup_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -135,3 +135,46 @@ def test_stream_extract_merge_updates_not_duplicates(spark, tmp_path):
     cur = store.read_results_current()
     row = cur.where(F.col("url") == url).first()
     assert row["text"] == "recrawled fresh content for this url"
+
+
+def test_stream_dedup_incremental_index(spark, tmp_path):
+    from datetime import datetime
+
+    from docvault_ocr_service_spark.streaming.stream import stream_dedup
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = datetime(2024, 1, 1)
+    body = ("a perfectly ordinary web page body with enough words to "
+            "shingle into a stable minhash signature for the test")
+
+    def page(url, text):
+        return (url, ts, None, text, "en")
+
+    # batch 1: two distinct pages + an in-batch near-identical copy
+    spark.createDataFrame(
+        [page("https://x/1", body),
+         page("https://x/2", body),             # same text, other url
+         page("https://x/3", "a second distinct document about parquet "
+                             "row groups and column chunk statistics")],
+        schema=INPUT_SCHEMA).write.mode("append").parquet(src)
+    stream_dedup(spark, src, idx, out, ckpt).awaitTermination(300)
+
+    kept1 = {r.url for r in spark.read.parquet(out).select("url").collect()}
+    assert len(kept1) == 2 and "https://x/3" in kept1
+    assert len({"https://x/1", "https://x/2"} & kept1) == 1
+
+    # batch 2: a re-crawl of batch-1 content (dropped vs index) + fresh
+    spark.createDataFrame(
+        [page("https://y/recrawl", body),
+         page("https://y/new", "a genuinely new page mentioning iceberg "
+                               "manifest lists and snapshot expiry")],
+        schema=INPUT_SCHEMA).write.mode("append").parquet(src)
+    stream_dedup(spark, src, idx, out, ckpt).awaitTermination(300)
+
+    kept = {r.url for r in spark.read.parquet(out).select("url").collect()}
+    assert kept == kept1 | {"https://y/new"}
+    # index grew by exactly the kept docs
+    assert spark.read.parquet(idx).count() == 3
