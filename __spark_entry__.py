@@ -571,6 +571,32 @@ def simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal, oracle-
+    checked end-to-end: multi-line pages are composed (shared header +
+    body + unique footer) and ``dedup_lines`` must strip every line that
+    occurs in >1 distinct document — the header always, the body only
+    when the corpus contains exact-duplicate texts.  The oracle reruns
+    the whole pipeline in SQL and compares per-doc md5 of the cleaned
+    text."""
+    from docvault_ocr_service_spark.operators.dedup import dedup_lines
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") < 150) & F.col("text").isNotNull())
+            .select("doc_id",
+                    F.concat_ws(
+                        "\n",
+                        F.lit("SHARED HEADER BOILERPLATE LINE"),
+                        F.col("text"),
+                        F.concat(F.lit("unique footer "),
+                                 F.col("doc_id"))).alias("text")))
+    out = dedup_lines(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_chars"))
+
+
 def minhash_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant: incremental dedup against a persisted signature index
     drops EVERY re-crawled copy — an identical text has an identical
@@ -873,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_stats": source_quality_stats,
         "doc_langid": doc_langid,
         "doc_exact_dups": doc_exact_dups,
+        "line_dedup_clean": line_dedup_clean,
         "doc_fingerprints": doc_fingerprints,
         "doc_categories": doc_categories,
         "doc_sample_tenth": doc_sample_tenth,

@@ -291,6 +291,53 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
     )
 
 
+def dedup_lines(df: DataFrame, id_col: str, text_col: str,
+                max_doc_freq: int = 1, min_line_chars: int = 5,
+                out_col: str = "clean_text") -> DataFrame:
+    """Corpus-level line dedup (CCNet/RefinedWeb-style boilerplate
+    removal): a line appearing in more than ``max_doc_freq`` distinct
+    documents is removed from every document; line order is preserved.
+
+    Lines shorter than ``min_line_chars`` (after trim) are always kept —
+    they are structure, not boilerplate, and counting them would churn
+    the frequency table with empty/"--" rows.
+
+    Fully columnar: posexplode → distinct-doc count per line (one
+    shuffle, map-side partial agg on (line_hash) with 8-byte keys) →
+    anti-filter → ordered reassembly via
+    ``concat_ws ∘ sort_array ∘ collect_list``.  Null-text rows pass
+    through with ``out_col`` null.
+    """
+    base = df.select(F.col(id_col).alias("__doc"), F.col(text_col))
+    lines = base.where(F.col(text_col).isNotNull()).select(
+        "__doc",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__lh", F.xxhash64("__line")) \
+     .withColumn("__countable",
+                 F.length(F.btrim("__line")) >= min_line_chars)
+
+    freq = (lines.where("__countable")
+            .groupBy("__lh")
+            .agg(F.count_distinct("__doc").alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select("__lh"))
+
+    kept = lines.join(freq, "__lh", "left_anti")
+    rebuilt = (kept.groupBy("__doc")
+               .agg(F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("__pos", "__line"))),
+                        lambda s: s["__line"])).alias(out_col)))
+
+    out = (base.join(rebuilt, "__doc", "left")
+           .withColumn(out_col,
+                       F.when(F.col(text_col).isNull(), F.lit(None))
+                        .otherwise(F.coalesce(F.col(out_col), F.lit("")))))
+    return out.withColumnRenamed("__doc", id_col)
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, simhash long): sign-sum of per-token 64-bit blake2b hashes.
 

@@ -431,6 +431,35 @@ SELECT count(*) AS n_true_pairs, count(*) AS n_recovered FROM truth
     oracles["minhash_recall"] = _recall
     oracles["simhash_recall"] = _recall
 
+    # full SQL rerun of operators/dedup.py::dedup_lines over the same
+    # composed multi-line pages (shared header / body / unique footer):
+    # a line in >1 distinct docs is removed everywhere, order preserved,
+    # lines under 5 trimmed chars always kept
+    oracles["line_dedup_clean"] = """
+WITH d AS (
+  SELECT doc_id,
+         'SHARED HEADER BOILERPLATE LINE' || chr(10) || text || chr(10)
+           || 'unique footer ' || doc_id AS text
+  FROM documents WHERE doc_id < 150 AND text IS NOT NULL
+), l AS (
+  SELECT doc_id, lines[i] AS line, i AS ord
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d) t,
+       LATERAL unnest(generate_series(1, len(lines))) AS g(i)
+), f AS (
+  SELECT line FROM l WHERE len(trim(line)) >= 5
+  GROUP BY line HAVING count(DISTINCT doc_id) > 1
+), k AS (
+  SELECT doc_id, line, ord FROM l
+  WHERE line NOT IN (SELECT line FROM f)
+), r AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS clean_text
+  FROM k GROUP BY doc_id
+)
+SELECT d.doc_id, md5(coalesce(r.clean_text, '')) AS clean_md5,
+       CAST(len(coalesce(r.clean_text, '')) AS BIGINT) AS clean_chars
+FROM d LEFT JOIN r USING (doc_id)
+"""
+
     # incremental dedup: every re-crawled copy collides with its index
     # row (identical signature ⇒ identical band keys) and is dropped
     oracles["minhash_incremental_recall"] = """

@@ -159,3 +159,32 @@ def test_minhash_incremental(spark, docs_df):
     # (identical text across batches produced est_jaccard 1.0)
     ests = {(r["a"], r["b"]): r["est_jaccard"] for r in pairs2.collect()}
     assert ests[(1, 11)] == 1.0
+
+
+def test_dedup_lines(spark):
+    from docvault_ocr_service_spark.operators.dedup import dedup_lines
+
+    boiler = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [(1, f"{boiler}\nunique alpha body line\n--\n{boiler}"),
+         (2, f"{boiler}\nunique beta body line\n--"),
+         (3, "standalone gamma document"),
+         (4, None),
+         (5, "")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["clean_text"]
+           for r in dedup_lines(docs, "doc_id", "text").collect()}
+    # boilerplate (2 docs) removed everywhere, incl. its second
+    # occurrence inside doc 1; short '--' lines always kept
+    assert out[1] == "unique alpha body line\n--"
+    assert out[2] == "unique beta body line\n--"
+    assert out[3] == "standalone gamma document"
+    assert out[4] is None         # null text passes through
+    assert out[5] == ""           # empty line is short -> kept
+    # a line repeated only WITHIN one doc is not boilerplate
+    docs2 = spark.createDataFrame(
+        [(1, "repeated inside\nrepeated inside"), (2, "other text")],
+        ["doc_id", "text"])
+    out2 = {r["doc_id"]: r["clean_text"]
+            for r in dedup_lines(docs2, "doc_id", "text").collect()}
+    assert out2[1] == "repeated inside\nrepeated inside"
