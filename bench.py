@@ -178,9 +178,11 @@ def run_headline(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # warm the JVM/JIT and the page cache once so the first query's
-    # timing measures the query, not session startup
+    # warm the JVM/JIT, the page cache AND the Python workers once so
+    # the first (pandas-UDF) query's timing measures the query, not
+    # session/worker startup — same warm-throughput rule as extract_once
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    spark.range(256).mapInPandas(lambda it: it, schema="id long").count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.monotonic()

@@ -92,25 +92,49 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         T.StructField("signature", T.ArrayType(T.LongType())),
     ])
 
+    fnv = np.uint64(0x0100_0193)          # odd 32-bit FNV-ish multiplier
+    mask32 = np.uint64(0xFFFF_FFFF)
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
+            # per doc: token crc32s → rolling positional combine → the
+            # distinct 32-bit shingle hashes (no shingle *strings* are
+            # ever built — the combine is vectorized over token hashes)
+            grams_per_doc: list[np.ndarray | None] = []
             for text in pdf["__text"]:
                 toks = (text or "").lower().split()
-                grams = {
-                    " ".join(toks[i:i + shingle_n])
-                    for i in range(len(toks) - shingle_n + 1)
-                }
-                if not grams:
-                    sigs.append([int(_MAX_HASH)] * num_perm)
+                m = len(toks) - shingle_n + 1
+                if m <= 0:
+                    grams_per_doc.append(None)
                     continue
-                base = np.fromiter(
-                    (zlib.crc32(g.encode("utf-8")) for g in grams),
-                    dtype=np.int64, count=len(grams),
-                )
-                # (a*x + b) mod p, min over shingles, per permutation
-                vals = (np.outer(base, a_coef) + b_coef) % _MERSENNE % _MAX_HASH
-                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
+                th = np.fromiter(
+                    (zlib.crc32(t.encode("utf-8")) for t in toks),
+                    dtype=np.uint64, count=len(toks))
+                g = np.zeros(m, dtype=np.uint64)
+                for j in range(shingle_n):
+                    g = (g * fnv + th[j:j + m]) & mask32
+                grams_per_doc.append(np.unique(g))
+
+            # one batch-wide minwise pass: (a·x + b) mod p stays exact in
+            # int64 (x < 2^32, a < 2^31); per-doc minima via reduceat
+            nonempty = [g for g in grams_per_doc if g is not None]
+            if nonempty:
+                allg = np.concatenate(nonempty).astype(np.int64)
+                starts = np.zeros(len(nonempty), dtype=np.intp)
+                np.cumsum([len(g) for g in nonempty[:-1]], out=starts[1:])
+                vals = (allg[:, None] * a_coef + b_coef) \
+                    % _MERSENNE % _MAX_HASH
+                mins = np.minimum.reduceat(vals, starts, axis=0) \
+                    .astype(np.int64)
+
+            empty_sig = [int(_MAX_HASH)] * num_perm
+            sigs, k = [], 0
+            for g in grams_per_doc:
+                if g is None:
+                    sigs.append(empty_sig)
+                else:
+                    sigs.append(mins[k].tolist())
+                    k += 1
             yield pd.DataFrame({"doc": pdf["__id"], "signature": sigs})
 
     prepared = df.select(F.col(id_col).cast("long").alias("__id"),
