@@ -346,6 +346,66 @@ def source_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("n_tok"), 6).alias("avg_tokens")))
 
 
+def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host rollup (functions/web.py): synthetic
+    crawl URLs with mixed-case authorities, default ports, fragments and
+    query strings are canonicalized columnar-ly, grouped by parsed host.
+    The oracle re-derives canonicalization with SQL regexes."""
+    from docvault_ocr_service_spark.functions.web import (
+        canonicalize_url, url_host, url_query)
+
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 4 == 0, F.lit("HoSt")).otherwise(F.lit("host")),
+        (d % 23).cast("string"),
+        F.when(d % 4 == 0, F.lit(".ExAmple.COM"))
+         .otherwise(F.lit(".example.com")),
+        F.when(d % 3 == 0,
+               F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+         .otherwise(F.lit("")),
+        F.lit("/Path/"), d.cast("string"),
+        F.when(d % 5 == 0, F.lit("?ref=Abc")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#Frag")).otherwise(F.lit("")))
+    docs = (_t(spark, sf_dir, "documents").where(d < 400)
+            .select("doc_id", raw.alias("raw_url")))
+    canon = canonicalize_url(F.col("raw_url"))
+    enriched = docs.select(
+        "doc_id", "raw_url", canon.alias("url"),
+        url_host(canon).alias("host"),
+        url_query(canon).alias("query"))
+    return (enriched.groupBy("host")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count("query").alias("n_with_query"),
+                 F.sum((F.col("url") != F.col("raw_url"))
+                       .cast("long")).alias("n_canon_changed")))
+
+
+def doc_nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC hygiene, oracle-checked against DuckDB's
+    nfc_normalize: texts are salted with decomposed sequences (e +
+    combining acute) and the normalizer must merge them."""
+    from docvault_ocr_service_spark.functions.textstats import (
+        nfc_normalize_text)
+
+    aug = F.concat(F.col("text"),
+                   F.lit(" café lévy Å"))
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") < 300) & F.col("text").isNotNull())
+            .select("doc_id", aug.alias("t")))
+    out = docs.select(
+        "doc_id",
+        F.length("t").alias("len_raw"),
+        F.col("t").alias("t"),
+        nfc_normalize_text(F.col("t")).alias("nfc"))
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("len_raw").cast("long").alias("chars_raw"),
+        F.sum(F.length("nfc")).cast("long").alias("chars_nfc"),
+        F.sum((F.col("nfc") != F.col("t")).cast("long"))
+         .alias("n_changed"))
+
+
 def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docvault_ocr_service_spark.functions.textstats import detect_lang
 
@@ -897,6 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_stopword_punct": doc_stopword_punct,
         "source_quality_stats": source_quality_stats,
+        "url_host_stats": url_host_stats,
+        "doc_nfc_stats": doc_nfc_stats,
         "doc_langid": doc_langid,
         "doc_exact_dups": doc_exact_dups,
         "line_dedup_clean": line_dedup_clean,

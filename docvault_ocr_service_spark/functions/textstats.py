@@ -9,6 +9,7 @@ surface; each has a DuckDB-SQL oracle twin in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -165,3 +166,21 @@ def with_text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
           .withColumn("lang_id", detect_lang(c))
           .withColumn("fingerprint", fingerprint64(c))
     )
+
+
+def nfc_normalize_text(text: Column) -> Column:
+    """Unicode NFC normalization — the corpus-hygiene step before any
+    hashing/dedup (the same page crawled twice can differ only in
+    composed vs decomposed accents).  Spark has no native normalizer, so
+    this is the one Arrow-batched pandas UDF in this module; null-safe.
+    """
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t)
+                     if t is not None else None)
+
+    return _nfc(text)

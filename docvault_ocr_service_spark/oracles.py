@@ -295,6 +295,65 @@ SELECT lang, round(avg(sw), 6) AS avg_stopword_ratio,
 FROM r GROUP BY lang
 """
 
+    # SQL re-derivation of functions/web.py::canonicalize_url (regex
+    # head split, lowercase authority, default-port & fragment strip)
+    # over the same synthetic crawl URLs
+    oracles["url_host_stats"] = """
+WITH d AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN 'HoSt' ELSE 'host' END)
+    || (doc_id % 23)
+    || (CASE WHEN doc_id % 4 = 0 THEN '.ExAmple.COM'
+             ELSE '.example.com' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN
+          (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+        ELSE '' END)
+    || '/Path/' || doc_id
+    || (CASE WHEN doc_id % 5 = 0 THEN '?ref=Abc' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#Frag' ELSE '' END) AS raw_url
+  FROM documents WHERE doc_id < 400
+), c AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(raw_url, '#.*$', '') AS no_frag,
+         regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+                        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1) AS head
+  FROM d
+), c2 AS (
+  SELECT doc_id, raw_url,
+    (CASE WHEN lower(head) LIKE 'http://%'
+          THEN regexp_replace(lower(head), ':80$', '')
+          WHEN lower(head) LIKE 'https://%'
+          THEN regexp_replace(lower(head), ':443$', '')
+          ELSE lower(head) END)
+    || substring(no_frag, len(head) + 1) AS url
+  FROM c
+)
+SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_query,
+       CAST(sum(CASE WHEN url <> raw_url THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_canon_changed
+FROM c2 GROUP BY host
+"""
+
+    # Unicode NFC twin: DuckDB's nfc_normalize vs the engine's pandas
+    # UDF (unicodedata) — decomposed salt must merge on both sides
+    oracles["doc_nfc_stats"] = """
+WITH d AS (
+  SELECT text || ' cafe' || chr(769) || ' le' || chr(769) || 'vy A'
+           || chr(778) AS t
+  FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(len(t)) AS BIGINT) AS chars_raw,
+       CAST(sum(len(nfc_normalize(t))) AS BIGINT) AS chars_nfc,
+       CAST(sum(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed
+FROM d
+"""
+
     # full SQL twin of functions/textstats.py::quality_score — same
     # component order and the same left-associative double arithmetic,
     # so both sides share IEEE-754 rounding before round(..., 6)
