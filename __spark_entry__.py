@@ -346,6 +346,22 @@ def source_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("n_tok"), 6).alias("avg_tokens")))
 
 
+def pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): documents are laid into
+    512-token context windows in doc_id order; the oracle recomputes the
+    prefix-sum assignment per doc in SQL."""
+    from docvault_ocr_service_spark.functions.textstats import token_count
+    from docvault_ocr_service_spark.operators.packing import pack_sequences
+
+    docs = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+            .select("doc_id",
+                    token_count(F.col("text")).cast("long")
+                    .alias("n_tokens")))
+    packed = pack_sequences(docs, "doc_id", "n_tokens", window=512)
+    return packed.select("doc_id", "n_tokens", "start_tok",
+                         "first_win", "last_win", "n_windows_spanned")
+
+
 def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + host rollup (functions/web.py): synthetic
     crawl URLs with mixed-case authorities, default ports, fragments and
@@ -959,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_stats": source_quality_stats,
         "url_host_stats": url_host_stats,
         "doc_nfc_stats": doc_nfc_stats,
+        "pack_windows": pack_windows,
         "doc_langid": doc_langid,
         "doc_exact_dups": doc_exact_dups,
         "line_dedup_clean": line_dedup_clean,

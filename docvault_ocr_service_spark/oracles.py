@@ -295,6 +295,26 @@ SELECT lang, round(avg(sw), 6) AS avg_stopword_ratio,
 FROM r GROUP BY lang
 """
 
+    # sequence packing: prefix-sum window assignment recomputed in SQL
+    oracles["pack_windows"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKENIZE}) AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id < 300
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // 512 AS BIGINT) AS first_win,
+       CAST((start_tok + n_tokens - 1) // 512 AS BIGINT) AS last_win,
+       CAST((start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
+            AS BIGINT) AS n_windows_spanned
+FROM s
+"""
+
     # SQL re-derivation of functions/web.py::canonicalize_url (regex
     # head split, lowercase authority, default-port & fragment strip)
     # over the same synthetic crawl URLs
