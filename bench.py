@@ -66,6 +66,11 @@ HEADLINE = (
     "knn_bruteforce",
     "knn_lsh",
     "embedding_centroids",
+    "source_quality_stats",
+    "line_dedup_clean",
+    "url_host_stats",
+    "pack_windows",
+    "warc_roundtrip_stats",
 )
 
 
