@@ -232,6 +232,127 @@ def encode_tiff_frames(n_frames: int, width: int = 8,
     return bytes(out)
 
 
+def encode_tiff_gray(frames: list[np.ndarray]) -> bytes:
+    """8-bit grayscale frames → uncompressed little-endian TIFF (one
+    strip per frame).  Fixture writer proving ``decode_tiff``
+    round-trips."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if any(a.ndim != 2 for a in arrs):
+        raise ValueError("encode_tiff_gray takes (H,W) uint8 frames")
+    out = bytearray(b"II*\x00")
+    # pixel strips first, IFD chain after
+    pix_offsets = []
+    body = bytearray()
+    base = 8
+    for a in arrs:
+        pix_offsets.append(base + len(body))
+        body += a.tobytes()
+    ifd_start = base + len(body)
+    n_entries = 9
+    ifd_size = 2 + 12 * n_entries + 4
+    out += struct.pack("<I", ifd_start)
+    out += body
+    for k, a in enumerate(arrs):
+        h, w = a.shape
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+            (259, 3, 1, 1),                       # Compression = none
+            (262, 3, 1, 1),                       # BlackIsZero
+            (273, 4, 1, pix_offsets[k]),          # StripOffsets
+            (277, 3, 1, 1),                       # SamplesPerPixel
+            (278, 3, 1, h),                       # RowsPerStrip
+            (279, 4, 1, w * h),                   # StripByteCounts
+        ]
+        ifd = struct.pack("<H", n_entries)
+        for tag, typ, cnt, val in entries:
+            packed = (struct.pack("<HH", val, 0) if typ == 3
+                      else struct.pack("<I", val))
+            ifd += struct.pack("<HHI4s", tag, typ, cnt, packed)
+        next_off = (0 if k == len(arrs) - 1
+                    else ifd_start + (k + 1) * ifd_size)
+        ifd += struct.pack("<I", next_off)
+        out += ifd
+    return bytes(out)
+
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}   # BYTE, SHORT, LONG
+
+
+def _tiff_ifd_values(data: bytes, offset: int, end: str) -> dict[int, list[int]]:
+    (n_entries,) = struct.unpack_from(end + "H", data, offset)
+    values: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        at = offset + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(end + "HHI", data, at)
+        if typ not in _TIFF_TYPE_SIZE:
+            continue                    # rational/ascii etc — not needed
+        size = _TIFF_TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            src = at + 8
+        else:
+            (src,) = struct.unpack_from(end + "I", data, at + 8)
+            if src + size > len(data):
+                raise ImageDecodeError("IFD value offset out of bounds")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        values[tag] = list(struct.unpack_from(end + str(cnt) + fmt,
+                                              data, src))
+    return values
+
+
+def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
+    """Uncompressed 8-bit gray/RGB TIFF frame → uint8 array.
+
+    The honest envelope without an LZW/JPEG codec: Compression=1 strips
+    only; anything else raises ``ImageDecodeError`` (callers fall back
+    to IFD metadata via ``count_tiff_frames``)."""
+    if data[:4] == b"II*\x00":
+        end = "<"
+    elif data[:4] == b"MM\x00*":
+        end = ">"
+    else:
+        raise ImageDecodeError("not a TIFF payload")
+    (offset,) = struct.unpack_from(end + "I", data, 4)
+    seen: set[int] = set()
+    for _ in range(frame):
+        if offset == 0 or offset in seen:
+            raise ImageDecodeError(f"no frame {frame}")
+        seen.add(offset)
+        (n_entries,) = struct.unpack_from(end + "H", data, offset)
+        (offset,) = struct.unpack_from(end + "I", data,
+                                       offset + 2 + 12 * n_entries)
+    if offset == 0 or offset + 2 > len(data):
+        raise ImageDecodeError(f"no frame {frame}")
+    v = _tiff_ifd_values(data, offset, end)
+    try:
+        w, h = v[256][0], v[257][0]
+        strip_offs, strip_cnts = v[273], v[279]
+    except KeyError as e:
+        raise ImageDecodeError(f"missing required TIFF tag {e}") from e
+    compression = v.get(259, [1])[0]
+    if compression != 1:
+        raise ImageDecodeError(f"unsupported TIFF compression {compression}")
+    spp = v.get(277, [1])[0]
+    bits = v.get(258, [8])
+    if spp not in (1, 3) or any(b != 8 for b in bits):
+        raise ImageDecodeError(f"unsupported TIFF spp={spp} bits={bits}")
+    if len(strip_offs) != len(strip_cnts):
+        raise ImageDecodeError("strip offset/count mismatch")
+    raw = bytearray()
+    for off, cnt in zip(strip_offs, strip_cnts):
+        if off + cnt > len(data):
+            raise ImageDecodeError("strip out of bounds")
+        raw += data[off:off + cnt]
+    if len(raw) != w * h * spp:
+        raise ImageDecodeError("pixel data size mismatch")
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+    arr = arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, 3)
+    if v.get(262, [1])[0] == 0:         # WhiteIsZero → invert to common
+        arr = 255 - arr
+    return arr
+
+
 def count_tiff_frames(data: bytes, max_frames: int = 100_000) -> int:
     """Number of IFDs in the TIFF directory chain
     (app/document_processor.py:130-153's n_frames, sans decoder).

@@ -31,6 +31,7 @@ from ..extract.images import (
     ImageDecodeError,
     count_tiff_frames,
     decode_png,
+    decode_tiff,
     pixel_stats,
     sniff_image_format,
 )
@@ -115,7 +116,17 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
             })
         elif fmt == "tiff":
             row["n_frames"] = count_tiff_frames(payload)
-            row["decode_status"] = "metadata_only:no_tiff_decoder"
+            try:
+                stats = pixel_stats(decode_tiff(payload))
+                row.update(stats | {
+                    "decode_status": "ok",
+                    "features": [stats["brightness"], stats["contrast"],
+                                 stats["sharpness"]],
+                })
+            except ImageDecodeError:
+                # compressed/odd-layout TIFF: no LZW/JPEG codec here —
+                # keep the honest metadata-only row
+                row["decode_status"] = "metadata_only:tiff_compression"
         else:  # jpeg/gif: no DCT/LZW codec in this container
             row["decode_status"] = f"no_codec:{fmt}"
     except ImageDecodeError as e:

@@ -205,3 +205,68 @@ def test_media_real_decode_path(spark):
     assert got["junk"]["decode_status"] == "unknown_format"
     assert got["aud1"]["decode_status"] == "unsupported_kind:audio"
     assert got["bad1"]["decode_status"].startswith("corrupted:")
+
+
+def test_tiff_roundtrip_gray():
+    import numpy as np
+
+    from docvault_ocr_service_spark.extract.images import (
+        decode_tiff, encode_tiff_gray)
+
+    f0 = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    f1 = (255 - np.arange(48, dtype=np.uint8)).reshape(6, 8)
+    data = encode_tiff_gray([f0, f1])
+    assert (decode_tiff(data, frame=0) == f0).all()
+    assert (decode_tiff(data, frame=1) == f1).all()
+
+
+def test_tiff_decode_envelope():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from docvault_ocr_service_spark.extract.images import (
+        ImageDecodeError, count_tiff_frames, decode_tiff, encode_tiff_gray,
+        encode_tiff_frames)
+
+    f = np.zeros((4, 4), dtype=np.uint8)
+    data = encode_tiff_gray([f])
+    with pytest.raises(ImageDecodeError):
+        decode_tiff(data, frame=1)           # only one frame
+    # metadata-only fixture (no strips) must fail decode but count fine
+    meta = encode_tiff_frames(3)
+    assert count_tiff_frames(meta) == 3
+    with pytest.raises(ImageDecodeError):
+        decode_tiff(meta)
+    # declared LZW compression -> honest refusal
+    lzw = bytearray(encode_tiff_gray([f]))
+    ifd_off = struct.unpack_from("<I", lzw, 4)[0]
+    for i in range(struct.unpack_from("<H", lzw, ifd_off)[0]):
+        at = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", lzw, at)[0] == 259:
+            struct.pack_into("<HH", lzw, at + 8, 5, 0)   # compression=5
+    with pytest.raises(ImageDecodeError):
+        decode_tiff(bytes(lzw))
+
+
+def test_tiff_media_features(spark):
+    import numpy as np
+
+    from docvault_ocr_service_spark.extract.images import (
+        encode_tiff_frames, encode_tiff_gray)
+    from docvault_ocr_service_spark.functions.multimodal import (
+        extract_media_features)
+
+    pix = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    rows = [("t1", "image", encode_tiff_gray([pix, pix])),
+            ("t2", "image", encode_tiff_frames(4))]
+    media = spark.createDataFrame(rows, ["media_id", "kind", "payload"])
+    got = {r["media_id"]: r for r in
+           extract_media_features(media, fake=False).collect()}
+    assert got["t1"]["decode_status"] == "ok"
+    assert got["t1"]["n_frames"] == 2
+    assert got["t1"]["width"] == 16 and got["t1"]["height"] == 16
+    assert abs(got["t1"]["brightness"] - pix.mean()) < 1e-9
+    assert got["t2"]["decode_status"].startswith("metadata_only")
+    assert got["t2"]["n_frames"] == 4
