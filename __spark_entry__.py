@@ -894,6 +894,44 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrast", 6).alias("contrast"))
 
 
+def thumbnail_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail sink (S8), oracle-checked: deterministic gray PNGs of
+    varying sizes are decoded, thumbnailed through the reference's exact
+    size formula (app/thumbnail_generator.py:155-188 — no upscale,
+    truncating aspect math), and the output dimensions compared against
+    a SQL recomputation."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.extract.images import encode_png
+    from docvault_ocr_service_spark.functions.multimodal import (
+        generate_thumbnails)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_png(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in ids:
+            w = 16 + (int(d) % 50) * 7
+            h = 16 + ((int(d) * 3) % 40) * 5
+            pix = np.fromfunction(
+                lambda y, x: (x + y + int(d)) % 256, (h, w)) \
+                .astype("uint8")
+            out.append(encode_png(pix))
+        return pd.Series(out)
+
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        mk_png(F.col("doc_id")).alias("payload"))
+    thumbs = generate_thumbnails(media, max_size=128)
+    return thumbs.select(
+        F.col("media_id").cast("long").alias("doc_id"), "status",
+        "original_width", "original_height", "width", "height")
+
+
 def warc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC codec invariant, oracle-checked: document texts are encoded
     into per-shard .warc.gz archives (per-record gzip members + HTTP
@@ -1000,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": embedding_near_dups,
         "corpus_extract_stats": corpus_extract_stats,
         "png_pixel_stats": png_pixel_stats,
+        "thumbnail_dims": thumbnail_dims,
         "warc_roundtrip_stats": warc_roundtrip_stats,
         "media_feature_stats": media_feature_stats,
     }

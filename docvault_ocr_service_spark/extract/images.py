@@ -182,6 +182,39 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(h, w, channels)
 
 
+def thumbnail_size(width: int, height: int, max_size: int) -> tuple[int, int]:
+    """Aspect-preserving thumbnail dimensions, value-identical to the
+    reference (app/thumbnail_generator.py:155-188): never upscale;
+    landscape pins width, portrait/square pins height; the free side is
+    ``int()``-truncated (clamped to ≥1 — PIL's thumbnail() does the same
+    for extreme ratios)."""
+    if width <= max_size and height <= max_size:
+        return width, height
+    aspect = width / height
+    if width > height:
+        return max_size, max(int(max_size / aspect), 1)
+    return max(int(max_size * aspect), 1), max_size
+
+
+def resize_box(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Area-average (box) downsample to (th, tw) — the deterministic
+    pure-numpy stand-in for PIL's LANCZOS (semantic, not byte, parity:
+    the size contract is ``thumbnail_size``'s; resampling kernels are
+    codec-library-specific)."""
+    src = img.astype(np.float64)
+    h, w = src.shape[:2]
+    ri = (np.arange(th) * h) // th
+    ci = (np.arange(tw) * w) // tw
+    rows = np.add.reduceat(src, ri, axis=0)
+    cells = np.add.reduceat(rows, ci, axis=1)
+    rcnt = np.diff(np.append(ri, h)).astype(np.float64)
+    ccnt = np.diff(np.append(ci, w)).astype(np.float64)
+    counts = np.outer(rcnt, ccnt)
+    if src.ndim == 3:
+        counts = counts[..., None]
+    return np.clip(np.rint(cells / counts), 0, 255).astype(np.uint8)
+
+
 def to_grayscale(img: np.ndarray) -> np.ndarray:
     """Luma grayscale (ITU-R 601, what PIL's convert('L') uses)."""
     if img.ndim == 2:

@@ -161,6 +161,75 @@ def decode_media_batches(fake: bool):
     return kernel
 
 
+THUMBNAIL_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("status", T.StringType(), True),
+    T.StructField("original_width", T.IntegerType(), True),
+    T.StructField("original_height", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("thumb_png", T.BinaryType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+])
+
+
+def generate_thumbnails(df: DataFrame, max_size: int = 128) -> DataFrame:
+    """The thumbnail sink (app/thumbnail_generator.py:82-188) as a map
+    stage: decode (PNG / uncompressed TIFF) → aspect-preserving
+    ``thumbnail_size`` (value-identical to the reference's formula) →
+    box downsample → PNG bytes out.  Undecodable payloads come back with
+    an honest status, never a task failure.  RGBA thumbnails drop alpha
+    (the reference's JPEG path flattens too)."""
+    from ..extract.images import (
+        decode_tiff,
+        encode_png,
+        resize_box,
+        thumbnail_size,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in THUMBNAIL_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {c: None for c in cols}
+                row["media_id"] = media_id
+                try:
+                    fmt = sniff_image_format((payload or b"")[:8])
+                    if fmt == "png":
+                        img = decode_png(payload)
+                    elif fmt == "tiff":
+                        img = decode_tiff(payload)
+                    else:
+                        row["status"] = f"no_codec:{fmt}"
+                        rows.append(row)
+                        continue
+                    if img.ndim == 3 and img.shape[2] == 4:
+                        img = img[..., :3]
+                    elif img.ndim == 3 and img.shape[2] == 2:
+                        img = img[..., 0]
+                    oh, ow = img.shape[:2]
+                    tw, th = thumbnail_size(ow, oh, max_size)
+                    thumb = (img if (tw, th) == (ow, oh)
+                             else resize_box(img, tw, th))
+                    png = encode_png(thumb)
+                    row.update({
+                        "status": "ok",
+                        "original_width": ow, "original_height": oh,
+                        "width": tw, "height": th,
+                        "thumb_png": png, "n_bytes": len(png),
+                    })
+                except ImageDecodeError as e:
+                    row["status"] = f"corrupted:{e}"
+                except Exception as e:  # noqa: BLE001
+                    row["status"] = f"unexpected:{type(e).__name__}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload") \
+        .mapInPandas(kernel, schema=THUMBNAIL_SCHEMA)
+
+
 def extract_media_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
     """MEDIA_SCHEMA DataFrame → FEATURE_SCHEMA DataFrame.
 

@@ -582,6 +582,32 @@ SELECT * FROM (VALUES
 ) AS t(status, source, category, n_docs)
 """
 
+    # thumbnail size contract (app/thumbnail_generator.py:155-188): no
+    # upscale; landscape pins width, portrait/square pins height;
+    # int-truncated free side clamped to >= 1
+    oracles["thumbnail_dims"] = """
+WITH d AS (
+  SELECT doc_id,
+         16 + (doc_id % 50) * 7 AS ow,
+         16 + ((doc_id * 3) % 40) * 5 AS oh
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, 'ok' AS status,
+       CAST(ow AS INT) AS original_width,
+       CAST(oh AS INT) AS original_height,
+       CAST(CASE WHEN ow <= 128 AND oh <= 128 THEN ow
+                 WHEN ow > oh THEN 128
+                 ELSE greatest(CAST(floor(
+                   128 * (ow::DOUBLE / oh::DOUBLE)) AS INT), 1)
+            END AS INT) AS width,
+       CAST(CASE WHEN ow <= 128 AND oh <= 128 THEN oh
+                 WHEN ow > oh THEN greatest(CAST(floor(
+                   128 / (ow::DOUBLE / oh::DOUBLE)) AS INT), 1)
+                 ELSE 128
+            END AS INT) AS height
+FROM d
+"""
+
     # WARC round-trip: encode→parse must preserve every record, so both
     # counters equal the slice's row count.
     oracles["warc_roundtrip_stats"] = """

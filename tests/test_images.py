@@ -270,3 +270,62 @@ def test_tiff_media_features(spark):
     assert abs(got["t1"]["brightness"] - pix.mean()) < 1e-9
     assert got["t2"]["decode_status"].startswith("metadata_only")
     assert got["t2"]["n_frames"] == 4
+
+
+def test_thumbnail_size_reference_formula():
+    from docvault_ocr_service_spark.extract.images import thumbnail_size
+
+    assert thumbnail_size(100, 100, 128) == (100, 100)   # no upscale
+    assert thumbnail_size(128, 128, 128) == (128, 128)
+    assert thumbnail_size(256, 128, 128) == (128, 64)    # landscape
+    assert thumbnail_size(128, 256, 128) == (64, 128)    # portrait
+    assert thumbnail_size(200, 200, 128) == (128, 128)   # square -> else
+    assert thumbnail_size(300, 200, 128) == (128, 85)    # int truncation
+    assert thumbnail_size(10000, 20, 128) == (128, 1)    # clamp >= 1
+
+
+def test_resize_box_preserves_mean():
+    import numpy as np
+
+    from docvault_ocr_service_spark.extract.images import resize_box
+
+    img = np.fromfunction(lambda y, x: (x + 2 * y) % 256,
+                          (200, 300)).astype(np.uint8)
+    t = resize_box(img, 60, 40)
+    assert t.shape == (40, 60)
+    assert abs(float(t.mean()) - float(img.mean())) < 2.0
+    rgb = np.dstack([img, img // 2, img // 3])
+    t3 = resize_box(rgb, 30, 20)
+    assert t3.shape == (20, 30, 3)
+
+
+def test_generate_thumbnails_spark(spark):
+    import numpy as np
+
+    from docvault_ocr_service_spark.extract.images import (
+        decode_png, encode_png, encode_tiff_gray)
+    from docvault_ocr_service_spark.functions.multimodal import (
+        generate_thumbnails)
+
+    big = np.fromfunction(lambda y, x: (x + y) % 256,
+                          (200, 400)).astype(np.uint8)
+    small = np.zeros((10, 12), dtype=np.uint8)
+    rows = [("p", encode_png(big)),
+            ("t", encode_tiff_gray([big])),
+            ("s", encode_png(small)),
+            ("j", b"\xff\xd8\xff\xe0 fake jpeg"),
+            ("x", b"\x89PNG\r\n\x1a\ntruncated")]
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    got = {r["media_id"]: r for r in
+           generate_thumbnails(media, max_size=128).collect()}
+    for mid in ("p", "t"):
+        r = got[mid]
+        assert r["status"] == "ok"
+        assert (r["original_width"], r["original_height"]) == (400, 200)
+        assert (r["width"], r["height"]) == (128, 64)
+        thumb = decode_png(bytes(r["thumb_png"]))
+        assert thumb.shape == (64, 128)
+        assert abs(float(thumb.mean()) - float(big.mean())) < 3.0
+    assert (got["s"]["width"], got["s"]["height"]) == (12, 10)  # no upscale
+    assert got["j"]["status"] == "no_codec:jpeg"
+    assert got["x"]["status"].startswith("corrupted:")
