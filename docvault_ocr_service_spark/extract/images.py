@@ -413,3 +413,213 @@ def count_tiff_frames(data: bytes, max_frames: int = 100_000) -> int:
         (offset,) = struct.unpack_from(u32, data, next_at)
         frames += 1
     return frames
+
+
+# -- GIF ----------------------------------------------------------------------
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``pos``."""
+    out = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ImageDecodeError("truncated GIF sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        if pos + n > len(data):
+            raise ImageDecodeError("truncated GIF sub-block")
+        out += data[pos:pos + n]
+        pos += n
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-flavor LZW: LSB-first variable-width codes, CLEAR/EOI,
+    table capped at 4096 entries."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out[:n_pixels])
+            if prev is None:
+                if code >= len(table):
+                    raise ImageDecodeError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            else:
+                raise ImageDecodeError("LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return bytes(out[:n_pixels])
+    if len(out) < n_pixels:
+        raise ImageDecodeError("LZW stream ended early")
+    return bytes(out[:n_pixels])
+
+
+def _deinterlace(idx: np.ndarray) -> np.ndarray:
+    h = idx.shape[0]
+    order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+             + [*range(2, h, 4)] + [*range(1, h, 2)])
+    out = np.empty_like(idx)
+    out[order] = idx
+    return out
+
+
+def decode_gif(data: bytes, frame: int = 0) -> np.ndarray:
+    """GIF87a/89a frame → (H,W,3) uint8 via a pure-Python LZW decoder.
+    Frames are decoded standalone (no animation compositing — each
+    frame's own rectangle and palette), which is what feature extraction
+    and thumbnailing need."""
+    if data[:6] not in GIF_MAGICS:
+        raise ImageDecodeError("missing GIF signature")
+    if len(data) < 13:
+        raise ImageDecodeError("truncated GIF header")
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = np.frombuffer(data[pos:pos + n], dtype=np.uint8) \
+            .reshape(-1, 3)
+        pos += n
+    seen = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:                       # trailer
+            break
+        if block == 0x21:                       # extension
+            pos += 1                            # label
+            _, pos = _gif_subblocks(data, pos)
+            continue
+        if block != 0x2C:
+            raise ImageDecodeError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ImageDecodeError("truncated image descriptor")
+        w, h = struct.unpack_from("<HH", data, pos + 4)
+        ipacked = data[pos + 8]
+        pos += 9
+        lct = None
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            lct = np.frombuffer(data[pos:pos + n], dtype=np.uint8) \
+                .reshape(-1, 3)
+            pos += n
+        if pos >= len(data):
+            raise ImageDecodeError("truncated GIF image data")
+        min_code = data[pos]
+        pos += 1
+        lzw, pos = _gif_subblocks(data, pos)
+        if seen == frame:
+            if not 2 <= min_code <= 8:
+                raise ImageDecodeError(f"bad LZW min code {min_code}")
+            palette = lct if lct is not None else gct
+            if palette is None:
+                raise ImageDecodeError("GIF frame without a color table")
+            idx = np.frombuffer(
+                _lzw_decode(lzw, min_code, w * h), dtype=np.uint8) \
+                .reshape(h, w)
+            if ipacked & 0x40:
+                idx = _deinterlace(idx)
+            return palette[np.minimum(idx, len(palette) - 1)]
+        seen += 1
+    raise ImageDecodeError(f"no frame {frame}")
+
+
+def count_gif_frames(data: bytes) -> int:
+    """Number of image descriptors in a GIF (animation frame count)."""
+    if data[:6] not in GIF_MAGICS:
+        raise ImageDecodeError("missing GIF signature")
+    packed = data[10] if len(data) > 10 else 0
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    frames = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 1
+            _, pos = _gif_subblocks(data, pos)
+            continue
+        if block != 0x2C:
+            raise ImageDecodeError(f"unknown GIF block 0x{block:02x}")
+        ipacked = data[pos + 8] if pos + 9 <= len(data) else 0
+        pos += 9
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        pos += 1                                # LZW min code size
+        _, pos = _gif_subblocks(data, pos)
+        frames += 1
+    return frames
+
+
+def encode_gif_gray(frames: list[np.ndarray]) -> bytes:
+    """8-bit gray frames → GIF89a with a 256-gray palette, written with
+    the classic "uncompressed LZW" trick (literal codes + a CLEAR before
+    the table would widen past 9 bits) — fixture writer proving
+    ``decode_gif`` round-trips."""
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not arrs or any(a.ndim != 2 for a in arrs):
+        raise ValueError("encode_gif_gray takes (H,W) uint8 frames")
+    w0, h0 = arrs[0].shape[1], arrs[0].shape[0]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w0, h0, 0x80 | 0x07, 0, 0)  # GCT 256
+    out += bytes(v for g in range(256) for v in (g, g, g))
+    for a in arrs:
+        h, w = a.shape
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x08"                          # LZW min code size
+        clear, eoi = 256, 257
+        codes = []
+        for i, px in enumerate(a.tobytes()):
+            if i % 254 == 0:
+                codes.append(clear)
+            codes.append(px)
+        codes.append(eoi)
+        acc = bits = 0
+        payload = bytearray()
+        for code in codes:                      # constant 9-bit width
+            acc |= code << bits
+            bits += 9
+            while bits >= 8:
+                payload.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            payload.append(acc & 0xFF)
+        for i in range(0, len(payload), 255):
+            chunk = payload[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

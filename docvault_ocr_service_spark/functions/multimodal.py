@@ -5,11 +5,12 @@ struct, processed by ``mapInPandas`` stages.  The image path is REAL:
 PNG payloads decode through the pure-Python codec in
 ``extract/images.py`` (zlib inflate + scanline unfiltering) and emit the
 reference's quality metrics (brightness/contrast/sharpness —
-``/root/reference/app/ocr_service.py:100-133``); TIFF payloads get IFD
-frame counts (``app/document_processor.py:130-153``).  JPEG/GIF decode
-needs a DCT/LZW codec this container does not ship, and audio/video need
-ffmpeg — those rows come back with ``decode_status`` explaining why,
-never a task failure.  ``fake=True`` keeps the deterministic byte-stat
+``/root/reference/app/ocr_service.py:100-133``); GIFs decode through a
+pure-Python LZW decoder (multi-frame aware); uncompressed TIFFs decode
+from strips, compressed ones keep IFD frame counts
+(``app/document_processor.py:130-153``).  JPEG needs a DCT codec this
+container does not ship, and audio/video need ffmpeg — those rows come
+back with ``decode_status`` explaining why, never a task failure.  ``fake=True`` keeps the deterministic byte-stat
 path for plumbing tests.
 
 The reference's analogue is the thumbnail sink
@@ -29,7 +30,9 @@ from pyspark.sql import types as T
 
 from ..extract.images import (
     ImageDecodeError,
+    count_gif_frames,
     count_tiff_frames,
+    decode_gif,
     decode_png,
     decode_tiff,
     pixel_stats,
@@ -124,10 +127,18 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
                                  stats["sharpness"]],
                 })
             except ImageDecodeError:
-                # compressed/odd-layout TIFF: no LZW/JPEG codec here —
-                # keep the honest metadata-only row
+                # compressed/odd-layout TIFF: no TIFF-LZW/JPEG codec
+                # here — keep the honest metadata-only row
                 row["decode_status"] = "metadata_only:tiff_compression"
-        else:  # jpeg/gif: no DCT/LZW codec in this container
+        elif fmt == "gif":
+            row["n_frames"] = count_gif_frames(payload)
+            stats = pixel_stats(decode_gif(payload))
+            row.update(stats | {
+                "decode_status": "ok",
+                "features": [stats["brightness"], stats["contrast"],
+                             stats["sharpness"]],
+            })
+        else:  # jpeg: no DCT codec in this container
             row["decode_status"] = f"no_codec:{fmt}"
     except ImageDecodeError as e:
         row["decode_status"] = f"corrupted:{e}"
@@ -200,6 +211,8 @@ def generate_thumbnails(df: DataFrame, max_size: int = 128) -> DataFrame:
                         img = decode_png(payload)
                     elif fmt == "tiff":
                         img = decode_tiff(payload)
+                    elif fmt == "gif":
+                        img = decode_gif(payload)
                     else:
                         row["status"] = f"no_codec:{fmt}"
                         rows.append(row)
