@@ -70,3 +70,77 @@ def test_metadata_total_and_sorted(text):
     assert len(md["dates"]) == len(md["date_contexts"])
     assert len(md["amounts"]) == len(md["amount_labels"])
     assert len(md["names"]) == len(md["name_contexts"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1),
+       st.sampled_from(["gray", "rgb"]))
+def test_png_roundtrip_random(h, w, seed, mode):
+    import numpy as np
+
+    from docvault_ocr_service_spark.extract.images import (
+        decode_png, encode_png)
+
+    rng = np.random.RandomState(seed % (2**31))
+    shape = (h, w) if mode == "gray" else (h, w, 3)
+    pix = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    assert (decode_png(encode_png(pix)) == pix).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**31 - 1),
+       st.integers(1, 3))
+def test_tiff_gif_roundtrip_random(h, w, seed, n_frames):
+    import numpy as np
+
+    from docvault_ocr_service_spark.extract.images import (
+        count_gif_frames, count_tiff_frames, decode_gif, decode_tiff,
+        encode_gif_gray, encode_tiff_gray)
+
+    rng = np.random.RandomState(seed)
+    frames = [rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+              for _ in range(n_frames)]
+    tif = encode_tiff_gray(frames)
+    assert count_tiff_frames(tif) == n_frames
+    for k, f in enumerate(frames):
+        assert (decode_tiff(tif, frame=k) == f).all()
+    gif = encode_gif_gray(frames)
+    assert count_gif_frames(gif) == n_frames
+    for k, f in enumerate(frames):
+        assert (decode_gif(gif, frame=k)[..., 0] == f).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.text(min_size=1, max_size=40).map(
+           lambda s: "https://x/" + "".join(c for c in s if ord(c) > 32)),
+       st.binary(max_size=300)), min_size=1, max_size=8),
+       st.booleans())
+def test_warc_roundtrip_random(pairs, gz):
+    from datetime import datetime, timezone
+
+    from docvault_ocr_service_spark.sources.warc import (
+        encode_warc, parse_warc)
+
+    ts = datetime(2023, 7, 1, tzinfo=timezone.utc)
+    recs = [{"url": u, "warc_ts": ts, "html": b} for u, b in pairs]
+    got = list(parse_warc(encode_warc(recs, gzip_members=gz)))
+    assert [r["html"] for r in got] == [b for _, b in pairs]
+    assert [r["url"] for r in got] == [u for u, _ in pairs]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(max_size=400))
+def test_image_sniff_and_decode_total(payload):
+    """Decoders are total: anything that sniffs as an image either
+    decodes or raises ImageDecodeError — never any other exception."""
+    from docvault_ocr_service_spark.extract.images import (
+        ImageDecodeError, decode_gif, decode_png, decode_tiff,
+        sniff_image_format)
+
+    fmt = sniff_image_format(payload[:8])
+    for dec, want in ((decode_png, "png"), (decode_tiff, "tiff"),
+                      (decode_gif, "gif")):
+        try:
+            dec(payload)
+        except ImageDecodeError:
+            pass
