@@ -36,6 +36,12 @@ class ImageDecodeError(ValueError):
     """Payload is not an image this engine can decode."""
 
 
+class UnsupportedImageError(ImageDecodeError):
+    """Structurally valid image, but a variant outside this engine's
+    codec envelope (progressive JPEG, 16-bit PNG, compressed TIFF…) —
+    callers should label it unsupported, not corrupted."""
+
+
 def sniff_image_format(head: bytes) -> str | None:
     """PNG/JPEG/TIFF/GIF magic-byte sniff (document_processor.py:84-93)."""
     if head.startswith(PNG_MAGIC[:4]):

@@ -8,9 +8,11 @@ reference's quality metrics (brightness/contrast/sharpness —
 ``/root/reference/app/ocr_service.py:100-133``); GIFs decode through a
 pure-Python LZW decoder (multi-frame aware); uncompressed TIFFs decode
 from strips, compressed ones keep IFD frame counts
-(``app/document_processor.py:130-153``).  JPEG needs a DCT codec this
-container does not ship, and audio/video need ffmpeg — those rows come
-back with ``decode_status`` explaining why, never a task failure.  ``fake=True`` keeps the deterministic byte-stat
+(``app/document_processor.py:130-153``); baseline JPEGs decode through
+the pure-Python codec in ``extract/jpeg.py`` (Huffman + IDCT + chroma
+upsampling).  Progressive JPEG and audio/video (ffmpeg) remain outside
+the envelope — those rows come back with ``decode_status`` explaining
+why, never a task failure.  ``fake=True`` keeps the deterministic byte-stat
 path for plumbing tests.
 
 The reference's analogue is the thumbnail sink
@@ -30,6 +32,7 @@ from pyspark.sql import types as T
 
 from ..extract.images import (
     ImageDecodeError,
+    UnsupportedImageError,
     count_gif_frames,
     count_tiff_frames,
     decode_gif,
@@ -138,8 +141,20 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
                 "features": [stats["brightness"], stats["contrast"],
                              stats["sharpness"]],
             })
-        else:  # jpeg: no DCT codec in this container
+        elif fmt == "jpeg":
+            from ..extract.jpeg import decode_jpeg
+
+            stats = pixel_stats(decode_jpeg(payload))
+            row.update(stats | {
+                "n_frames": 1,
+                "decode_status": "ok",
+                "features": [stats["brightness"], stats["contrast"],
+                             stats["sharpness"]],
+            })
+        else:  # unreachable: all sniffed formats handled above
             row["decode_status"] = f"no_codec:{fmt}"
+    except UnsupportedImageError as e:
+        row["decode_status"] = f"unsupported:{e}"
     except ImageDecodeError as e:
         row["decode_status"] = f"corrupted:{e}"
     except Exception as e:  # noqa: BLE001 — poison payload ≠ dead task
@@ -213,6 +228,10 @@ def generate_thumbnails(df: DataFrame, max_size: int = 128) -> DataFrame:
                         img = decode_tiff(payload)
                     elif fmt == "gif":
                         img = decode_gif(payload)
+                    elif fmt == "jpeg":
+                        from ..extract.jpeg import decode_jpeg
+
+                        img = decode_jpeg(payload)
                     else:
                         row["status"] = f"no_codec:{fmt}"
                         rows.append(row)
