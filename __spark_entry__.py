@@ -894,6 +894,40 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrast", 6).alias("contrast"))
 
 
+def jpeg_flat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG codec under the driver gate: a flat-color image's DC
+    quantization error at quality 85 is < 0.5/pixel, so encode→decode is
+    EXACT — brightness equals the color and contrast is 0, per doc."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.extract.jpeg import encode_jpeg
+    from docvault_ocr_service_spark.functions.multimodal import (
+        extract_media_features)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_jpeg(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series([
+            encode_jpeg(np.full((16, 24), (int(d) * 13) % 256,
+                                dtype=np.uint8), quality=85)
+            for d in ids])
+
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        mk_jpeg(F.col("doc_id")).alias("payload"))
+    feats = extract_media_features(media, fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "decode_status", "width", "height",
+        F.round("brightness", 6).alias("brightness"),
+        F.round("contrast", 6).alias("contrast"))
+
+
 def thumbnail_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail sink (S8), oracle-checked: deterministic gray PNGs of
     varying sizes are decoded, thumbnailed through the reference's exact
@@ -1038,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": embedding_near_dups,
         "corpus_extract_stats": corpus_extract_stats,
         "png_pixel_stats": png_pixel_stats,
+        "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
         "thumbnail_dims": thumbnail_dims,
         "warc_roundtrip_stats": warc_roundtrip_stats,
         "media_feature_stats": media_feature_stats,

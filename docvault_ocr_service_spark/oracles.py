@@ -582,6 +582,16 @@ SELECT * FROM (VALUES
 ) AS t(status, source, category, n_docs)
 """
 
+    # JPEG flat-color exact round-trip: DC quantization error at q85 is
+    # < 0.5/pixel, so decode reproduces the constant exactly
+    oracles["jpeg_flat_roundtrip"] = """
+SELECT doc_id, 'ok' AS decode_status,
+       CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST((doc_id * 13) % 256 AS DOUBLE) AS brightness,
+       0.0 AS contrast
+FROM documents WHERE doc_id < 200
+"""
+
     # thumbnail size contract (app/thumbnail_generator.py:155-188): no
     # upscale; landscape pins width, portrait/square pins height;
     # int-truncated free side clamped to >= 1
