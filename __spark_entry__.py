@@ -673,6 +673,40 @@ def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean_text").cast("long").alias("clean_chars"))
 
 
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition metrics over composed
+    multi-line pages (duplicated body line + a repeated-word tail);
+    oracle reruns the same explode/groupBy pipeline in SQL."""
+    from docvault_ocr_service_spark.functions.textstats import (
+        repetition_signals)
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") < 200) & F.col("text").isNotNull())
+            .select("doc_id",
+                    F.concat(F.col("text"), F.lit("\n"), F.col("text"),
+                             F.lit("\ntail tail tail "),
+                             F.col("doc_id").cast("string"))
+                    .alias("text")))
+    out = repetition_signals(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"))
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/contamination.py): corpus
+    docs sharing any word 8-gram with a benchmark slice, oracle-checked
+    via list_intersect over the same gram sets."""
+    from docvault_ocr_service_spark.operators.contamination import (
+        ngram_contamination)
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300) \
+        .select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    return ngram_contamination(docs, bench, "doc_id", "text", n=8)
+
+
 def minhash_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant: incremental dedup against a persisted signature index
     drops EVERY re-crawled copy — an identical text has an identical
@@ -1061,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": minhash_recall,
         "simhash_recall": simhash_recall,
         "minhash_incremental_recall": minhash_incremental_recall,
+        "benchmark_contamination": benchmark_contamination,
+        "doc_repetition_stats": doc_repetition_stats,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "knn_bruteforce": knn_bruteforce,
         "knn_lsh": knn_lsh,

@@ -184,3 +184,61 @@ def nfc_normalize_text(text: Column) -> Column:
                      if t is not None else None)
 
     return _nfc(text)
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Non-distinct lowercase word n-grams (counting variant of
+    dedup.word_shingles — repetition metrics need multiplicities)."""
+    toks = F.split(F.btrim(F.lower(text)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1)
+                                                  .cast("int"))
+                                     for j in range(n)]),
+    )
+    return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(df: DataFrame, id_col: str,
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-flavor within-document repetition metrics:
+
+    - ``dup_line_frac`` — fraction of line characters belonging to lines
+      that occur more than once within the document;
+    - ``top_bigram_frac`` — occurrences of the document's most frequent
+      word 2-gram over all 2-gram occurrences.
+
+    Pure explode/groupBy composition (two keyed shuffles, map-side
+    partial aggregation); docs with no lines/bigrams report 0.0.
+    """
+    base = df.select(F.col(id_col).alias("__doc"), F.col(text_col))
+
+    lines = base.where(F.col(text_col).isNotNull()).select(
+        "__doc", F.explode(F.split(F.col(text_col), "\n")).alias("__line"))
+    per_line = (lines.groupBy("__doc", "__line")
+                .agg(F.count("*").alias("__c"))
+                .select("__doc", "__c",
+                        (F.length("__line") * F.col("__c"))
+                        .alias("__chars")))
+    line_stats = per_line.groupBy("__doc").agg(
+        (F.sum(F.when(F.col("__c") > 1, F.col("__chars")).otherwise(0))
+         / F.greatest(F.sum("__chars"), F.lit(1)).cast("double"))
+        .alias("dup_line_frac"))
+
+    bigrams = base.where(F.col(text_col).isNotNull()).select(
+        "__doc", F.explode(word_ngrams(F.col(text_col), 2)).alias("__g"))
+    per_gram = bigrams.groupBy("__doc", "__g").agg(
+        F.count("*").alias("__c"))
+    gram_stats = per_gram.groupBy("__doc").agg(
+        (F.max("__c") / F.sum("__c").cast("double"))
+        .alias("top_bigram_frac"))
+
+    return (base.select("__doc")
+            .join(line_stats, "__doc", "left")
+            .join(gram_stats, "__doc", "left")
+            .select(F.col("__doc").alias(id_col),
+                    F.coalesce("dup_line_frac", F.lit(0.0))
+                     .alias("dup_line_frac"),
+                    F.coalesce("top_bigram_frac", F.lit(0.0))
+                     .alias("top_bigram_frac")))

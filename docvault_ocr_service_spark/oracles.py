@@ -539,6 +539,73 @@ SELECT d.doc_id, md5(coalesce(r.clean_text, '')) AS clean_md5,
 FROM d LEFT JOIN r USING (doc_id)
 """
 
+    # repetition metrics recomputed from scratch over the same composed
+    # multi-line pages
+    oracles["doc_repetition_stats"] = """
+WITH d AS (
+  SELECT doc_id,
+         text || chr(10) || text || chr(10) || 'tail tail tail '
+           || doc_id AS t
+  FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+), l AS (
+  SELECT doc_id, u.line
+  FROM d, LATERAL unnest(string_split(t, chr(10))) AS u(line)
+), pl AS (
+  SELECT doc_id, count(*) AS c, len(line) * count(*) AS chars
+  FROM l GROUP BY doc_id, line
+), ls AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN chars ELSE 0 END)::DOUBLE
+           / greatest(sum(chars), 1) AS dup_line_frac
+  FROM pl GROUP BY doc_id
+), tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(t) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(t)), '\\s+')
+         END AS toks
+  FROM d
+), bg AS (
+  SELECT doc_id, u.g
+  FROM (SELECT doc_id, list_transform(
+          generate_series(1, greatest(len(toks) - 1, 0)),
+          i -> toks[i] || ' ' || toks[i+1]) AS grams FROM tok) g0,
+       LATERAL unnest(grams) AS u(g)
+), pg AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+), gs AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac
+  FROM pg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(ls.dup_line_frac, 0), 6) AS dup_line_frac,
+       round(coalesce(gs.top_bigram_frac, 0), 6) AS top_bigram_frac
+FROM d LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
+"""
+
+    # decontamination: shared word 8-grams vs a benchmark slice,
+    # recomputed from scratch with list_intersect
+    oracles["benchmark_contamination"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENIZE_LOWER} AS toks
+  FROM documents WHERE doc_id < 300
+), c AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(toks) - 7, 0)),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+         || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+         || toks[i+6] || ' ' || toks[i+7])) AS grams
+  FROM t
+), b AS (
+  SELECT list_distinct(flatten(list(grams))) AS bgrams
+  FROM c WHERE doc_id % 97 = 0
+)
+SELECT doc_id,
+       CAST(len(list_intersect(grams, bgrams))
+            AS BIGINT) AS n_contaminated_grams
+FROM c CROSS JOIN b
+WHERE len(list_intersect(grams, bgrams)) > 0
+"""
+
     # incremental dedup: every re-crawled copy collides with its index
     # row (identical signature ⇒ identical band keys) and is dropped
     oracles["minhash_incremental_recall"] = """

@@ -94,3 +94,43 @@ def test_iceberg_store_requires_catalog(spark):
 
     with _pytest.raises(RuntimeError, match="Iceberg"):
         IcebergCheckpointStore(spark, "cp", "res")
+
+
+def test_repetition_signals(spark):
+    from docvault_ocr_service_spark.functions.textstats import (
+        repetition_signals)
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa\nbbbb\naaaa"),        # 8 of 12 chars in dup lines
+         (2, "one two one two one"),     # 'one two' x2 of 4 bigrams
+         (3, "all distinct words here"),
+         (4, None),
+         (5, "")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           repetition_signals(docs, "doc_id", "text").collect()}
+    assert abs(got[1]["dup_line_frac"] - 8 / 12) < 1e-9
+    assert abs(got[2]["top_bigram_frac"] - 2 / 4) < 1e-9
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 1 / 3   # all bigrams unique
+    assert got[4]["dup_line_frac"] == 0.0       # null text -> zeros
+    assert got[5]["top_bigram_frac"] == 0.0
+
+
+def test_ngram_contamination_and_decontaminate(spark):
+    from docvault_ocr_service_spark.operators.contamination import (
+        decontaminate, ngram_contamination)
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "a completely unrelated sentence about spark shuffles"),
+         (3, "quick brown fox jumps over the lazy dog tonight again")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog",)], ["text"])
+    hits = {r["doc_id"]: r["n_contaminated_grams"] for r in
+            ngram_contamination(corpus, bench, "doc_id", "text",
+                                n=8).collect()}
+    assert 1 in hits and 3 in hits and 2 not in hits
+    clean = decontaminate(corpus, bench, "doc_id", "text", n=8)
+    assert {r["doc_id"] for r in clean.collect()} == {2}
