@@ -673,6 +673,18 @@ def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean_text").cast("long").alias("clean_chars"))
 
 
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced inspection set: exactly 3 docs per source, chosen by
+    md5-of-id order (deterministic, engine-portable); oracle recomputes
+    with QUALIFY row_number."""
+    from docvault_ocr_service_spark.functions.textstats import (
+        stratified_sample)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(docs, "source",
+                             F.col("doc_id").cast("string"), 3)
+
+
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition metrics over composed
     multi-line pages (duplicated body line + a repeated-word tail);
@@ -1088,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "doc_categories": doc_categories,
         "doc_sample_tenth": doc_sample_tenth,
+        "doc_stratified_sample": doc_stratified_sample,
         "invoice_metadata_from_orders": invoice_metadata_from_orders,
         "categorize_orders_docs": categorize_orders_docs,
         "minhash_dup_pairs": minhash_dup_pairs,

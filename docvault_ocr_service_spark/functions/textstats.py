@@ -242,3 +242,18 @@ def repetition_signals(df: DataFrame, id_col: str,
                      .alias("dup_line_frac"),
                     F.coalesce("top_bigram_frac", F.lit(0.0))
                      .alias("top_bigram_frac")))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, key: Column,
+                      n_per_stratum: int) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
+    is smaller), chosen by md5-of-key order — the deterministic,
+    engine-portable cousin of ``deterministic_sample`` for building
+    balanced eval/inspection sets (per language, per source, per
+    domain).  One shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.md5(key), key)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= n_per_stratum)
+              .drop("__rn"))

@@ -539,6 +539,14 @@ SELECT d.doc_id, md5(coalesce(r.clean_text, '')) AS clean_md5,
 FROM d LEFT JOIN r USING (doc_id)
 """
 
+    # stratified sampling: same md5-of-id order, QUALIFY top-3 per source
+    oracles["doc_stratified_sample"] = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) <= 3
+"""
+
     # repetition metrics recomputed from scratch over the same composed
     # multi-line pages
     oracles["doc_repetition_stats"] = """

@@ -134,3 +134,27 @@ def test_ngram_contamination_and_decontaminate(spark):
     assert 1 in hits and 3 in hits and 2 not in hits
     clean = decontaminate(corpus, bench, "doc_id", "text", n=8)
     assert {r["doc_id"] for r in clean.collect()} == {2}
+
+
+def test_stratified_sample(spark):
+    from docvault_ocr_service_spark.functions.textstats import (
+        stratified_sample)
+
+    rows = [(i, "en" if i % 3 else "pl") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_sample(df, "lang", F.col("doc_id").cast("string"), 5)
+    got = out.collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == 5 and len(by_lang["pl"]) == 5
+    # deterministic across partitionings
+    again = stratified_sample(df.repartition(7), "lang",
+                              F.col("doc_id").cast("string"), 5).collect()
+    assert {(r["doc_id"], r["lang"]) for r in again} == \
+        {(r["doc_id"], r["lang"]) for r in got}
+    # small stratum: returns all of it
+    tiny = spark.createDataFrame([(1, "de")], ["doc_id", "lang"])
+    assert stratified_sample(df.unionByName(tiny), "lang",
+                             F.col("doc_id").cast("string"), 5) \
+        .where(F.col("lang") == "de").count() == 1
