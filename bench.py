@@ -231,7 +231,10 @@ def main() -> None:
                 round(min(eff / hw, 1.0), 3) if hw > 0 else None,
         }
 
-    primary = pairs[f"{SCALE_N}->{SCALE_4N}"]
+    # flat legacy keys track the primary pair; fall back to the first
+    # configured pair when SCALE_PAIRS omits SCALE_N:SCALE_4N
+    primary = pairs.get(f"{SCALE_N}->{SCALE_4N}",
+                        next(iter(pairs.values())))
     extraction = {
         "docs": BENCH_CORPUS_ROWS,
         **{f"docs_per_sec_local{c}": best[c]["docs_per_sec"]

@@ -182,7 +182,9 @@ def decode_png(data: bytes) -> np.ndarray:
     if color_type == 3:
         if palette is None:
             raise ImageDecodeError("palette image without PLTE")
-        return palette[out.reshape(h, w)]
+        # clamp out-of-range indices (corrupt/truncated palettes) like
+        # the GIF path does, instead of leaking IndexError
+        return palette[np.minimum(out.reshape(h, w), len(palette) - 1)]
     if channels == 1:
         return out.reshape(h, w)
     return out.reshape(h, w, channels)
@@ -222,9 +224,12 @@ def resize_box(img: np.ndarray, tw: int, th: int) -> np.ndarray:
 
 
 def to_grayscale(img: np.ndarray) -> np.ndarray:
-    """Luma grayscale (ITU-R 601, what PIL's convert('L') uses)."""
+    """Luma grayscale (ITU-R 601, what PIL's convert('L') uses);
+    gray+alpha images use the gray channel."""
     if img.ndim == 2:
         return img.astype(np.float64)
+    if img.shape[2] == 2:                       # PNG color type 4 (GA)
+        return img[..., 0].astype(np.float64)
     rgb = img[..., :3].astype(np.float64)
     return rgb @ np.array([0.299, 0.587, 0.114])
 
@@ -319,7 +324,16 @@ def encode_tiff_gray(frames: list[np.ndarray]) -> bytes:
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}   # BYTE, SHORT, LONG
 
 
-def _tiff_ifd_values(data: bytes, offset: int, end: str) -> dict[int, list[int]]:
+def _tiff_ifd_values(data: bytes, offset: int,
+                     end: str) -> dict[int, list[int]]:
+    try:
+        return _tiff_ifd_values_unsafe(data, offset, end)
+    except struct.error as e:
+        raise ImageDecodeError(f"truncated IFD: {e}") from e
+
+
+def _tiff_ifd_values_unsafe(data: bytes, offset: int,
+                            end: str) -> dict[int, list[int]]:
     (n_entries,) = struct.unpack_from(end + "H", data, offset)
     values: dict[int, list[int]] = {}
     for i in range(n_entries):
@@ -345,22 +359,26 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
 
     The honest envelope without an LZW/JPEG codec: Compression=1 strips
     only; anything else raises ``ImageDecodeError`` (callers fall back
-    to IFD metadata via ``count_tiff_frames``)."""
+    to IFD metadata via ``count_tiff_frames``).  Truncated IFD chains
+    surface as ImageDecodeError, never struct.error."""
     if data[:4] == b"II*\x00":
         end = "<"
     elif data[:4] == b"MM\x00*":
         end = ">"
     else:
         raise ImageDecodeError("not a TIFF payload")
-    (offset,) = struct.unpack_from(end + "I", data, 4)
-    seen: set[int] = set()
-    for _ in range(frame):
-        if offset == 0 or offset in seen:
-            raise ImageDecodeError(f"no frame {frame}")
-        seen.add(offset)
-        (n_entries,) = struct.unpack_from(end + "H", data, offset)
-        (offset,) = struct.unpack_from(end + "I", data,
-                                       offset + 2 + 12 * n_entries)
+    try:
+        (offset,) = struct.unpack_from(end + "I", data, 4)
+        seen: set[int] = set()
+        for _ in range(frame):
+            if offset == 0 or offset in seen:
+                raise ImageDecodeError(f"no frame {frame}")
+            seen.add(offset)
+            (n_entries,) = struct.unpack_from(end + "H", data, offset)
+            (offset,) = struct.unpack_from(end + "I", data,
+                                           offset + 2 + 12 * n_entries)
+    except struct.error as e:
+        raise ImageDecodeError(f"truncated TIFF: {e}") from e
     if offset == 0 or offset + 2 > len(data):
         raise ImageDecodeError(f"no frame {frame}")
     v = _tiff_ifd_values(data, offset, end)
@@ -412,11 +430,14 @@ def count_tiff_frames(data: bytes, max_frames: int = 100_000) -> int:
         if offset in seen or offset + 2 > len(data) or frames >= max_frames:
             raise ImageDecodeError("malformed IFD chain")
         seen.add(offset)
-        (n_entries,) = struct.unpack_from(u16, data, offset)
-        next_at = offset + 2 + 12 * n_entries
-        if next_at + 4 > len(data):
-            raise ImageDecodeError("truncated IFD")
-        (offset,) = struct.unpack_from(u32, data, next_at)
+        try:
+            (n_entries,) = struct.unpack_from(u16, data, offset)
+            next_at = offset + 2 + 12 * n_entries
+            if next_at + 4 > len(data):
+                raise ImageDecodeError("truncated IFD")
+            (offset,) = struct.unpack_from(u32, data, next_at)
+        except struct.error as e:
+            raise ImageDecodeError(f"truncated IFD: {e}") from e
         frames += 1
     return frames
 

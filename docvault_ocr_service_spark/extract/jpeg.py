@@ -148,7 +148,9 @@ class _BitReader:
                 raise ImageDecodeError("marker inside entropy data")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask to live bits first: an unbounded Python-int accumulator
+        # would copy its whole history on every shift (quadratic decode)
+        self.acc = (((self.acc & ((1 << self.bits) - 1)) << 8) | b)
         self.bits += 8
 
     def read_bit(self) -> int:
@@ -210,10 +212,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ImageDecodeError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:                      # EOI before SOS
             raise ImageDecodeError("no scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue                            # standalone, no length
         (seg_len,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2:pos + seg_len]
         if marker == 0xDB:                      # DQT
@@ -375,6 +382,7 @@ class _BitWriter:
         while self.bits >= 8:
             self.bits -= 8
             b = (self.acc >> self.bits) & 0xFF
+            self.acc &= (1 << self.bits) - 1    # keep the int bounded
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)           # byte stuffing

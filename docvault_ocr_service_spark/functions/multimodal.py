@@ -251,6 +251,8 @@ def generate_thumbnails(df: DataFrame, max_size: int = 128) -> DataFrame:
                         "width": tw, "height": th,
                         "thumb_png": png, "n_bytes": len(png),
                     })
+                except UnsupportedImageError as e:
+                    row["status"] = f"unsupported:{e}"
                 except ImageDecodeError as e:
                     row["status"] = f"corrupted:{e}"
                 except Exception as e:  # noqa: BLE001

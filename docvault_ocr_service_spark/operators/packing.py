@@ -43,16 +43,19 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
     w = (Window.partitionBy(shard_col) if shard_col is not None
          else Window.partitionBy()).orderBy(order)
     n = F.col(tokens_col).cast("long")
+    # `div` is integral division on longs — float division would lose
+    # exactness past 2^53 cumulative tokens, the very scale this targets
     out = (df.where(n > 0)
            .withColumn("start_tok",
                        F.coalesce(F.sum(n).over(
                            w.rowsBetween(Window.unboundedPreceding, -1)),
-                           F.lit(0)))
+                           F.lit(0)).cast("long"))
            .withColumn("first_win",
-                       (F.col("start_tok") / window).cast("long"))
+                       F.expr(f"CAST(start_tok div {int(window)} "
+                              "AS BIGINT)"))
            .withColumn("last_win",
-                       ((F.col("start_tok") + n - 1) / window)
-                       .cast("long")))
+                       F.expr(f"CAST((start_tok + {tokens_col} - 1) "
+                              f"div {int(window)} AS BIGINT)")))
     return out.withColumn(
         "n_windows_spanned",
         (F.col("last_win") - F.col("first_win") + 1).cast("long"))

@@ -120,8 +120,8 @@ def split_http_response(payload: bytes) -> tuple[dict[str, str], bytes]:
     if headers.get("content-encoding", "").lower() in ("gzip", "x-gzip"):
         try:
             body = gzip.decompress(body)
-        except OSError:
-            pass  # mislabeled encoding — keep raw bytes
+        except (OSError, EOFError, zlib.error):
+            pass  # mislabeled/truncated encoding — keep raw bytes
     return headers, body
 
 

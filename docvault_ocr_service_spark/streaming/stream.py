@@ -209,33 +209,48 @@ def stream_dedup(spark: SparkSession, input_dir: str, index_dir: str,
     treated as duplicates of each other — drop empties upstream if that
     is not wanted.
     """
-    from ..operators.dedup import minhash_dedup_incremental
-
     pages = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        docs = batch_df.withColumn("__doc", F.xxhash64("url"))
-        try:
-            index = s.read.parquet(index_dir).select("doc", "signature")
-        except Exception:  # noqa: BLE001 — first batch: no index yet
-            index = None
-        uniq_sigs, _pairs = minhash_dedup_incremental(
-            docs, index, "__doc", "text", min_jaccard=min_jaccard)
-        uniq_sigs = uniq_sigs.persist()
-        try:
-            kept = docs.join(
-                uniq_sigs.select(F.col("doc").alias("__doc")),
-                "__doc", "left_semi").drop("__doc")
-            kept.write.mode("overwrite").parquet(
-                f"{output_dir}/batch={batch_id}")
-            uniq_sigs.write.mode("overwrite").parquet(
-                f"{index_dir}/batch={batch_id}")
-        finally:
-            uniq_sigs.unpersist()
+        _stream_dedup_batch(batch_df, batch_id, index_dir, output_dir,
+                            min_jaccard)
 
     return (pages.writeStream
             .foreachBatch(dedup_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def _stream_dedup_batch(batch_df: DataFrame, batch_id: int,
+                        index_dir: str, output_dir: str,
+                        min_jaccard: float) -> None:
+    """One micro-batch of ``stream_dedup`` (module-level so replay
+    semantics are directly testable)."""
+    from ..operators.dedup import minhash_dedup_incremental
+
+    s = batch_df.sparkSession
+    docs = batch_df.withColumn("__doc", F.xxhash64("url"))
+    try:
+        # CRITICAL replay rule: exclude this batch's own partition — a
+        # replayed batch would otherwise self-match against the rows it
+        # wrote before the crash and overwrite both partitions with
+        # empty data
+        index = (s.read.parquet(index_dir)
+                 .where(F.col("batch") != batch_id)
+                 .select("doc", "signature"))
+    except Exception:  # noqa: BLE001 — first batch: no index yet
+        index = None
+    uniq_sigs, _pairs = minhash_dedup_incremental(
+        docs, index, "__doc", "text", min_jaccard=min_jaccard)
+    uniq_sigs = uniq_sigs.persist()
+    try:
+        kept = docs.join(
+            uniq_sigs.select(F.col("doc").alias("__doc")),
+            "__doc", "left_semi").drop("__doc")
+        kept.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}")
+        uniq_sigs.write.mode("overwrite").parquet(
+            f"{index_dir}/batch={batch_id}")
+    finally:
+        uniq_sigs.unpersist()

@@ -410,3 +410,80 @@ def test_gif_media_and_thumbnail(spark):
                                 max_size=64).first()
     assert thumb["status"] == "ok"
     assert (thumb["width"], thumb["height"]) == (64, 32)
+
+
+# -- code-review regression fixes ----------------------------------------------
+
+def test_ga_png_pixel_stats_ok():
+    """Gray+alpha PNGs (color type 4) must produce stats, not crash."""
+    from docvault_ocr_service_spark.functions.multimodal import _decode_row
+
+    g = _gray(5)
+    ga = np.dstack([g, np.full_like(g, 200)])
+    raw = np.zeros((16, 48), dtype=np.uint8)
+    raw[:, 0::2], raw[:, 1::2] = g, 200
+
+    def chunk(kind, payload):
+        return (struct.pack(">I", len(payload)) + kind + payload
+                + struct.pack(">I", zlib.crc32(kind + payload)))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 24, 16, 8, 4, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(
+                b"".join(b"\x00" + raw[y].tobytes() for y in range(16))))
+            + chunk(b"IEND", b""))
+    assert decode_png(data).shape == (16, 24, 2)
+    row = _decode_row("ga", "image", data)
+    assert row["decode_status"] == "ok"
+    assert abs(row["brightness"] - g.mean()) < 1e-9
+    assert ga.shape == (16, 24, 2)
+
+
+def test_png_out_of_range_palette_clamps():
+    pal = b"\x01\x02\x03\x04\x05\x06"            # 2 entries
+    idx = np.array([[0, 200]], dtype=np.uint8)   # 200 out of range
+
+    def chunk(kind, payload):
+        return (struct.pack(">I", len(payload)) + kind + payload
+                + struct.pack(">I", zlib.crc32(kind + payload)))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", pal)
+            + chunk(b"IDAT", zlib.compress(b"\x00" + idx.tobytes()))
+            + chunk(b"IEND", b""))
+    out = decode_png(data)
+    assert tuple(out[0, 1]) == (4, 5, 6)         # clamped to last entry
+
+
+def test_truncated_tiff_frame_walk_is_decode_error():
+    from docvault_ocr_service_spark.extract.images import (
+        decode_tiff, encode_tiff_gray)
+
+    data = bytearray(encode_tiff_gray([np.zeros((4, 4), dtype=np.uint8)]))
+    data[-4:] = struct.pack("<I", len(data) + 999)  # next IFD past EOF
+    with pytest.raises(ImageDecodeError):
+        decode_tiff(bytes(data), frame=1)
+    with pytest.raises(ImageDecodeError):
+        count_tiff_frames(bytes(data))
+
+
+def test_thumbnail_unsupported_vs_corrupted(spark):
+    import struct as st
+
+    from docvault_ocr_service_spark.extract.jpeg import encode_jpeg
+    from docvault_ocr_service_spark.functions.multimodal import (
+        generate_thumbnails)
+
+    data = bytearray(encode_jpeg(_gray()))
+    pos = 2
+    while data[pos + 1] != 0xC0:
+        pos += 2 + st.unpack_from(">H", data, pos + 2)[0]
+    data[pos + 1] = 0xC2                         # progressive
+    media = spark.createDataFrame(
+        [("prog", bytes(data)), ("trunc", bytes(encode_jpeg(_gray())[:30]))],
+        ["media_id", "payload"])
+    got = {r["media_id"]: r["status"]
+           for r in generate_thumbnails(media).collect()}
+    assert got["prog"].startswith("unsupported:")
+    assert got["trunc"].startswith("corrupted:")

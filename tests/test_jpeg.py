@@ -104,3 +104,30 @@ def test_jpeg_media_and_thumbnail(spark, smooth):
                                 max_size=128).first()
     assert thumb["status"] == "ok"
     assert (thumb["width"], thumb["height"]) == (128, 64)
+
+
+def test_fill_bytes_before_markers(smooth):
+    """T.81 allows any number of 0xFF fill bytes before a marker."""
+    data = encode_jpeg(smooth)
+    # inject fill bytes before the SOF segment
+    import struct as st
+
+    pos = 2
+    while data[pos + 1] != 0xC0:
+        pos += 2 + st.unpack_from(">H", data, pos + 2)[0]
+    padded = data[:pos] + b"\xff\xff\xff" + data[pos:]
+    assert (decode_jpeg(padded) == decode_jpeg(data)).all()
+
+
+def test_decode_scales_linearly_not_quadratically():
+    """The bit accumulator must stay bounded: decoding 4x the pixels
+    should cost ~4x, not ~16x (guards the acc-masking fix)."""
+    import time
+
+    rng = np.random.RandomState(3)
+    small = rng.randint(0, 256, (64, 64), dtype=np.uint8)
+    big = rng.randint(0, 256, (128, 128), dtype=np.uint8)
+    es, eb = encode_jpeg(small, quality=85), encode_jpeg(big, quality=85)
+    t0 = time.monotonic(); decode_jpeg(es); ts = time.monotonic() - t0
+    t0 = time.monotonic(); decode_jpeg(eb); tb = time.monotonic() - t0
+    assert tb < ts * 10                          # quadratic would be ~16x

@@ -178,3 +178,24 @@ def test_stream_dedup_incremental_index(spark, tmp_path):
     assert kept == kept1 | {"https://y/new"}
     # index grew by exactly the kept docs
     assert spark.read.parquet(idx).count() == 3
+
+
+def test_stream_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch must not self-match against the rows it
+    wrote before a crash (would overwrite its partitions with nothing)."""
+    from datetime import datetime
+
+    from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
+    from docvault_ocr_service_spark.streaming.stream import (
+        _stream_dedup_batch)
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [("https://r/1", datetime(2024, 1, 1), None,
+          "some replayed page body words enough for shingles", "en")],
+        schema=INPUT_SCHEMA)
+    _stream_dedup_batch(batch, 0, idx, out, 0.85)
+    first = spark.read.parquet(out).count()
+    _stream_dedup_batch(batch, 0, idx, out, 0.85)   # replay same batch id
+    assert spark.read.parquet(out).count() == first == 1
+    assert spark.read.parquet(idx).count() == 1

@@ -102,3 +102,11 @@ def test_warc_to_extraction(spark, tmp_path):
     res = run_extraction(read_warc(spark, str(tmp_path))).collect()
     assert len(res) == 1 and res[0].status == "done"
     assert "Important invoice content here." in res[0].text
+
+
+def test_truncated_gzip_body_keeps_raw_bytes():
+    """Content-Encoding: gzip with a truncated body must not raise."""
+    gz = gzip.compress(b"full page body", mtime=0)[:10]
+    raw = b"HTTP/1.1 200 OK\r\ncontent-encoding: gzip\r\n\r\n" + gz
+    _, body = split_http_response(raw)
+    assert body == gz                            # raw bytes kept
