@@ -16,8 +16,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
-
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..extract.document import MAX_PAYLOAD_BYTES
@@ -36,10 +35,33 @@ class RunReport:
     failed: int
 
 
+_IMAGE_HEADS_4 = (b"\x89PNG", b"II*\x00", b"MM\x00*", b"GIF8")
+
+
+def is_image_payload(col: Column) -> Column:
+    """Columnar magic-byte image sniff (the JVM-side twin of
+    extract/images.py::sniff_image_format)."""
+    h4 = F.substring(col, 1, 4)
+    h3 = F.substring(col, 1, 3)
+    out = h3 == F.lit(b"\xff\xd8\xff")
+    for magic in _IMAGE_HEADS_4:
+        out = out | (h4 == F.lit(magic))
+    return out
+
+
 def run_extract_job(spark: SparkSession, input_df: DataFrame,
                     state_dir: str, *, n_partitions: int | None = None,
-                    size_threshold: int = 256 * 1024) -> RunReport:
-    """One resumable run over ``input_df`` (INPUT_SCHEMA shape)."""
+                    size_threshold: int = 256 * 1024,
+                    media_dir: str | None = None) -> RunReport:
+    """One resumable run over ``input_df`` (INPUT_SCHEMA shape).
+
+    With ``media_dir`` set, image payloads additionally flow through the
+    real decode path — features to ``media_dir/features/run=<id>`` and
+    thumbnails to ``media_dir/thumbnails/run=<id>`` (run-partitioned
+    overwrite: a retried run rewrites its own partitions, the reference's
+    thumbnail sink made idempotent).  The text-results taxonomy is
+    unchanged: image rows still land as ``unsupported_format:image/*``
+    in the checkpoint (no OCR runtime turns pixels into text)."""
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism
 
@@ -47,6 +69,29 @@ def run_extract_job(spark: SparkSession, input_df: DataFrame,
     run_id = new_run_id()
 
     claimed = store.claimable(input_df)
+
+    if media_dir is not None:
+        from ..functions.multimodal import (
+            extract_media_features,
+            generate_thumbnails,
+        )
+
+        imgs = (claimed.where(F.col("html").isNotNull()
+                              & is_image_payload(F.col("html")))
+                .select(F.col("url").alias("media_id"),
+                        F.lit("image").alias("kind"),
+                        F.col("html").alias("payload"))
+                .persist())
+        try:
+            extract_media_features(imgs, fake=False) \
+                .write.mode("overwrite").parquet(
+                    os.path.join(media_dir, "features", f"run={run_id}"))
+            generate_thumbnails(imgs.select("media_id", "payload")) \
+                .write.mode("overwrite").parquet(
+                    os.path.join(media_dir, "thumbnails",
+                                 f"run={run_id}"))
+        finally:
+            imgs.unpersist()
 
     normal, giants = route_by_size(claimed, n_partitions,
                                    size_threshold=size_threshold)

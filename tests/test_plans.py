@@ -65,3 +65,36 @@ def test_extraction_plan_has_single_map_stage(spark):
     # explicit route_by_size exchanges, and nothing else shuffle-shaped
     assert plan.count("MapInPandas") == 4
     assert plan.count("Exchange") <= 4
+
+
+def test_extract_job_media_branch(spark, tmp_path):
+    """With media_dir set, image payloads get real features + thumbnails
+    while the text-results taxonomy stays unchanged."""
+    from docvault_ocr_service_spark import corpus
+    from docvault_ocr_service_spark.plans.extract_job import (
+        run_extract_job)
+    from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
+
+    state, media = str(tmp_path / "state"), str(tmp_path / "media")
+    df = spark.createDataFrame(corpus.corpus_pdf(200), schema=INPUT_SCHEMA)
+    report = run_extract_job(spark, df, state, media_dir=media)
+    assert report.claimed > 0
+
+    feats = spark.read.parquet(media + "/features")
+    thumbs = spark.read.parquet(media + "/thumbnails")
+    n_images = df.where(
+        "substring(html, 1, 4) IN (X'89504E47', X'49492A00', "
+        "X'4D4D002A') OR substring(html, 1, 3) = X'FFD8FF' "
+        "OR substring(html, 1, 4) = X'47494638'").count()
+    assert feats.count() == n_images > 0
+    assert thumbs.count() == n_images
+    # corpus PNGs are real -> decoded ok with stats; thumbnails too
+    ok = feats.where("decode_status = 'ok'").count()
+    assert ok > 0
+    # image rows still land as unsupported_format in the checkpoint
+    ckpt = spark.read.parquet(state + "/checkpoint")
+    assert ckpt.where(
+        "error_kind LIKE 'unsupported_format:image/%'").count() == n_images
+    # retry of the same run id semantics: second job claims nothing new
+    report2 = run_extract_job(spark, df, state, media_dir=media)
+    assert report2.claimed == 0
