@@ -706,6 +706,52 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("top_bigram_frac", 6).alias("top_bigram_frac"))
 
 
+def image_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: perceptual image dedup (dHash + Hamming pigeonhole
+    blocking) recovers 100% of exact image duplicates — an identical
+    PNG decodes to an identical dHash, so every doubled pair collides
+    at Hamming 0."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.extract.images import encode_png
+    from docvault_ocr_service_spark.functions.multimodal import image_dhash
+    from docvault_ocr_service_spark.operators.dedup import (
+        hamming_near_pairs)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 100)
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_png(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in ids:
+            d = int(d)
+            pix = np.fromfunction(
+                lambda y, x: (x * (d % 7 + 1) + y * (d % 5 + 1) + d) % 256,
+                (16, 16)).astype("uint8")
+            out.append(encode_png(pix))
+        return pd.Series(out)
+
+    base = docs.select("doc_id", mk_png(F.col("doc_id")).alias("payload"))
+    doubled = base.unionByName(
+        base.select((F.col("doc_id") + _SHIFT).alias("doc_id"), "payload"))
+    media = doubled.select(F.col("doc_id").cast("string").alias("media_id"),
+                           "payload")
+    sigs = image_dhash(media).select(F.col("doc").cast("long").alias("doc"),
+                                     "dhash")
+    found = hamming_near_pairs(sigs, max_hamming=2, sig_col="dhash") \
+        .select("a", "b").withColumn("hit", F.lit(1))
+    truth = docs.select(F.col("doc_id").alias("a"),
+                        (F.col("doc_id") + _SHIFT).alias("b"))
+    joined = truth.join(found, ["a", "b"], "left")
+    return joined.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_recovered"),
+    )
+
+
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (operators/contamination.py): corpus
     docs sharing any word 8-gram with a benchmark slice, oracle-checked
@@ -1110,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental_recall": minhash_incremental_recall,
         "benchmark_contamination": benchmark_contamination,
         "doc_repetition_stats": doc_repetition_stats,
+        "image_near_dup_recall": image_near_dup_recall,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "knn_bruteforce": knn_bruteforce,
         "knn_lsh": knn_lsh,

