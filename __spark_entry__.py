@@ -1020,6 +1020,45 @@ def jpeg_flat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrast", 6).alias("contrast"))
 
 
+def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio path under the driver gate: deterministic DC-signal WAVs
+    (amplitude and length keyed on doc_id) parse to exactly-computable
+    sample counts, durations, and mean amplitudes — int16 quantization
+    is floor(a*32767)/32768, reproduced in SQL."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.extract.audio import encode_wav
+    from docvault_ocr_service_spark.functions.multimodal import (
+        extract_media_features)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_wav(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in ids:
+            d = int(d)
+            a = ((d % 16) + 1) / 20.0
+            n = 1000 + d % 50
+            out.append(encode_wav(np.full(n, a), 8000))
+        return pd.Series(out)
+
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        mk_wav(F.col("doc_id")).alias("payload"))
+    feats = extract_media_features(media, fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "decode_status",
+        F.col("n_frames").alias("n_samples"),
+        F.element_at("features", 1).alias("duration_ms"),
+        F.round("brightness", 9).alias("mean_amplitude"))
+
+
 def thumbnail_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail sink (S8), oracle-checked: deterministic gray PNGs of
     varying sizes are decoded, thumbnailed through the reference's exact
@@ -1169,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_extract_stats": corpus_extract_stats,
         "png_pixel_stats": png_pixel_stats,
         "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
+        "wav_audio_stats": wav_audio_stats,
         "thumbnail_dims": thumbnail_dims,
         "warc_roundtrip_stats": warc_roundtrip_stats,
         "media_feature_stats": media_feature_stats,

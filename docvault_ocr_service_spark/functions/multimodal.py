@@ -99,11 +99,13 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
     """The real per-item decode: PNG → pixel stats, TIFF → frame count,
     everything else honestly labeled undecodable."""
     row = _base_row(media_id, kind, payload)
-    if kind != "image":
-        row["decode_status"] = f"unsupported_kind:{kind}"
-        return row
     if not payload:
         row["decode_status"] = "empty_payload"
+        return row
+    if kind == "audio":
+        return _decode_audio_row(row, payload)
+    if kind != "image":
+        row["decode_status"] = f"unsupported_kind:{kind}"
         return row
     fmt = sniff_image_format(payload[:8])
     row["format"] = fmt
@@ -159,6 +161,41 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
         row["decode_status"] = f"corrupted:{e}"
     except Exception as e:  # noqa: BLE001 — poison payload ≠ dead task
         row["decode_status"] = f"unexpected:{type(e).__name__}"
+    return row
+
+
+def _decode_audio_row(row: dict, payload: bytes) -> dict:
+    """WAV/PCM: real duration + amplitude stats (extract/audio.py);
+    compressed audio (mp3/ogg/flac) honestly labeled — no ffmpeg here.
+    Field mapping: n_frames=samples, brightness=mean |amplitude|,
+    contrast=RMS amplitude, features=[duration_ms, sample_rate,
+    channels]."""
+    from ..extract.audio import AudioDecodeError, parse_wav, \
+        sniff_audio_format
+
+    fmt = sniff_audio_format(payload[:12])
+    row["format"] = fmt
+    if fmt is None:
+        row["decode_status"] = "unknown_format"
+        return row
+    if fmt != "wav":
+        row["decode_status"] = f"no_codec:{fmt}"
+        return row
+    try:
+        meta = parse_wav(payload)
+        row.update({
+            "decode_status": "ok",
+            "n_frames": min(meta["n_samples"], 2**31 - 1),
+            "brightness": meta["mean_amplitude"],
+            "contrast": meta["rms_amplitude"],
+            "features": [float(meta["duration_ms"]),
+                         float(meta["sample_rate"]),
+                         float(meta["channels"])],
+        })
+    except UnsupportedImageError as e:
+        row["decode_status"] = f"unsupported:{e}"
+    except AudioDecodeError as e:
+        row["decode_status"] = f"corrupted:{e}"
     return row
 
 
@@ -308,3 +345,82 @@ def image_dhash(df: DataFrame, id_col: str = "media_id",
 
     return df.select(id_col, payload_col) \
         .mapInPandas(kernel, schema=out_schema)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("status", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("brightness", T.DoubleType(), True),
+    T.StructField("frame_png", T.BinaryType(), True),
+])
+
+
+def sample_frames(df: DataFrame, max_frames: int = 4,
+                  id_col: str = "media_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Frame sampling for multi-frame media (animated GIF, multi-page
+    TIFF): up to ``max_frames`` frames per item, evenly spaced across
+    the sequence (always including the first), each re-encoded as PNG —
+    one output row per sampled frame.  Single-frame formats yield their
+    one frame; undecodable payloads yield one row with the reason."""
+    from ..extract.images import (
+        count_gif_frames,
+        count_tiff_frames,
+        decode_gif,
+        decode_png,
+        decode_tiff,
+        encode_png,
+        to_grayscale,
+    )
+    from ..extract.jpeg import decode_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {c: None for c in cols}
+                base["media_id"] = mid
+                try:
+                    fmt = sniff_image_format((payload or b"")[:8])
+                    if fmt == "gif":
+                        n, dec = count_gif_frames(payload), decode_gif
+                    elif fmt == "tiff":
+                        n, dec = count_tiff_frames(payload), decode_tiff
+                    elif fmt == "png":
+                        n, dec = 1, (lambda p, frame=0: decode_png(p))
+                    elif fmt == "jpeg":
+                        n, dec = 1, (lambda p, frame=0: decode_jpeg(p))
+                    else:
+                        rows.append(base | {"status": f"no_codec:{fmt}"})
+                        continue
+                    k = min(max_frames, max(n, 1))
+                    picks = sorted({(i * n) // k for i in range(k)})
+                    for idx in picks:
+                        img = dec(payload, frame=idx)
+                        gray = to_grayscale(img)
+                        if img.ndim == 3 and img.shape[2] in (2, 4):
+                            img = img[..., 0] if img.shape[2] == 2 \
+                                else img[..., :3]
+                        rows.append(base | {
+                            "frame_idx": int(idx), "n_frames": int(n),
+                            "status": "ok",
+                            "width": int(gray.shape[1]),
+                            "height": int(gray.shape[0]),
+                            "brightness": float(gray.mean()),
+                            "frame_png": encode_png(img),
+                        })
+                except ImageDecodeError as e:
+                    rows.append(base | {"status": f"undecodable:{e}"})
+                except Exception as e:  # noqa: BLE001
+                    rows.append(base
+                                | {"status":
+                                   f"unexpected:{type(e).__name__}"})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col) \
+        .mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -673,6 +673,22 @@ SELECT doc_id, 'ok' AS decode_status,
 FROM documents WHERE doc_id < 200
 """
 
+    # WAV audio path: DC-signal fixtures make every statistic exactly
+    # recomputable (int16 quantization = floor(a*32767)/32768)
+    oracles["wav_audio_stats"] = """
+WITH d AS (
+  SELECT doc_id,
+         ((doc_id % 16) + 1) / 20.0 AS a,
+         1000 + doc_id % 50 AS n
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, 'ok' AS decode_status,
+       CAST(n AS INT) AS n_samples,
+       CAST((n * 1000) // 8000 AS DOUBLE) AS duration_ms,
+       round(floor(a * 32767) / 32768, 9) AS mean_amplitude
+FROM d
+"""
+
     # thumbnail size contract (app/thumbnail_generator.py:155-188): no
     # upscale; landscape pins width, portrait/square pins height;
     # int-truncated free side clamped to >= 1

@@ -203,7 +203,7 @@ def test_media_real_decode_path(spark):
     assert got["tif1"]["decode_status"].startswith("metadata_only")
     assert got["jpg1"]["decode_status"].startswith("corrupted:")
     assert got["junk"]["decode_status"] == "unknown_format"
-    assert got["aud1"]["decode_status"] == "unsupported_kind:audio"
+    assert got["aud1"]["decode_status"] == "unknown_format"
     assert got["bad1"]["decode_status"].startswith("corrupted:")
 
 
