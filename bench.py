@@ -134,9 +134,28 @@ def extract_once(cores: int, reps: int = SCALE_REPS) -> dict:
     spark.stop()
     stats, dt = best
     n = stats["n"]
+    # co-measured hardware ceiling: the pure-multiprocessing probe runs
+    # in THIS pinned subprocess, back-to-back with the Spark passes —
+    # same cores, same host-contention window — so normalization cannot
+    # be skewed by contention drifting between phases
+    mp_rate = _mp_probe_here(cores)
     return {"cores": cores, "docs": n, "secs": round(dt, 2),
             "docs_per_sec": round(n / dt, 1),
+            "mp_docs_per_sec": round(mp_rate, 1),
             "extracted_mb_per_sec": round(stats["chars"] / dt / 1e6, 2)}
+
+
+def _mp_probe_here(procs: int, n_docs: int = 8000) -> float:
+    """Pure-multiprocessing extraction rate on the current (already
+    taskset-pinned) CPU budget."""
+    from multiprocessing import Pool
+
+    chunks = [(i * n_docs // 64, (i + 1) * n_docs // 64)
+              for i in range(64)]
+    t0 = time.monotonic()
+    with Pool(procs) as pool:
+        pool.map(_mp_chunk, chunks)
+    return n_docs / (time.monotonic() - t0)
 
 
 def _pinned_extract(cores: int) -> dict:
@@ -148,24 +167,6 @@ def _pinned_extract(cores: int) -> dict:
     out = subprocess.run(cmd, capture_output=True, text=True,
                          timeout=1800, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
-
-
-def _mp_ceiling_probe(levels: tuple[int, int],
-                      n_docs: int = 12000) -> dict[int, float]:
-    """Pure-multiprocessing extraction throughput at each level — the
-    box's intrinsic parallel-scaling ceiling, no Spark involved."""
-    from multiprocessing import Pool
-
-    from docvault_ocr_service_spark import corpus as corpus_mod  # noqa: F401
-
-    chunks = [(i * n_docs // 64, (i + 1) * n_docs // 64) for i in range(64)]
-    rates = {}
-    for procs in levels:
-        t0 = time.monotonic()
-        with Pool(procs) as pool:
-            pool.map(_mp_chunk, chunks)
-        rates[procs] = n_docs / (time.monotonic() - t0)
-    return rates
 
 
 def _mp_chunk(chunk: tuple[int, int]) -> int:
@@ -212,18 +213,16 @@ def main() -> None:
     spark.stop()
 
     # Phase B: pinned warm extraction at every scaling level (timed reps
-    # run inside one subprocess per level — best-of against host noise)
+    # + a co-measured mp hardware probe inside one subprocess per level)
     best: dict[int, dict] = {
         cores: _pinned_extract(cores) for cores in SCALE_LEVELS}
-
-    # Phase C: hardware ceiling at the same levels
-    ceiling = _mp_ceiling_probe(SCALE_LEVELS)
 
     pairs = {}
     for lo, hi in SCALE_PAIRS:
         eff = (best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"]) \
             / (hi / lo)
-        hw = (ceiling[hi] / ceiling[lo]) / (hi / lo)
+        hw = (best[hi]["mp_docs_per_sec"]
+              / best[lo]["mp_docs_per_sec"]) / (hi / lo)
         pairs[f"{lo}->{hi}"] = {
             "raw_efficiency": round(eff, 3),
             "hardware_ceiling_efficiency": round(hw, 3),
