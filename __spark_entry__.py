@@ -143,6 +143,96 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n_items")))
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 flavor: bilateral shipping volume between two nations
+    per ship year (two dimension broadcasts, one fact shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+          .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+          .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+          .where(((F.col("cust_nation") == "NATION_2")
+                  & (F.col("supp_nation") == "NATION_7"))
+                 | ((F.col("cust_nation") == "NATION_7")
+                    & (F.col("supp_nation") == "NATION_2"))))
+    return (joined.groupBy("supp_nation", "cust_nation",
+                           F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 flavor: revenue lost to returned items per customer."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01"))
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    # exact arithmetic: per-row revenue quantized to 1e-4 (identical
+    # doubles on both engines round identically), summed as BIGINT —
+    # immune to the FP sum-order penny drift a 600-group rollup hits
+    rev_e4 = F.round(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")) * 10000, 0).cast("long")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .join(F.broadcast(nation),
+                cust.c_nationkey == nation.n_nationkey)
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(F.sum(rev_e4).alias("revenue_e4")))
+    return out.where(F.col("revenue_e4") > 3000 * 10000)
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 flavor: promo parts' revenue share in one month."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01"))
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
+                        .otherwise(0.0)) / F.sum(rev), 6)
+         .alias("promo_revenue_pct"),
+        F.count("*").alias("n_items"))
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 flavor: disjunctive brand/size/quantity brackets —
+    the predicate-pushdown-through-OR stress case."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 5))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2")
+           & (F.col("p_size").between(1, 10))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3")
+           & (F.col("p_size").between(1, 15))
+           & (F.col("l_quantity").between(20, 30))))
+    return j.where(bracket).agg(
+        F.round(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_items"))
+
+
 def q_rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over orders."""
     orders = _t(spark, sf_dir, "orders")
@@ -1164,6 +1254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": q5_nation_revenue,
         "q4_order_priority": q4_order_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q14_promo_share": q14_promo_share,
+        "q19_bracket_revenue": q19_bracket_revenue,
         "q_rollup_priority": q_rollup_priority,
         "q_pivot_segment": q_pivot_segment,
         "q_customers_without_orders": q_customers_without_orders,
