@@ -155,9 +155,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_name").alias("cust_nation"))
     n2 = nation.select(F.col("n_nationkey").alias("s_nk"),
                        F.col("n_name").alias("supp_nation"))
+    # customer is NOT broadcast: at real TPC-H scale it is a fact-sized
+    # table — AQE picks the strategy; supplier/nation stay broadcast
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .join(cust, orders.o_custkey == cust.c_custkey)
           .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
           .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
           .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
@@ -186,9 +188,10 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # immune to the FP sum-order penny drift a 600-group rollup hits
     rev_e4 = F.round(F.col("l_extendedprice")
                      * (1 - F.col("l_discount")) * 10000, 0).cast("long")
+    # customer not broadcast (fact-sized at real scale); nation is tiny
     out = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .join(cust, orders.o_custkey == cust.c_custkey)
           .join(F.broadcast(nation),
                 cust.c_nationkey == nation.n_nationkey)
           .groupBy("c_custkey", "c_name", "n_name")
