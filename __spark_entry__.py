@@ -81,9 +81,11 @@ def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < "1995-03-15")
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > "1995-03-15")
+    # the segment filter keeps ~1/5 of customers — too big to broadcast
+    # at 10^9-customer scale; AQE will still broadcast when it fits
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .join(cust, orders.o_custkey == cust.c_custkey)
           .groupBy("l_orderkey",
                    F.date_format("o_orderdate", "yyyy-MM-dd")
                     .alias("o_orderdate"),
@@ -256,8 +258,7 @@ def q_pivot_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment × order status."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(cust),
-                         orders.o_custkey == cust.c_custkey)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (
         joined.groupBy("c_mktsegment")
         .agg(*[
