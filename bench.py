@@ -150,6 +150,12 @@ def _mp_probe_here(procs: int, n_docs: int = 8000) -> float:
     taskset-pinned) CPU budget."""
     from multiprocessing import Pool
 
+    # pre-import so fork children inherit the module instead of paying
+    # the import inside the timed window (biases the ceiling otherwise)
+    from docvault_ocr_service_spark import corpus as _corpus  # noqa: F401
+    from docvault_ocr_service_spark.extract import (  # noqa: F401
+        extract_document as _ed)
+
     chunks = [(i * n_docs // 64, (i + 1) * n_docs // 64)
               for i in range(64)]
     t0 = time.monotonic()

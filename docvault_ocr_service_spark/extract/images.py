@@ -128,6 +128,8 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ImageDecodeError("missing IHDR/IDAT")
     w, h, depth, color_type, compression, filt, interlace = ihdr
+    if w < 1 or h < 1:
+        raise ImageDecodeError(f"degenerate dimensions {w}x{h}")
     if depth != 8:
         raise ImageDecodeError(f"unsupported bit depth {depth}")
     if color_type not in _CHANNELS_BY_COLOR_TYPE:
@@ -444,6 +446,20 @@ def count_tiff_frames(data: bytes, max_frames: int = 100_000) -> int:
 
 # -- GIF ----------------------------------------------------------------------
 
+def _skip_subblocks(data: bytes, pos: int) -> int:
+    """Advance past a GIF sub-block chain without copying bytes."""
+    while True:
+        if pos >= len(data):
+            raise ImageDecodeError("truncated GIF sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return pos
+        if pos + n > len(data):
+            raise ImageDecodeError("truncated GIF sub-block")
+        pos += n
+
+
 def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
     """Concatenate a GIF sub-block chain starting at ``pos``."""
     out = bytearray()
@@ -544,7 +560,7 @@ def decode_gif(data: bytes, frame: int = 0) -> np.ndarray:
             break
         if block == 0x21:                       # extension
             pos += 1                            # label
-            _, pos = _gif_subblocks(data, pos)
+            pos = _skip_subblocks(data, pos)
             continue
         if block != 0x2C:
             raise ImageDecodeError(f"unknown GIF block 0x{block:02x}")
@@ -563,6 +579,10 @@ def decode_gif(data: bytes, frame: int = 0) -> np.ndarray:
             raise ImageDecodeError("truncated GIF image data")
         min_code = data[pos]
         pos += 1
+        if seen != frame:                       # skip: no byte copying
+            pos = _skip_subblocks(data, pos)
+            seen += 1
+            continue
         lzw, pos = _gif_subblocks(data, pos)
         if seen == frame:
             if not 2 <= min_code <= 8:
@@ -596,7 +616,7 @@ def count_gif_frames(data: bytes) -> int:
             break
         if block == 0x21:
             pos += 1
-            _, pos = _gif_subblocks(data, pos)
+            pos = _skip_subblocks(data, pos)
             continue
         if block != 0x2C:
             raise ImageDecodeError(f"unknown GIF block 0x{block:02x}")
@@ -605,7 +625,7 @@ def count_gif_frames(data: bytes) -> int:
         if ipacked & 0x80:
             pos += 3 * (2 << (ipacked & 0x07))
         pos += 1                                # LZW min code size
-        _, pos = _gif_subblocks(data, pos)
+        pos = _skip_subblocks(data, pos)
         frames += 1
     return frames
 

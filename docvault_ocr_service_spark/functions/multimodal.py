@@ -339,7 +339,7 @@ def image_dhash(df: DataFrame, id_col: str = "media_id",
                 try:
                     hashes.append(dhash64(dec(payload)))
                     ids.append(mid)
-                except ImageDecodeError:
+                except Exception:  # noqa: BLE001 — poison ≠ dead task
                     continue
             yield pd.DataFrame({"doc": ids, "dhash": hashes})
 
@@ -366,7 +366,9 @@ def sample_frames(df: DataFrame, max_frames: int = 4,
     TIFF): up to ``max_frames`` frames per item, evenly spaced across
     the sequence (always including the first), each re-encoded as PNG —
     one output row per sampled frame.  Single-frame formats yield their
-    one frame; undecodable payloads yield one row with the reason."""
+    one frame; an undecodable payload yields one row with the reason,
+    and a single bad frame inside an otherwise-good item yields a
+    per-frame ``undecodable_frame:`` row alongside the good frames."""
     from ..extract.images import (
         count_gif_frames,
         count_tiff_frames,
@@ -401,19 +403,28 @@ def sample_frames(df: DataFrame, max_frames: int = 4,
                     k = min(max_frames, max(n, 1))
                     picks = sorted({(i * n) // k for i in range(k)})
                     for idx in picks:
-                        img = dec(payload, frame=idx)
-                        gray = to_grayscale(img)
-                        if img.ndim == 3 and img.shape[2] in (2, 4):
-                            img = img[..., 0] if img.shape[2] == 2 \
-                                else img[..., :3]
-                        rows.append(base | {
-                            "frame_idx": int(idx), "n_frames": int(n),
-                            "status": "ok",
-                            "width": int(gray.shape[1]),
-                            "height": int(gray.shape[0]),
-                            "brightness": float(gray.mean()),
-                            "frame_png": encode_png(img),
-                        })
+                        try:
+                            img = dec(payload, frame=idx)
+                            gray = to_grayscale(img)
+                            if img.ndim == 3 and img.shape[2] in (2, 4):
+                                img = img[..., 0] if img.shape[2] == 2 \
+                                    else img[..., :3]
+                            rows.append(base | {
+                                "frame_idx": int(idx),
+                                "n_frames": int(n),
+                                "status": "ok",
+                                "width": int(gray.shape[1]),
+                                "height": int(gray.shape[0]),
+                                "brightness": float(gray.mean()),
+                                "frame_png": encode_png(img),
+                            })
+                        except Exception as e:  # noqa: BLE001
+                            # one bad frame ≠ a bad item: per-frame row
+                            rows.append(base | {
+                                "frame_idx": int(idx),
+                                "n_frames": int(n),
+                                "status": f"undecodable_frame:{e}",
+                            })
                 except ImageDecodeError as e:
                     rows.append(base | {"status": f"undecodable:{e}"})
                 except Exception as e:  # noqa: BLE001
@@ -424,3 +435,19 @@ def sample_frames(df: DataFrame, max_frames: int = 4,
 
     return df.select(id_col, payload_col) \
         .mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def read_media_latest(spark, media_dir: str,
+                      table: str = "features") -> DataFrame:
+    """Latest row per media_id from a run-partitioned media sink
+    (``run_extract_job(..., media_dir=...)``).  The sink is
+    at-least-once across *crashed* runs (a retry gets a fresh run id),
+    so consumers dedup at read time by the lexically greatest run —
+    the same crash-dup discipline as ``read_results_current``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{media_dir}/{table}")
+    w = Window.partitionBy("media_id").orderBy(F.col("run").desc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1).drop("__rn"))

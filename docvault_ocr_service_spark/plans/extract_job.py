@@ -57,11 +57,14 @@ def run_extract_job(spark: SparkSession, input_df: DataFrame,
 
     With ``media_dir`` set, image payloads additionally flow through the
     real decode path — features to ``media_dir/features/run=<id>`` and
-    thumbnails to ``media_dir/thumbnails/run=<id>`` (run-partitioned
-    overwrite: a retried run rewrites its own partitions, the reference's
-    thumbnail sink made idempotent).  The text-results taxonomy is
-    unchanged: image rows still land as ``unsupported_format:image/*``
-    in the checkpoint (no OCR runtime turns pixels into text)."""
+    thumbnails to ``media_dir/thumbnails/run=<id>``.  Semantics are
+    at-least-once across CRASHED runs (a retry claims the same urls
+    under a fresh run id): consumers read via
+    ``multimodal.read_media_latest`` which dedups per media_id by
+    newest run — the same crash-dup discipline as
+    ``read_results_current``.  The text-results taxonomy is unchanged:
+    image rows still land as ``unsupported_format:image/*`` in the
+    checkpoint (no OCR runtime turns pixels into text)."""
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism
 
@@ -76,12 +79,18 @@ def run_extract_job(spark: SparkSession, input_df: DataFrame,
             generate_thumbnails,
         )
 
-        imgs = (claimed.where(F.col("html").isNotNull()
-                              & is_image_payload(F.col("html")))
-                .select(F.col("url").alias("media_id"),
-                        F.lit("image").alias("kind"),
-                        F.col("html").alias("payload"))
-                .persist())
+        raw_imgs = (claimed.where(F.col("html").isNotNull()
+                                  & is_image_payload(F.col("html")))
+                    .select(F.col("url").alias("media_id"),
+                            F.lit("image").alias("kind"),
+                            F.col("html").alias("payload")))
+        # size-route before the decode map stage (the skew contract the
+        # media functions document): giants go to their own thin
+        # partitions instead of straggling a dense one
+        m_normal, m_giants = route_by_size(raw_imgs, n_partitions,
+                                           size_threshold=size_threshold,
+                                           payload_col="payload")
+        imgs = m_normal.unionByName(m_giants).persist()
         try:
             extract_media_features(imgs, fake=False) \
                 .write.mode("overwrite").parquet(

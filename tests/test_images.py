@@ -529,3 +529,41 @@ def test_image_dhash_and_hamming_pairs(spark):
                                 sig_col="dhash").collect()}
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_degenerate_png_rejected_and_dhash_total(spark):
+    """0x0 PNGs are rejected at decode; image_dhash never raises."""
+    from docvault_ocr_service_spark.functions.multimodal import image_dhash
+
+    def chunk(kind, payload):
+        return (struct.pack(">I", len(payload)) + kind + payload
+                + struct.pack(">I", zlib.crc32(kind + payload)))
+
+    degenerate = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", struct.pack(">IIBBBBB",
+                                               0, 0, 8, 0, 0, 0, 0))
+                  + chunk(b"IDAT", zlib.compress(b""))
+                  + chunk(b"IEND", b""))
+    with pytest.raises(ImageDecodeError):
+        decode_png(degenerate)
+    media = spark.createDataFrame(
+        [("d", degenerate), ("ok", encode_png(_gray()))],
+        ["media_id", "payload"])
+    sigs = image_dhash(media).collect()
+    assert {r["doc"] for r in sigs} == {"ok"}    # degenerate dropped
+
+
+def test_read_media_latest_dedups_crash_retries(spark, tmp_path):
+    from docvault_ocr_service_spark.functions.multimodal import (
+        read_media_latest)
+
+    base = str(tmp_path / "media")
+    df1 = spark.createDataFrame([("u1", "ok", 1.0), ("u2", "ok", 2.0)],
+                                ["media_id", "decode_status", "brightness"])
+    df2 = spark.createDataFrame([("u1", "ok", 9.0)],
+                                ["media_id", "decode_status", "brightness"])
+    df1.write.parquet(base + "/features/run=aaa")
+    df2.write.parquet(base + "/features/run=bbb")  # crash-retry rewrite
+    got = {r["media_id"]: r["brightness"]
+           for r in read_media_latest(spark, base).collect()}
+    assert got == {"u1": 9.0, "u2": 2.0}

@@ -68,4 +68,4 @@ def test_sample_frames(spark):
     assert (decode_png(bytes(gif[1]["frame_png"]))[..., 0] == 110).all()
     assert [r["frame_idx"] for r in by_id["tif2"]] == [0, 1]
     assert len(by_id["png1"]) == 1 and by_id["png1"][0]["n_frames"] == 1
-    assert by_id["bad"][0]["status"].startswith("undecodable:")
+    assert by_id["bad"][0]["status"].startswith("undecodable")
