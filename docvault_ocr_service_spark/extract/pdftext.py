@@ -41,6 +41,11 @@ _FILTER_RE = re.compile(rb"/Filter\b")
 _TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj")
 _TJ_ARRAY_RE = re.compile(rb"\[((?:\\.|[^\]])*)\]\s*TJ", re.DOTALL)
 _LITERAL_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
+# Hex strings <48656C6C6F> and the ' / " show-with-line-move operators
+_TJ_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>\s*Tj")
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_QUOTE_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*'")
+_DQUOTE_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*\"")
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -73,16 +78,38 @@ def _unescape(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
+def _unhex(raw: bytes) -> str:
+    """PDF hex string → text (whitespace allowed; odd length pads 0)."""
+    h = b"".join(raw.split())
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+    except ValueError:
+        return ""
+
+
 def _stream_text(stream: bytes) -> str:
-    """Text of one content stream: Tj/TJ literals, one line per show op."""
+    """Text of one content stream: Tj/TJ/'/" show operators (literal and
+    hex strings), one line per show op.  Grouped by operator kind — the
+    pinned golden order for literal-only PDFs is unchanged."""
     lines: list[str] = []
     for m in _TJ_RE.finditer(stream):
         lines.append(_unescape(m.group(1)))
+    for m in _TJ_HEX_RE.finditer(stream):
+        lines.append(_unhex(m.group(1)))
+    for m in _QUOTE_RE.finditer(stream):
+        lines.append(_unescape(m.group(1)))
+    for m in _DQUOTE_RE.finditer(stream):
+        lines.append(_unescape(m.group(1)))
     for m in _TJ_ARRAY_RE.finditer(stream):
-        lines.append(
-            "".join(_unescape(lit.group(1))
-                    for lit in _LITERAL_RE.finditer(m.group(1)))
-        )
+        body = m.group(1)
+        parts = sorted(
+            [(x.start(), _unescape(x.group(1)))
+             for x in _LITERAL_RE.finditer(body)]
+            + [(x.start(), _unhex(x.group(1)))
+               for x in _HEX_RE.finditer(body)])
+        lines.append("".join(p for _, p in parts))
     return "\n".join(lines)
 
 

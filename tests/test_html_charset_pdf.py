@@ -223,3 +223,33 @@ def test_pdf_unresolvable_contents_ref_raises():
     pdf = make_pdf(["x"]).replace(b"/Contents 5 0 R", b"/Contents 99 0 R")
     with pytest.raises(PdfParseError, match="unresolvable"):
         extract_pdf_pages(pdf)
+
+
+def test_pdf_hex_and_quote_operators():
+    """Hex strings and the '/" show operators extract; literal-only PDFs
+    keep their pinned byte-identical output (golden suite covers that)."""
+    import zlib
+
+    from docvault_ocr_service_spark.extract.pdftext import (
+        extract_pdf_pages)
+
+    content = (b"BT /F1 12 Tf "
+               b"<48656C6C6F2068657820> Tj "
+               b"(literal line) Tj "
+               b"(moved line) ' "
+               b"[(arr ) <776F726C64> ( mix)] TJ "
+               b"ET")
+    flate = zlib.compress(content)
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+           b"2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n"
+           b"3 0 obj<</Type/Page/Parent 2 0 R/Contents 4 0 R>>endobj\n"
+           b"4 0 obj<</Length " + str(len(flate)).encode()
+           + b"/Filter/FlateDecode>>stream\n" + flate
+           + b"\nendstream endobj\n%%EOF")
+    pages = extract_pdf_pages(pdf)
+    text = "\n".join(pages)
+    assert "Hello hex" in text
+    assert "literal line" in text
+    assert "moved line" in text
+    assert "arr world mix" in text
