@@ -491,6 +491,34 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("long")).alias("n_canon_changed")))
 
 
+def robots_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness filter (functions/web.py::filter_by_robots): synthetic
+    per-host robots.txt (blanket disallow / longest-prefix allow-beats-
+    disallow / no robots at all) applied to synthetic crawl URLs; the
+    oracle re-derives every verdict from the same rule literals."""
+    from docvault_ocr_service_spark.functions.web import filter_by_robots
+
+    d = F.col("doc_id")
+    urls = (_t(spark, sf_dir, "documents").where(d < 400)
+            .select("doc_id",
+                    F.concat(F.lit("https://host"),
+                             (d % 23).cast("string"),
+                             F.lit(".example.com/Path/"),
+                             d.cast("string")).alias("url")))
+    hosts = spark.range(23).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.when(F.col("id") % 3 == 0,
+               F.lit("User-agent: *\nDisallow: /Path/1\n"
+                     "Allow: /Path/12\n"))
+         .when(F.col("id") % 3 == 1,
+               F.lit("User-agent: *\nDisallow: /\n"))
+         .otherwise(F.lit(None)).alias("robots_txt"))
+    robots = hosts.where(F.col("robots_txt").isNotNull())
+    out = filter_by_robots(urls, robots, keep_denied=True)
+    return out.select("doc_id", F.col("robots_allowed").alias("allowed"))
+
+
 def doc_nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC hygiene, oracle-checked against DuckDB's
     nfc_normalize: texts are salted with decomposed sequences (e +
@@ -1276,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_stats": source_quality_stats,
         "url_host_stats": url_host_stats,
         "doc_nfc_stats": doc_nfc_stats,
+        "robots_filter_stats": robots_filter_stats,
         "pack_windows": pack_windows,
         "doc_langid": doc_langid,
         "doc_exact_dups": doc_exact_dups,

@@ -8,6 +8,7 @@ page.  Everything here is native ``pyspark.sql.functions`` composition
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -49,3 +50,107 @@ def url_path(url: Column) -> Column:
 
 def url_query(url: Column) -> Column:
     return F.parse_url(url, F.lit("QUERY"))
+
+
+def parse_robots(content: str, agent: str = "spark-extract") -> list[dict]:
+    """robots.txt → [{prefix, allowed, weight}] for the most specific
+    matching user-agent group (RFC 9309 group selection: the longest
+    agent token that is a case-insensitive substring match, falling back
+    to ``*``).  Path patterns are treated as literal prefixes (the
+    overwhelming real-world case; ``*``/``$`` wildcard rules are
+    skipped conservatively).  Empty Disallow values (allow-all) are
+    dropped per the RFC."""
+    groups: dict[str, list[dict]] = {}
+    current: list[str] = []
+    seen_rule = False
+    for raw in (content or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key, value = key.strip().lower(), value.strip()
+        if key == "user-agent":
+            if seen_rule:           # a new group starts
+                current = []
+                seen_rule = False
+            current.append(value.lower())
+            for a in current:
+                groups.setdefault(a, groups.get(a, []))
+        elif key in ("allow", "disallow"):
+            seen_rule = True
+            if not value or "*" in value or "$" in value:
+                continue
+            rule = {"prefix": value, "allowed": key == "allow",
+                    "weight": len(value)}
+            for a in (current or ["*"]):
+                groups.setdefault(a, []).append(rule)
+    agent_l = agent.lower()
+    best = None
+    for a in groups:
+        if a != "*" and a in agent_l:
+            if best is None or len(a) > len(best):
+                best = a
+    return list(groups.get(best if best is not None else "*", []))
+
+
+def filter_by_robots(urls_df, robots_df, *, url_col: str = "url",
+                     agent: str = "spark-extract",
+                     keep_denied: bool = False):
+    """Politeness filter: annotate (and by default drop) URLs whose path
+    a host's robots.txt disallows for ``agent``.
+
+    ``robots_df`` is (host: string, robots_txt: string) — one row per
+    host, the shape a crawl frontier stores.  RFC 9309 matching: the
+    longest matching prefix wins; on equal length, Allow wins.  Hosts
+    with no robots row (or no matching rule) are allowed.
+
+    Scale shape: rules explode to (host, prefix, allowed) rows joined on
+    host (rules-per-host is small, AQE broadcasts the rule table when it
+    fits); winner selection is one window over the matched candidates.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    rules_schema = T.ArrayType(T.StructType([
+        T.StructField("prefix", T.StringType()),
+        T.StructField("allowed", T.BooleanType()),
+        T.StructField("weight", T.IntegerType()),
+    ]))
+
+    @F.pandas_udf(rules_schema)
+    def _parse(contents: pd.Series) -> pd.Series:
+        return contents.map(
+            lambda c: [(r["prefix"], r["allowed"], r["weight"])
+                       for r in parse_robots(c or "", agent)])
+
+    rules = (robots_df
+             .withColumn("__r", F.explode(_parse(F.col("robots_txt"))))
+             .select("host", F.col("__r.prefix").alias("__prefix"),
+                     F.col("__r.allowed").alias("__allowed"),
+                     F.col("__r.weight").alias("__weight")))
+
+    urls = (urls_df
+            .withColumn("__uid", F.monotonically_increasing_id())
+            .withColumn("__host", url_host(F.col(url_col)))
+            .withColumn("__path", F.coalesce(url_path(F.col(url_col)),
+                                             F.lit("/"))))
+    # null out non-matching rules instead of filtering them: a URL whose
+    # host has rules but none match must survive as allowed, and
+    # duplicate input URLs keep their own rows (window keys on __uid)
+    match = (F.col("__prefix").isNotNull()
+             & F.col("__path").startswith(F.col("__prefix")))
+    cand = (urls.join(rules, urls["__host"] == rules["host"], "left")
+            .withColumn("__w", F.when(match, F.col("__weight")))
+            .withColumn("__a", F.when(match, F.col("__allowed"))))
+    w = Window.partitionBy("__uid").orderBy(
+        F.col("__w").desc_nulls_last(),
+        F.col("__a").desc_nulls_last())
+    decided = (cand.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1)
+               .withColumn("robots_allowed",
+                           F.coalesce(F.col("__a"), F.lit(True)))
+               .drop("__rn", "__prefix", "__allowed", "__weight", "__w",
+                     "__a", "host", "__host", "__path", "__uid"))
+    if keep_denied:
+        return decided
+    return decided.where(F.col("robots_allowed")).drop("robots_allowed")

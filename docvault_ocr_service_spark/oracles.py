@@ -412,6 +412,22 @@ SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
 FROM c2 GROUP BY host
 """
 
+    # robots politeness: every verdict re-derived from the same rule
+    # literals (RFC 9309: longest prefix wins, Allow wins ties)
+    oracles["robots_filter_stats"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 23 AS k, '/Path/' || doc_id AS path
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id,
+       CASE WHEN k % 3 = 2 THEN TRUE
+            WHEN k % 3 = 1 THEN FALSE
+            WHEN path LIKE '/Path/12%' THEN TRUE
+            WHEN path LIKE '/Path/1%' THEN FALSE
+            ELSE TRUE END AS allowed
+FROM d
+"""
+
     # Unicode NFC twin: DuckDB's nfc_normalize vs the engine's pandas
     # UDF (unicodedata) — decomposed salt must merge on both sides
     oracles["doc_nfc_stats"] = """

@@ -1,0 +1,56 @@
+"""robots.txt parsing and the distributed politeness filter."""
+
+from pyspark.sql import functions as F
+
+from docvault_ocr_service_spark.functions.web import (
+    filter_by_robots, parse_robots)
+
+ROBOTS = """# comment
+User-agent: BigBot
+Disallow: /private
+
+User-agent: *
+Disallow: /tmp
+Allow: /tmp/ok
+Disallow:
+Disallow: /wild/*/card
+"""
+
+
+def test_parse_robots_groups_and_rules():
+    star = parse_robots(ROBOTS, agent="someone-else")
+    assert {(r["prefix"], r["allowed"]) for r in star} == \
+        {("/tmp", False), ("/tmp/ok", True)}     # empty + wildcard skipped
+    big = parse_robots(ROBOTS, agent="BigBot/2.1")
+    assert {(r["prefix"], r["allowed"]) for r in big} == \
+        {("/private", False)}
+    assert parse_robots("", agent="x") == []
+    # merged groups: two user-agent lines before the rules
+    merged = parse_robots(
+        "User-agent: a\nUser-agent: b\nDisallow: /x\n", agent="b")
+    assert merged[0]["prefix"] == "/x"
+
+
+def test_filter_by_robots(spark):
+    urls = spark.createDataFrame(
+        [("https://a.example/tmp/ok/page",),    # allow beats disallow
+         ("https://a.example/tmp/secret",),     # disallowed
+         ("https://a.example/public/x",),       # rules exist, none match
+         ("https://b.example/anything",),       # no robots for host
+         ("https://a.example/tmp/secret",)],    # duplicate row survives
+        ["url"])
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /tmp\nAllow: /tmp/ok\n")],
+        ["host", "robots_txt"])
+
+    kept = [r["url"] for r in
+            filter_by_robots(urls, robots).collect()]
+    assert sorted(kept) == sorted([
+        "https://a.example/tmp/ok/page",
+        "https://a.example/public/x",
+        "https://b.example/anything"])
+
+    annotated = filter_by_robots(urls, robots, keep_denied=True)
+    denied = [r["url"] for r in
+              annotated.where(~F.col("robots_allowed")).collect()]
+    assert denied == ["https://a.example/tmp/secret"] * 2  # dup kept
