@@ -491,6 +491,45 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("long")).alias("n_canon_changed")))
 
 
+def doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mix sampler: 1500 tokens per source, rows taken in
+    md5-of-id order with the boundary row included; oracle recomputes
+    the windowed prefix sum."""
+    from docvault_ocr_service_spark.functions.textstats import (
+        sample_to_token_budget, token_count)
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    token_count(F.col("text")).alias("n_tok")))
+    out = sample_to_token_budget(docs, "source", "n_tok", 1500,
+                                 F.col("doc_id").cast("string"))
+    return out.select("doc_id", "source",
+                      F.col("n_tok").cast("long").alias("n_tok"))
+
+
+def sitemap_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery: per-host sitemap XML is composed from doc ids
+    (entity-escaped query strings included), then sitemap_urls must
+    recover exactly one unescaped URL per doc — the oracle knows the
+    expected set without parsing XML."""
+    from docvault_ocr_service_spark.functions.web import sitemap_urls
+
+    d = F.col("doc_id")
+    entries = (_t(spark, sf_dir, "documents").where(d < 400)
+               .select(F.concat(F.lit("h"), (d % 10).cast("string"))
+                       .alias("host"),
+                       F.concat(F.lit("<url><loc> https://h"),
+                                (d % 10).cast("string"), F.lit("/p/"),
+                                d.cast("string"),
+                                F.lit("?a=1&amp;b=2 </loc></url>"))
+                       .alias("entry")))
+    sitemaps = (entries.groupBy("host")
+                .agg(F.concat_ws(
+                    "", F.sort_array(F.collect_list("entry")))
+                    .alias("sitemap_xml")))
+    return sitemap_urls(sitemaps)
+
+
 def robots_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness filter (functions/web.py::filter_by_robots): synthetic
     per-host robots.txt (blanket disallow / longest-prefix allow-beats-
@@ -1305,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_stats": url_host_stats,
         "doc_nfc_stats": doc_nfc_stats,
         "robots_filter_stats": robots_filter_stats,
+        "doc_token_budget_mix": doc_token_budget_mix,
+        "sitemap_url_extraction": sitemap_url_extraction,
         "pack_windows": pack_windows,
         "doc_langid": doc_langid,
         "doc_exact_dups": doc_exact_dups,

@@ -257,3 +257,22 @@ def stratified_sample(df: DataFrame, strata_col: str, key: Column,
     return (df.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") <= n_per_stratum)
               .drop("__rn"))
+
+
+def sample_to_token_budget(df: DataFrame, group_col: str, tokens_col: str,
+                           budget: int, key: Column) -> DataFrame:
+    """Pretraining-mix sampler: per group, take rows in md5-of-key order
+    until the group's cumulative token count reaches ``budget`` (the
+    boundary-crossing row is included, so every nonempty group attains
+    its quota).  Deterministic, engine-portable, one shuffle on the
+    group key — how a 100 TB corpus is cut down to a target mixture
+    (e.g. N tokens per language/source)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(group_col).orderBy(F.md5(key), key)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(F.sum(F.col(tokens_col).cast("long")).over(w),
+                        F.lit(0))
+    return (df.withColumn("__before", before)
+              .where(F.col("__before") < budget)
+              .drop("__before"))

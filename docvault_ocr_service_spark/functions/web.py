@@ -154,3 +154,36 @@ def filter_by_robots(urls_df, robots_df, *, url_col: str = "url",
     if keep_denied:
         return decided
     return decided.where(F.col("robots_allowed")).drop("robots_allowed")
+
+
+_LOC_RE = __import__("re").compile(r"<loc>\s*([^<]+?)\s*</loc>")
+
+
+def parse_sitemap(xml: str) -> list[str]:
+    """Sitemap / sitemap-index ``<loc>`` URLs (regex-based — no XML lib
+    in this container, and real-world sitemaps are too malformed for a
+    strict parser anyway).  Entity-unescapes the five XML builtins."""
+    out = []
+    for m in _LOC_RE.finditer(xml or ""):
+        loc = (m.group(1)
+               .replace("&amp;", "&").replace("&lt;", "<")
+               .replace("&gt;", ">").replace("&quot;", '"')
+               .replace("&apos;", "'"))
+        out.append(loc)
+    return out
+
+
+def sitemap_urls(df, xml_col: str = "sitemap_xml"):
+    """(host, sitemap_xml) → one row per discovered URL (host, url).
+    Columnar: the <loc> scan is a native regexp_extract_all."""
+    locs = F.regexp_extract_all(F.col(xml_col), F.lit(r"<loc>\s*([^<]+?)\s*</loc>"), 1)
+    unescaped = F.transform(
+        locs,
+        lambda u: F.replace(F.replace(F.replace(F.replace(F.replace(
+            u, F.lit("&amp;"), F.lit("&")),
+            F.lit("&lt;"), F.lit("<")),
+            F.lit("&gt;"), F.lit(">")),
+            F.lit("&quot;"), F.lit('"')),
+            F.lit("&apos;"), F.lit("'")))
+    return (df.withColumn("url", F.explode(unescaped))
+              .drop(xml_col))

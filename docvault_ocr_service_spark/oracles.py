@@ -412,6 +412,31 @@ SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
 FROM c2 GROUP BY host
 """
 
+    # token-budget mixing: same md5 order, same prefix-sum cutoff
+    oracles["doc_token_budget_mix"] = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_TOKENIZE}) AS BIGINT) AS n_tok
+  FROM documents
+), s AS (
+  SELECT doc_id, source, n_tok,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM t
+)
+SELECT doc_id, source, n_tok FROM s WHERE before < 1500
+"""
+
+    # sitemap extraction must invert the per-host XML construction
+    oracles["sitemap_url_extraction"] = """
+SELECT 'h' || (doc_id % 10) AS host,
+       'https://h' || (doc_id % 10) || '/p/' || doc_id || '?a=1&b=2'
+         AS url
+FROM documents WHERE doc_id < 400
+"""
+
     # robots politeness: every verdict re-derived from the same rule
     # literals (RFC 9309: longest prefix wins, Allow wins ties)
     oracles["robots_filter_stats"] = """

@@ -158,3 +158,47 @@ def test_stratified_sample(spark):
     assert stratified_sample(df.unionByName(tiny), "lang",
                              F.col("doc_id").cast("string"), 5) \
         .where(F.col("lang") == "de").count() == 1
+
+
+def test_sample_to_token_budget(spark):
+    from docvault_ocr_service_spark.functions.textstats import (
+        sample_to_token_budget)
+
+    rows = [(i, "a" if i % 2 else "b", 40) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tok"])
+    out = sample_to_token_budget(df, "grp", "n_tok", 100,
+                                 F.col("doc_id").cast("string"))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["grp"], []).append(r["doc_id"])
+    # 40+40 < 100, third row crosses the boundary and is included
+    assert len(got["a"]) == 3 and len(got["b"]) == 3
+    # deterministic under repartitioning
+    again = sample_to_token_budget(df.repartition(5), "grp", "n_tok", 100,
+                                   F.col("doc_id").cast("string"))
+    assert {r["doc_id"] for r in again.collect()} == \
+        {d for v in got.values() for d in v}
+    # a group smaller than its budget is kept whole
+    tiny = spark.createDataFrame([(100, "c", 7)], ["doc_id", "grp", "n_tok"])
+    out2 = sample_to_token_budget(df.unionByName(tiny), "grp", "n_tok",
+                                  100, F.col("doc_id").cast("string"))
+    assert out2.where(F.col("grp") == "c").count() == 1
+
+
+def test_sitemap_urls(spark):
+    from docvault_ocr_service_spark.functions.web import (
+        parse_sitemap, sitemap_urls)
+
+    xml = ("<?xml version='1.0'?><sitemapindex>"
+           "<sitemap><loc>https://x/maps/1.xml</loc></sitemap>"
+           "<sitemap><loc> https://x/maps/2.xml?a=1&amp;b=2 </loc></sitemap>"
+           "</sitemapindex>")
+    assert parse_sitemap(xml) == [
+        "https://x/maps/1.xml", "https://x/maps/2.xml?a=1&b=2"]
+    assert parse_sitemap("") == [] and parse_sitemap(None) == []
+    df = spark.createDataFrame([("x", xml), ("y", "<urlset></urlset>")],
+                               ["host", "sitemap_xml"])
+    rows = sitemap_urls(df).collect()
+    assert [(r["host"], r["url"]) for r in rows] == [
+        ("x", "https://x/maps/1.xml"),
+        ("x", "https://x/maps/2.xml?a=1&b=2")]
