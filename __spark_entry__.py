@@ -867,6 +867,21 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("top_bigram_frac", 6).alias("top_bigram_frac"))
 
 
+def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a deterministic pair graph (chains of
+    four docs per decade): min-label propagation must converge to the
+    analytic component ids (operators/dedup.py::connected_components —
+    the transitive closure step group-exact dedup needs)."""
+    from docvault_ocr_service_spark.operators.dedup import (
+        connected_components)
+
+    d = F.col("doc_id")
+    edges = (_t(spark, sf_dir, "documents")
+             .where((d < 300) & (d % 10 < 3))
+             .select(d.alias("a"), (d + 1).alias("b")))
+    return connected_components(edges).select("node", "component")
+
+
 def image_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant: perceptual image dedup (dHash + Hamming pigeonhole
     blocking) recovers 100% of exact image duplicates — an identical
@@ -1364,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": benchmark_contamination,
         "doc_repetition_stats": doc_repetition_stats,
         "image_near_dup_recall": image_near_dup_recall,
+        "dup_components": dup_components,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "knn_bruteforce": knn_bruteforce,
         "knn_lsh": knn_lsh,

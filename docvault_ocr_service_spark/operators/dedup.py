@@ -294,6 +294,67 @@ def minhash_dedup_incremental(new_df: DataFrame, index_sigs: DataFrame | None,
     return unique_new_sigs, dup_pairs
 
 
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, component) labels for an undirected edge list (a, b) —
+    min-label propagation to fixpoint.
+
+    Near-dup pairs are only locally transitive: dropping the larger id
+    of every pair over-keeps on chains (a–b, b–c detected, a–c not).
+    Components make group-level dedup exact: keep ``min(node)`` per
+    component.  Each iteration is two shuffles (neighbor-min + groupBy);
+    iteration count is the graph diameter in label space (≈ log n for
+    near-dup clusters, which are dense).  Frames are persisted and the
+    loop exits early at fixpoint via an aggregate check, so lineage
+    stays bounded.
+    """
+    from pyspark import StorageLevel
+
+    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(edges.select(F.col("b").alias("u"),
+                                     F.col("a").alias("v"))))
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (sym.select(F.col("u").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node")))
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    # labels only ever decrease, so the label sum is a monotone fixpoint
+    # certificate — one cheap aggregate per iteration, no compare join
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
+        neighbor_min = (sym.join(labels,
+                                 sym["v"] == labels["node"])
+                        .groupBy("u")
+                        .agg(F.min("component").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["node"] == neighbor_min["u"],
+                                  "left")
+                      .select("node",
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("nmin"),
+                                                 F.col("component")))
+                              .alias("component"))
+                      .persist(StorageLevel.MEMORY_AND_DISK))
+        new_sum = new_labels.agg(F.sum("component")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         id_col: str) -> DataFrame:
+    """Group-exact near-dedup: cluster the pair graph into components
+    and keep the minimum-id document of each — every other member is
+    dropped, including chain members no direct pair connected."""
+    comp = connected_components(pairs)
+    drop = comp.where(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(id_col))
+    return df.join(drop, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
                         text_col: str, shingle_n: int = 3) -> DataFrame:
     """Exact Jaccard verifier over candidate (a, b) pairs."""

@@ -685,6 +685,18 @@ SELECT d.doc_id,
 FROM d LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
 """
 
+    # connected components on decade chains: component = floor-decade
+    oracles["dup_components"] = """
+WITH nodes AS (
+  SELECT doc_id AS node FROM documents WHERE doc_id < 300
+    AND doc_id % 10 < 3
+  UNION
+  SELECT doc_id + 1 FROM documents WHERE doc_id < 300
+    AND doc_id % 10 < 3
+)
+SELECT node, node - (node % 10) AS component FROM nodes
+"""
+
     # image near-dup: identical PNG ⇒ identical dHash ⇒ Hamming-0 pair
     oracles["image_near_dup_recall"] = """
 SELECT count(*) AS n_true_pairs, count(*) AS n_recovered

@@ -188,3 +188,26 @@ def test_dedup_lines(spark):
     out2 = {r["doc_id"]: r["clean_text"]
             for r in dedup_lines(docs2, "doc_id", "text").collect()}
     assert out2[1] == "repeated inside\nrepeated inside"
+
+
+def test_connected_components_and_canonical_dedup(spark):
+    from docvault_ocr_service_spark.operators.dedup import (
+        connected_components, dedup_keep_canonical)
+
+    # two components: a 6-node chain (propagation depth) and a triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12)], ["a", "b"])
+    comp = {r["node"]: r["component"] for r in
+            connected_components(edges).collect()}
+    assert all(comp[n] == 1 for n in (1, 2, 3, 4, 5, 6))
+    assert all(comp[n] == 10 for n in (10, 11, 12))
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in
+                                  (1, 2, 3, 4, 5, 6, 10, 11, 12, 99)],
+                                 ["doc_id", "text"])
+    kept = {r["doc_id"] for r in
+            dedup_keep_canonical(docs, edges, "doc_id").collect()}
+    # chain members 2..6 dropped even though (1,6) was never a pair;
+    # untouched doc 99 survives
+    assert kept == {1, 10, 99}
