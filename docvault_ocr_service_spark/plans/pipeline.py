@@ -1,0 +1,101 @@
+"""The full crawl-to-training-data pipeline — every stage of the engine
+composed end-to-end, the way a 100 TB pretraining build runs:
+
+    WARC archives
+      → robots politeness filter          (functions/web.py)
+      → resumable extraction + media      (plans/extract_job.py)
+      → quality/lang/dedup curation       (plans/curate.py)
+      → benchmark decontamination         (operators/contamination.py)
+      → sequence packing                  (operators/packing.py)
+      → curated parquet + packing manifest
+
+Each stage is the already-tested operator; this plan only wires them,
+so the scale properties (skew routing, MERGE checkpointing, broadcast
+discipline, windowed packing) are inherited, not re-implemented.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PipelineReport:
+    run_id: str
+    pages_in: int
+    robots_blocked: int
+    extracted_done: int
+    curated: int
+    decontaminated: int
+    total_tokens: int
+    n_windows: int
+
+
+def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
+                       out_dir: str, *,
+                       robots_df: DataFrame | None = None,
+                       benchmark_df: DataFrame | None = None,
+                       window: int = 2048,
+                       min_quality: float = 0.35,
+                       allowed_langs: tuple[str, ...] = ("en", "pl", "de"),
+                       contamination_ngram: int = 8) -> PipelineReport:
+    """One end-to-end run.  Resumable: extraction state lives in
+    ``state_dir`` (MERGE checkpoint), so re-running after a crash only
+    processes unclaimed pages."""
+    from ..functions.textstats import token_count
+    from ..functions.web import filter_by_robots
+    from ..operators.checkpoint import ParquetCheckpointStore
+    from ..operators.contamination import decontaminate
+    from ..operators.packing import pack_sequences, packing_stats
+    from ..plans.curate import curate_corpus
+    from ..plans.extract_job import run_extract_job
+    from ..sources.warc import read_warc
+
+    pages = read_warc(spark, warc_dir)
+    pages_in = pages.count()
+    if robots_df is not None:
+        pages = filter_by_robots(pages, robots_df)
+        polite_n = pages.count()
+    else:
+        polite_n = pages_in
+
+    report = run_extract_job(spark, pages, state_dir,
+                             media_dir=os.path.join(out_dir, "media"))
+
+    store = ParquetCheckpointStore(spark, state_dir)
+    done = store.read_results_current().where(F.col("status") == "done")
+
+    curated, funnel = curate_corpus(
+        done, min_quality=min_quality, allowed_langs=allowed_langs)
+    curated_n = curated.count()
+
+    if benchmark_df is not None:
+        curated = decontaminate(curated, benchmark_df, "url", "text",
+                                n=contamination_ngram)
+    clean_n = curated.count()
+
+    with_tokens = curated.withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long"))
+    packed = pack_sequences(with_tokens, "url", "n_tokens", window=window)
+    packed.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "curated"))
+    stats = packing_stats(
+        spark.read.parquet(os.path.join(out_dir, "curated")),
+        "n_tokens", window).first()
+    funnel.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "funnel"))
+
+    return PipelineReport(
+        run_id=report.run_id,
+        pages_in=pages_in,
+        robots_blocked=pages_in - polite_n,
+        extracted_done=done.count(),
+        curated=curated_n,
+        decontaminated=curated_n - clean_n,
+        total_tokens=int(stats["total_tokens"] or 0),
+        n_windows=int(stats["n_windows"] or 0),
+    )
