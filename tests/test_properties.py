@@ -144,3 +144,53 @@ def test_image_sniff_and_decode_total(payload):
             dec(payload)
         except ImageDecodeError:
             pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=300))
+def test_parse_robots_total(text):
+    """parse_robots never raises and only emits non-empty literal
+    prefixes with correct weights."""
+    from docvault_ocr_service_spark.functions.web import parse_robots
+
+    for agent in ("x", "BigBot"):
+        rules = parse_robots(text, agent=agent)
+        for r in rules:
+            assert r["prefix"] and "*" not in r["prefix"]
+            assert r["weight"] == len(r["prefix"])
+            assert isinstance(r["allowed"], bool)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=400))
+def test_parse_wav_total(payload):
+    from docvault_ocr_service_spark.extract.audio import (
+        AudioDecodeError, parse_wav)
+
+    try:
+        meta = parse_wav(payload)
+        assert meta["duration_ms"] >= 0 and meta["sample_rate"] >= 1
+    except AudioDecodeError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=200), st.integers(2, 8), st.integers(0, 64))
+def test_lzw_decode_total(data, min_code, n_pixels):
+    from docvault_ocr_service_spark.extract.images import (
+        ImageDecodeError, _lzw_decode)
+
+    try:
+        out = _lzw_decode(data, min_code, n_pixels)
+        assert len(out) <= n_pixels
+    except ImageDecodeError:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=200))
+def test_parse_sitemap_total(text):
+    from docvault_ocr_service_spark.functions.web import parse_sitemap
+
+    for u in parse_sitemap(text):
+        assert "<" not in u
