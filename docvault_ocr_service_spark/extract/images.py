@@ -683,3 +683,138 @@ def dhash64(img: np.ndarray) -> int:
     bits = (small[:, 1:] > small[:, :-1]).astype(np.uint8).reshape(64)
     val = np.packbits(bits, bitorder="little").view(np.uint64)[0]
     return int(np.int64(val))
+
+
+# -- OCR-style quality analysis + adaptive preprocessing (O1/O2/O3) ------------
+
+def analyze_image_quality(img: np.ndarray) -> dict:
+    """Value-identical restatement of the reference's quality analysis
+    (app/ocr_service.py:100-133): sharpness = Laplacian variance,
+    contrast = stddev, brightness = mean, plus the exact threshold flags
+    (contrast < 50, brightness < 80 / > 180) and needs_enhancement."""
+    s = pixel_stats(img)
+    is_low_contrast = s["contrast"] < 50
+    is_dark = s["brightness"] < 80
+    is_bright = s["brightness"] > 180
+    return s | {
+        "is_low_contrast": is_low_contrast,
+        "is_dark": is_dark,
+        "is_bright": is_bright,
+        "needs_enhancement": is_low_contrast or is_dark or is_bright,
+    }
+
+
+def select_enhance_level(quality: dict, requested: str = "auto") -> str:
+    """The reference's auto level selection, value-for-value
+    (app/ocr_service.py:158-166): aggressive only for dark AND
+    low-contrast; medium when enhancement is needed or sharpness < 80;
+    light otherwise."""
+    if requested != "auto":
+        return requested
+    if quality["is_dark"] and quality["is_low_contrast"]:
+        return "aggressive"
+    if quality["needs_enhancement"] or quality["sharpness"] < 80:
+        return "medium"
+    return "light"
+
+
+def determine_psm(width: int, height: int) -> int:
+    """Tesseract page-segmentation-mode auto-selection, value-for-value
+    (app/ocr_service.py:282-297): raw line for very wide, single column
+    for very tall, uniform block for near-square, automatic otherwise.
+    No OCR runtime here — the decision logic is the portable part."""
+    aspect = width / height
+    if aspect > 5:
+        return 13
+    if aspect < 0.3:
+        return 4
+    if 0.7 < aspect < 1.5:
+        return 6
+    return 3
+
+
+def otsu_threshold(gray: np.ndarray) -> int:
+    """Otsu's global threshold (the cv2.THRESH_OTSU the reference's
+    aggressive path uses): maximize between-class variance over the
+    256-bin histogram."""
+    hist = np.bincount(gray.astype(np.uint8).reshape(-1),
+                       minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 0
+    omega = np.cumsum(hist) / total
+    mu = np.cumsum(hist * np.arange(256)) / total
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_b = np.where(denom > 0, (mu_t * omega - mu) ** 2 / denom, 0)
+    return int(np.argmax(sigma_b))
+
+
+def _sharpen(gray: np.ndarray) -> np.ndarray:
+    """PIL ImageFilter.SHARPEN's documented 3×3 kernel
+    ((-2,…,32,…,-2)/16), edge-replicated borders."""
+    p = np.pad(gray.astype(np.float64), 1, mode="edge")
+    out = (32 * p[1:-1, 1:-1]
+           - 2 * (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+                  + p[1:-1, :-2] + p[1:-1, 2:]
+                  + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:])) / 16.0
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _box_mean(gray: np.ndarray, block: int) -> np.ndarray:
+    """Local mean over a block×block window via integral image."""
+    half = block // 2
+    p = np.pad(gray.astype(np.float64), half + 1, mode="edge")
+    ii = p.cumsum(axis=0).cumsum(axis=1)
+    h, w = gray.shape
+    b = 2 * half + 1
+    s = (ii[b:b + h, b:b + w] - ii[:h, b:b + w]
+         - ii[b:b + h, :w] + ii[:h, :w])
+    return s / (b * b)
+
+
+def preprocess_image(img: np.ndarray,
+                     enhance_level: str = "auto") -> tuple[np.ndarray, dict]:
+    """Adaptive OCR-style preprocessing (the O2 surface,
+    app/ocr_service.py:135-226) with numpy kernels:
+
+    - light: sharpen only (PIL SHARPEN kernel);
+    - medium/aggressive: the reference's exact brightness scaling
+      (×1.3+30 dark, ×0.8−20 bright), then Otsu binarization on the
+      aggressive path / local-mean adaptive threshold (block 31, C=10 —
+      box mean stands in for cv2's Gaussian window) on the medium
+      low-contrast path.
+
+    CLAHE, bilateral filtering, and minAreaRect deskew need cv2 and are
+    documented omissions (the reference applies them in the same
+    branches).  Returns (image, decision dict incl. enhance_level and
+    the auto-selected PSM)."""
+    gray = np.clip(np.rint(to_grayscale(img)), 0, 255).astype(np.uint8)
+    quality = analyze_image_quality(gray)
+    level = select_enhance_level(quality, enhance_level)
+    decisions = quality | {
+        "enhance_level": level,
+        "psm": determine_psm(gray.shape[1], gray.shape[0]),
+        "thresholded": False,
+    }
+    if level == "light":
+        return _sharpen(gray), decisions
+
+    out = gray.astype(np.float64)
+    if quality["is_dark"]:
+        out = out * 1.3 + 30           # convertScaleAbs(alpha=1.3, beta=30)
+    elif quality["is_bright"]:
+        out = out * 0.8 - 20
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+    if level == "aggressive" and (quality["is_low_contrast"]
+                                  or quality["is_dark"]):
+        t = otsu_threshold(out)
+        out = np.where(out > t, 255, 0).astype(np.uint8)
+        decisions["thresholded"] = True
+    elif level == "medium" and quality["is_low_contrast"]:
+        local = _box_mean(out, 31) - 10
+        out = np.where(out > local, 255, 0).astype(np.uint8)
+        decisions["thresholded"] = True
+    return out, decisions

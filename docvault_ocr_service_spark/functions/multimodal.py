@@ -33,14 +33,31 @@ from pyspark.sql import types as T
 from ..extract.images import (
     ImageDecodeError,
     UnsupportedImageError,
+    analyze_image_quality,
     count_gif_frames,
     count_tiff_frames,
     decode_gif,
     decode_png,
     decode_tiff,
-    pixel_stats,
+    determine_psm,
+    select_enhance_level,
     sniff_image_format,
 )
+
+
+def _image_stats(img) -> dict:
+    """Pixel stats + the reference's adaptive-preprocessing decisions
+    (quality flags, auto enhance level, auto PSM — value-identical logic,
+    app/ocr_service.py:100-166 and :282-297)."""
+    q = analyze_image_quality(img)
+    return {
+        "width": q["width"], "height": q["height"],
+        "brightness": q["brightness"], "contrast": q["contrast"],
+        "sharpness": q["sharpness"],
+        "needs_enhancement": q["needs_enhancement"],
+        "enhance_level": select_enhance_level(q),
+        "psm": determine_psm(q["width"], q["height"]),
+    }
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType(), False),
@@ -67,6 +84,9 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("brightness", T.DoubleType(), True),
     T.StructField("contrast", T.DoubleType(), True),
     T.StructField("sharpness", T.DoubleType(), True),
+    T.StructField("needs_enhancement", T.BooleanType(), True),
+    T.StructField("enhance_level", T.StringType(), True),
+    T.StructField("psm", T.IntegerType(), True),
     T.StructField("features", T.ArrayType(T.DoubleType()), True),
 ])
 
@@ -91,6 +111,7 @@ def _base_row(media_id: str, kind: str, payload: bytes | None) -> dict:
         "format": None, "decode_status": None,
         "width": None, "height": None, "n_frames": None,
         "brightness": None, "contrast": None, "sharpness": None,
+        "needs_enhancement": None, "enhance_level": None, "psm": None,
         "features": None,
     }
 
@@ -115,7 +136,7 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
     try:
         if fmt == "png":
             img = decode_png(payload)
-            stats = pixel_stats(img)
+            stats = _image_stats(img)
             row.update(stats | {
                 "n_frames": 1,
                 "decode_status": "ok",
@@ -125,7 +146,7 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
         elif fmt == "tiff":
             row["n_frames"] = count_tiff_frames(payload)
             try:
-                stats = pixel_stats(decode_tiff(payload))
+                stats = _image_stats(decode_tiff(payload))
                 row.update(stats | {
                     "decode_status": "ok",
                     "features": [stats["brightness"], stats["contrast"],
@@ -137,7 +158,7 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
                 row["decode_status"] = "metadata_only:tiff_compression"
         elif fmt == "gif":
             row["n_frames"] = count_gif_frames(payload)
-            stats = pixel_stats(decode_gif(payload))
+            stats = _image_stats(decode_gif(payload))
             row.update(stats | {
                 "decode_status": "ok",
                 "features": [stats["brightness"], stats["contrast"],
@@ -146,7 +167,7 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
         elif fmt == "jpeg":
             from ..extract.jpeg import decode_jpeg
 
-            stats = pixel_stats(decode_jpeg(payload))
+            stats = _image_stats(decode_jpeg(payload))
             row.update(stats | {
                 "n_frames": 1,
                 "decode_status": "ok",
