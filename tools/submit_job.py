@@ -1,0 +1,102 @@
+"""Cluster submission entrypoint + --py-files packaging.
+
+Build the dependency zip and submit the flagship pipeline to a real
+cluster:
+
+    python tools/submit_job.py --make-zip /tmp/docvault_spark.zip
+    spark-submit --master yarn --deploy-mode cluster \\
+        --py-files /tmp/docvault_spark.zip \\
+        tools/submit_job.py \\
+        --input s3://bucket/pages-iceberg-or-parquet \\
+        --state s3://bucket/state --out s3://bucket/out
+
+The job body is the same ``run_extract_job`` (or, with --full-pipeline,
+``run_crawl_pipeline``) the local tests drive — no cluster-only code
+path.  Executors need only this zip (pyspark/pandas/numpy ship with the
+cluster runtime; the engine's codecs are pure Python).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import zipfile
+
+# local runs resolve the package from the repo; cluster runs get it from
+# the --py-files zip instead (this insert is then harmless)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_zip(out_path: str) -> str:
+    """Zip the package for --py-files (source only, no tests)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "docvault_ocr_service_spark")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirs, files in os.walk(pkg):
+            for name in sorted(files):
+                if not name.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, name)
+                zf.write(full, os.path.relpath(full, root))
+    return out_path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--make-zip", metavar="PATH",
+                    help="write the --py-files zip and exit")
+    ap.add_argument("--input", help="pages table/path (INPUT_SCHEMA)")
+    ap.add_argument("--warc", help="WARC directory (alternative input)")
+    ap.add_argument("--state", help="checkpoint/results state dir")
+    ap.add_argument("--out", help="output dir (media / curated)")
+    ap.add_argument("--full-pipeline", action="store_true",
+                    help="run the crawl→training-data pipeline instead "
+                         "of extraction only")
+    args = ap.parse_args()
+
+    if args.make_zip:
+        print(make_zip(args.make_zip))
+        return
+    if not args.state or not (args.input or args.warc):
+        ap.error("--state and one of --input/--warc are required")
+
+    from pyspark.sql import SparkSession
+
+    # on a cluster, master/memory/shuffle conf come from spark-submit;
+    # getOrCreate just attaches to the session the launcher built
+    spark = SparkSession.builder.appName("docvault-extract").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    if args.full_pipeline:
+        from docvault_ocr_service_spark.plans.pipeline import (
+            run_crawl_pipeline)
+
+        if args.warc:
+            report = run_crawl_pipeline(spark, args.warc, args.state,
+                                        args.out or args.state + "/out")
+        else:
+            ap.error("--full-pipeline needs --warc input")
+        print(report)
+        return
+
+    if args.warc:
+        from docvault_ocr_service_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.warc)
+    else:
+        from docvault_ocr_service_spark.sources.tables import read_corpus
+
+        pages = read_corpus(spark, args.input)
+
+    from docvault_ocr_service_spark.plans.extract_job import (
+        run_extract_job)
+
+    report = run_extract_job(
+        spark, pages, args.state,
+        media_dir=(os.path.join(args.out, "media") if args.out else None))
+    print(report)
+
+
+if __name__ == "__main__":
+    main()
