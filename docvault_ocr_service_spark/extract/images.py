@@ -806,7 +806,8 @@ def preprocess_image(img: np.ndarray,
         out = out * 1.3 + 30           # convertScaleAbs(alpha=1.3, beta=30)
     elif quality["is_bright"]:
         out = out * 0.8 - 20
-    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    # convertScaleAbs = saturate(|alpha*x + beta|): abs BEFORE clipping
+    out = np.clip(np.rint(np.abs(out)), 0, 255).astype(np.uint8)
 
     if level == "aggressive" and (quality["is_low_contrast"]
                                   or quality["is_dark"]):

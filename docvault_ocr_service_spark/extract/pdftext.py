@@ -104,11 +104,16 @@ def _stream_text(stream: bytes) -> str:
         lines.append(_unescape(m.group(1)))
     for m in _TJ_ARRAY_RE.finditer(stream):
         body = m.group(1)
-        parts = sorted(
-            [(x.start(), _unescape(x.group(1)))
-             for x in _LITERAL_RE.finditer(body)]
-            + [(x.start(), _unhex(x.group(1)))
-               for x in _HEX_RE.finditer(body)])
+        lit_spans = [(x.start(), x.end(), _unescape(x.group(1)))
+                     for x in _LITERAL_RE.finditer(body)]
+        # hex entries only OUTSIDE literal strings — '(x <ab> y)' must
+        # not double-extract the bracketed text as a bogus hex string
+        hexes = [(x.start(), x.end(), _unhex(x.group(1)))
+                 for x in _HEX_RE.finditer(body)
+                 if not any(ls <= x.start() < le
+                            for ls, le, _ in lit_spans)]
+        parts = sorted([(a, t) for a, _, t in lit_spans]
+                       + [(a, t) for a, _, t in hexes])
         lines.append("".join(p for _, p in parts))
     return "\n".join(lines)
 

@@ -78,7 +78,13 @@ def parse_robots(content: str, agent: str = "spark-extract") -> list[dict]:
                 groups.setdefault(a, groups.get(a, []))
         elif key in ("allow", "disallow"):
             seen_rule = True
-            if not value or "*" in value or "$" in value:
+            if ("*" in value or "$" in value):
+                if key == "allow":
+                    continue        # never BROADEN allowance via wildcard
+                # conservative deny: the literal prefix up to the first
+                # wildcard is a superset of the wildcard pattern
+                value = value.split("*", 1)[0].split("$", 1)[0]
+            if not value:
                 continue
             rule = {"prefix": value, "allowed": key == "allow",
                     "weight": len(value)}
@@ -125,13 +131,14 @@ def filter_by_robots(urls_df, robots_df, *, url_col: str = "url",
 
     rules = (robots_df
              .withColumn("__r", F.explode(_parse(F.col("robots_txt"))))
-             .select("host", F.col("__r.prefix").alias("__prefix"),
+             .select(F.lower(F.col("host")).alias("__rhost"),
+                     F.col("__r.prefix").alias("__prefix"),
                      F.col("__r.allowed").alias("__allowed"),
                      F.col("__r.weight").alias("__weight")))
 
     urls = (urls_df
             .withColumn("__uid", F.monotonically_increasing_id())
-            .withColumn("__host", url_host(F.col(url_col)))
+            .withColumn("__host", F.lower(url_host(F.col(url_col))))
             .withColumn("__path", F.coalesce(url_path(F.col(url_col)),
                                              F.lit("/"))))
     # null out non-matching rules instead of filtering them: a URL whose
@@ -139,7 +146,7 @@ def filter_by_robots(urls_df, robots_df, *, url_col: str = "url",
     # duplicate input URLs keep their own rows (window keys on __uid)
     match = (F.col("__prefix").isNotNull()
              & F.col("__path").startswith(F.col("__prefix")))
-    cand = (urls.join(rules, urls["__host"] == rules["host"], "left")
+    cand = (urls.join(rules, urls["__host"] == rules["__rhost"], "left")
             .withColumn("__w", F.when(match, F.col("__weight")))
             .withColumn("__a", F.when(match, F.col("__allowed"))))
     w = Window.partitionBy("__uid").orderBy(
@@ -150,7 +157,7 @@ def filter_by_robots(urls_df, robots_df, *, url_col: str = "url",
                .withColumn("robots_allowed",
                            F.coalesce(F.col("__a"), F.lit(True)))
                .drop("__rn", "__prefix", "__allowed", "__weight", "__w",
-                     "__a", "host", "__host", "__path", "__uid"))
+                     "__a", "__rhost", "__host", "__path", "__uid"))
     if keep_denied:
         return decided
     return decided.where(F.col("robots_allowed")).drop("robots_allowed")
@@ -166,9 +173,9 @@ def parse_sitemap(xml: str) -> list[str]:
     out = []
     for m in _LOC_RE.finditer(xml or ""):
         loc = (m.group(1)
-               .replace("&amp;", "&").replace("&lt;", "<")
-               .replace("&gt;", ">").replace("&quot;", '"')
-               .replace("&apos;", "'"))
+               .replace("&lt;", "<").replace("&gt;", ">")
+               .replace("&quot;", '"').replace("&apos;", "'")
+               .replace("&amp;", "&"))   # &amp; LAST: &amp;lt; → &lt;
         out.append(loc)
     return out
 
@@ -180,10 +187,10 @@ def sitemap_urls(df, xml_col: str = "sitemap_xml"):
     unescaped = F.transform(
         locs,
         lambda u: F.replace(F.replace(F.replace(F.replace(F.replace(
-            u, F.lit("&amp;"), F.lit("&")),
-            F.lit("&lt;"), F.lit("<")),
+            u, F.lit("&lt;"), F.lit("<")),
             F.lit("&gt;"), F.lit(">")),
             F.lit("&quot;"), F.lit('"')),
-            F.lit("&apos;"), F.lit("'")))
+            F.lit("&apos;"), F.lit("'")),
+            F.lit("&amp;"), F.lit("&")))   # &amp; LAST
     return (df.withColumn("url", F.explode(unescaped))
               .drop(xml_col))

@@ -320,17 +320,30 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # labels only ever decrease, so the label sum is a monotone fixpoint
     # certificate — one cheap aggregate per iteration, no compare join
     prev_sum = labels.agg(F.sum("component")).first()[0]
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels,
                                  sym["v"] == labels["node"])
                         .groupBy("u")
                         .agg(F.min("component").alias("nmin")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels["node"] == neighbor_min["u"],
-                                  "left")
+        stepped = (labels.join(neighbor_min,
+                               labels["node"] == neighbor_min["u"],
+                               "left")
+                   .select("node",
+                           F.least(F.col("component"),
+                                   F.coalesce(F.col("nmin"),
+                                              F.col("component")))
+                           .alias("component")))
+        # pointer jumping: follow the label's own label once per round —
+        # turns linear chain propagation into logarithmic convergence
+        lut = stepped.select(F.col("node").alias("__c"),
+                             F.col("component").alias("__cc"))
+        new_labels = (stepped.join(lut,
+                                   stepped["component"] == lut["__c"],
+                                   "left")
                       .select("node",
                               F.least(F.col("component"),
-                                      F.coalesce(F.col("nmin"),
+                                      F.coalesce(F.col("__cc"),
                                                  F.col("component")))
                               .alias("component"))
                       .persist(StorageLevel.MEMORY_AND_DISK))
@@ -338,9 +351,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     sym.unpersist()
+    if not converged:
+        # silent under-merging would make dedup keep duplicates
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — raise max_iter (propagation is logarithmic in "
+            "component diameter)")
     return labels
 
 

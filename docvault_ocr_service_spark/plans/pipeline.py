@@ -55,19 +55,33 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
     from ..plans.extract_job import run_extract_job
     from ..sources.warc import read_warc
 
+    # one WARC parse: annotate with keep_denied and persist, so the two
+    # report counters and the extraction input share a single pass
     pages = read_warc(spark, warc_dir)
-    pages_in = pages.count()
     if robots_df is not None:
-        pages = filter_by_robots(pages, robots_df)
+        annotated = filter_by_robots(pages, robots_df,
+                                     keep_denied=True).persist()
+        pages_in = annotated.count()
+        pages = annotated.where(F.col("robots_allowed")) \
+            .drop("robots_allowed")
         polite_n = pages.count()
     else:
-        polite_n = pages_in
+        pages = pages.persist()
+        pages_in = polite_n = pages.count()
 
     report = run_extract_job(spark, pages, state_dir,
                              media_dir=os.path.join(out_dir, "media"))
 
     store = ParquetCheckpointStore(spark, state_dir)
-    done = store.read_results_current().where(F.col("status") == "done")
+    results = store.read_results_current()
+    if results is None:
+        # every page blocked/failed on a fresh state: report, don't crash
+        return PipelineReport(run_id=report.run_id, pages_in=pages_in,
+                              robots_blocked=pages_in - polite_n,
+                              extracted_done=0, curated=0,
+                              decontaminated=0, total_tokens=0,
+                              n_windows=0)
+    done = results.where(F.col("status") == "done")
 
     curated, funnel = curate_corpus(
         done, min_quality=min_quality, allowed_langs=allowed_langs)
@@ -76,7 +90,9 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
     if benchmark_df is not None:
         curated = decontaminate(curated, benchmark_df, "url", "text",
                                 n=contamination_ngram)
-    clean_n = curated.count()
+        clean_n = curated.count()
+    else:
+        clean_n = curated_n          # no recount of the curation lineage
 
     with_tokens = curated.withColumn(
         "n_tokens", token_count(F.col("text")).cast("long"))

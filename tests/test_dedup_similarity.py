@@ -211,3 +211,17 @@ def test_connected_components_and_canonical_dedup(spark):
     # chain members 2..6 dropped even though (1,6) was never a pair;
     # untouched doc 99 survives
     assert kept == {1, 10, 99}
+
+
+def test_connected_components_long_chain_and_nonconvergence(spark):
+    from docvault_ocr_service_spark.operators.dedup import (
+        connected_components)
+
+    # 30-node chain: pointer jumping converges in ~log2(30) rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  ["a", "b"])
+    comp = {r["node"]: r["component"] for r in
+            connected_components(edges, max_iter=8).collect()}
+    assert set(comp.values()) == {0}
+    with pytest.raises(RuntimeError):
+        connected_components(edges, max_iter=1)

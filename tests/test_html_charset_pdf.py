@@ -253,3 +253,10 @@ def test_pdf_hex_and_quote_operators():
     assert "literal line" in text
     assert "moved line" in text
     assert "arr world mix" in text
+
+
+def test_pdf_hex_inside_literal_not_double_extracted():
+    from docvault_ocr_service_spark.extract.pdftext import _stream_text
+
+    assert _stream_text(b"[(x <ab> y)] TJ") == "x <ab> y"
+    assert _stream_text(b"[(a) <20> (b)] TJ") == "a b"

@@ -84,3 +84,19 @@ def test_preprocess_paths():
     out3, d3 = preprocess_image(lowc)
     assert d3["enhance_level"] == "medium"
     assert d3["psm"] == 6
+
+
+def test_bright_path_matches_convert_scale_abs():
+    """cv2.convertScaleAbs = saturate(|alpha*x+beta|): a dark pixel on
+    the bright path must reflect, not clip to zero."""
+    import numpy as np
+
+    from docvault_ocr_service_spark.extract.images import preprocess_image
+
+    img = np.empty((30, 30), dtype=np.uint8)     # bright, HIGH contrast
+    img[::2], img[1::2] = 120, 255               # mean≈187, std≈67
+    img[0, 0] = 5                                 # |5*0.8 - 20| = 16
+    out, d = preprocess_image(img)
+    assert d["is_bright"] and not d["is_low_contrast"]
+    assert not d["thresholded"]
+    assert out[0, 0] == 16

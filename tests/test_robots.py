@@ -20,7 +20,8 @@ Disallow: /wild/*/card
 def test_parse_robots_groups_and_rules():
     star = parse_robots(ROBOTS, agent="someone-else")
     assert {(r["prefix"], r["allowed"]) for r in star} == \
-        {("/tmp", False), ("/tmp/ok", True)}     # empty + wildcard skipped
+        {("/tmp", False), ("/tmp/ok", True),
+         ("/wild/", False)}   # empty dropped; wildcard deny truncated
     big = parse_robots(ROBOTS, agent="BigBot/2.1")
     assert {(r["prefix"], r["allowed"]) for r in big} == \
         {("/private", False)}
@@ -54,3 +55,43 @@ def test_filter_by_robots(spark):
     denied = [r["url"] for r in
               annotated.where(~F.col("robots_allowed")).collect()]
     assert denied == ["https://a.example/tmp/secret"] * 2  # dup kept
+
+
+def test_robots_wildcard_conservative_and_case():
+    from docvault_ocr_service_spark.functions.web import parse_robots
+
+    txt = ("User-agent: *\n"
+           "Disallow: /*?sessionid=\n"
+           "Disallow: /exact$\n"
+           "Allow: /pub*lic\n")
+    rules = {(r["prefix"], r["allowed"]) for r in parse_robots(txt)}
+    # wildcard disallow truncates to its literal prefix (deny superset);
+    # '/*?...' truncates to '/' (blanket); wildcard allow is dropped
+    assert ("/", False) in rules
+    assert ("/exact", False) in rules
+    assert not any(allowed for _, allowed in rules)
+
+
+def test_robots_host_case_insensitive(spark):
+    from docvault_ocr_service_spark.functions.web import filter_by_robots
+
+    urls = spark.createDataFrame(
+        [("https://Blocked.Example/private/x",)], ["url"])
+    robots = spark.createDataFrame(
+        [("blocked.example", "User-agent: *\nDisallow: /private\n")],
+        ["host", "robots_txt"])
+    assert filter_by_robots(urls, robots).count() == 0
+
+
+def test_robots_preserves_caller_host_column(spark):
+    from docvault_ocr_service_spark.functions.web import filter_by_robots
+
+    urls = spark.createDataFrame(
+        [("https://a.example/x", "a.example", 3)],
+        ["url", "host", "priority"])
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /y\n")],
+        ["host", "robots_txt"])
+    out = filter_by_robots(urls, robots)
+    assert set(out.columns) == {"url", "host", "priority"}
+    assert out.first()["host"] == "a.example"

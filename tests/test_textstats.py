@@ -202,3 +202,11 @@ def test_sitemap_urls(spark):
     assert [(r["host"], r["url"]) for r in rows] == [
         ("x", "https://x/maps/1.xml"),
         ("x", "https://x/maps/2.xml?a=1&b=2")]
+
+
+def test_sitemap_entity_unescape_order():
+    from docvault_ocr_service_spark.functions.web import parse_sitemap
+
+    # &amp;lt; is the ESCAPED text '&lt;' — must not double-unescape
+    xml = "<loc>https://x/?q=&amp;lt;tag&amp;r=1</loc>"
+    assert parse_sitemap(xml) == ["https://x/?q=&lt;tag&r=1"]

@@ -53,6 +53,12 @@ def main() -> None:
     ap.add_argument("--full-pipeline", action="store_true",
                     help="run the crawl→training-data pipeline instead "
                          "of extraction only")
+    ap.add_argument("--robots", metavar="PARQUET",
+                    help="(host, robots_txt) table for the politeness "
+                         "filter; WITHOUT it robots.txt is NOT honored")
+    ap.add_argument("--benchmark", metavar="PARQUET",
+                    help="(text) table for decontamination; WITHOUT it "
+                         "no benchmark screening runs")
     args = ap.parse_args()
 
     if args.make_zip:
@@ -72,11 +78,22 @@ def main() -> None:
         from docvault_ocr_service_spark.plans.pipeline import (
             run_crawl_pipeline)
 
-        if args.warc:
-            report = run_crawl_pipeline(spark, args.warc, args.state,
-                                        args.out or args.state + "/out")
-        else:
+        if not args.warc:
             ap.error("--full-pipeline needs --warc input")
+        robots_df = (spark.read.parquet(args.robots)
+                     if args.robots else None)
+        bench_df = (spark.read.parquet(args.benchmark)
+                    if args.benchmark else None)
+        if robots_df is None:
+            print("WARNING: no --robots table; robots.txt NOT honored",
+                  file=sys.stderr)
+        if bench_df is None:
+            print("WARNING: no --benchmark table; decontamination "
+                  "skipped", file=sys.stderr)
+        report = run_crawl_pipeline(spark, args.warc, args.state,
+                                    args.out or args.state + "/out",
+                                    robots_df=robots_df,
+                                    benchmark_df=bench_df)
         print(report)
         return
 
