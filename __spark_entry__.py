@@ -238,6 +238,47 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"))
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 flavor: suppliers achieving the maximum quarterly
+    revenue (the correlated-max pattern as one window)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    supp = _t(spark, sf_dir, "supplier")
+    rev_e4 = F.round(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")) * 10000, 0).cast("long")
+    per_supp = (li.groupBy("l_suppkey")
+                .agg(F.sum(rev_e4).alias("total_revenue_e4")))
+    w = Window.partitionBy()
+    top = (per_supp
+           .withColumn("__mx", F.max("total_revenue_e4").over(w))
+           .where(F.col("total_revenue_e4") == F.col("__mx"))
+           .drop("__mx"))
+    return (top.join(F.broadcast(supp),
+                     top.l_suppkey == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue_e4"))
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 flavor: customers with any order whose total quantity
+    exceeds a threshold (aggregate-then-semi-join shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .where(F.col("total_qty") > 150))
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.col("total_qty").cast("double").alias("total_qty")))
+
+
 def q_rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over orders."""
     orders = _t(spark, sf_dir, "orders")
@@ -1344,6 +1385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q10_returned_revenue,
         "q14_promo_share": q14_promo_share,
         "q19_bracket_revenue": q19_bracket_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q18_large_orders": q18_large_orders,
         "q_rollup_priority": q_rollup_priority,
         "q_pivot_segment": q_pivot_segment,
         "q_customers_without_orders": q_customers_without_orders,
