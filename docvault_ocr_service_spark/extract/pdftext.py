@@ -31,6 +31,9 @@ class PdfParseError(ValueError):
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode(?:\s*\])?")
+_AHX_RE = re.compile(rb"/ASCIIHexDecode\b")
+_AHX_THEN_FLATE_RE = re.compile(
+    rb"/Filter\s*\[\s*/ASCIIHexDecode\s+/FlateDecode\s*\]")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -189,14 +192,32 @@ def split_pdf_pages_raw(data: bytes) -> list[list[tuple[bytes, bool]]]:
                 stream = stream[:-1]
             is_flate = False
             if _FILTER_RE.search(head):
-                if not _FLATE_RE.search(head):
+                if _AHX_RE.search(head):
+                    # ASCIIHexDecode is cheap text→bytes: apply eagerly
+                    # so the part tuple stays (bytes, is_flate)
+                    stream = _ascii_hex_decode(stream)
+                    is_flate = bool(_AHX_THEN_FLATE_RE.search(head))
+                elif _FLATE_RE.search(head):
+                    is_flate = True
+                else:
                     raise PdfParseError(
                         "unsupported content-stream filter "
-                        "(only FlateDecode)")
-                is_flate = True
+                        "(only FlateDecode/ASCIIHexDecode)")
             parts.append((stream, is_flate))
         pages.append(parts)
     return pages
+
+
+def _ascii_hex_decode(stream: bytes) -> bytes:
+    """PDF ASCIIHexDecode: hex pairs (whitespace ignored) up to '>'."""
+    body = stream.split(b">", 1)[0]
+    h = b"".join(body.split())
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise PdfParseError(f"ASCIIHexDecode failed: {e}") from e
 
 
 def page_text_from_raw(parts: list[tuple[bytes, bool]]) -> str:

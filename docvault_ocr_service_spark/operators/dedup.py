@@ -23,6 +23,7 @@ Determinism: token/shingle hashing uses ``zlib.crc32`` / ``blake2b``
 
 from __future__ import annotations
 
+import re
 import zlib
 from collections.abc import Iterator
 from hashlib import blake2b
@@ -398,10 +399,12 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
 
 def dedup_lines(df: DataFrame, id_col: str, text_col: str,
                 max_doc_freq: int = 1, min_line_chars: int = 5,
-                out_col: str = "clean_text") -> DataFrame:
+                out_col: str = "clean_text",
+                sep: str = "\n") -> DataFrame:
     """Corpus-level line dedup (CCNet/RefinedWeb-style boilerplate
     removal): a line appearing in more than ``max_doc_freq`` distinct
     documents is removed from every document; line order is preserved.
+    ``sep="\n\n"`` gives the paragraph-level variant.
 
     Lines shorter than ``min_line_chars`` (after trim) are always kept —
     they are structure, not boilerplate, and counting them would churn
@@ -416,7 +419,8 @@ def dedup_lines(df: DataFrame, id_col: str, text_col: str,
     base = df.select(F.col(id_col).alias("__doc"), F.col(text_col))
     lines = base.where(F.col(text_col).isNotNull()).select(
         "__doc",
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep)))
+         .alias("__pos", "__line"),
     ).withColumn("__lh", F.xxhash64("__line")) \
      .withColumn("__countable",
                  F.length(F.btrim("__line")) >= min_line_chars)
@@ -430,7 +434,7 @@ def dedup_lines(df: DataFrame, id_col: str, text_col: str,
     kept = lines.join(freq, "__lh", "left_anti")
     rebuilt = (kept.groupBy("__doc")
                .agg(F.concat_ws(
-                    "\n",
+                    sep,
                     F.transform(
                         F.sort_array(F.collect_list(
                             F.struct("__pos", "__line"))),

@@ -225,3 +225,17 @@ def test_connected_components_long_chain_and_nonconvergence(spark):
     assert set(comp.values()) == {0}
     with pytest.raises(RuntimeError):
         connected_components(edges, max_iter=1)
+
+
+def test_dedup_paragraphs_variant(spark):
+    from docvault_ocr_service_spark.operators.dedup import dedup_lines
+
+    boiler = "standard footer paragraph about cookies"
+    docs = spark.createDataFrame(
+        [(1, f"unique alpha paragraph\n\n{boiler}"),
+         (2, f"unique beta paragraph\n\n{boiler}")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["clean_text"] for r in
+           dedup_lines(docs, "doc_id", "text", sep="\n\n").collect()}
+    assert out[1] == "unique alpha paragraph"
+    assert out[2] == "unique beta paragraph"

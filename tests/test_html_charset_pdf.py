@@ -260,3 +260,29 @@ def test_pdf_hex_inside_literal_not_double_extracted():
 
     assert _stream_text(b"[(x <ab> y)] TJ") == "x <ab> y"
     assert _stream_text(b"[(a) <20> (b)] TJ") == "a b"
+
+
+def test_pdf_ascii_hex_decode_filter():
+    import zlib
+
+    from docvault_ocr_service_spark.extract.pdftext import (
+        extract_pdf_pages)
+
+    def mini_pdf(stream_body: bytes, filt: bytes) -> bytes:
+        return (b"%PDF-1.4\n"
+                b"1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+                b"2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n"
+                b"3 0 obj<</Type/Page/Parent 2 0 R/Contents 4 0 R>>endobj\n"
+                b"4 0 obj<</Length " + str(len(stream_body)).encode()
+                + filt + b">>stream\n" + stream_body
+                + b"\nendstream endobj\n%%EOF")
+
+    content = b"BT (hex filtered text) Tj ET"
+    hexed = content.hex().encode() + b">"
+    pages = extract_pdf_pages(mini_pdf(hexed, b"/Filter/ASCIIHexDecode"))
+    assert "hex filtered text" in pages[0]
+
+    chained = zlib.compress(content).hex().encode() + b">"
+    pages2 = extract_pdf_pages(
+        mini_pdf(chained, b"/Filter[/ASCIIHexDecode /FlateDecode]"))
+    assert "hex filtered text" in pages2[0]
