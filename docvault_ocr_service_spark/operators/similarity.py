@@ -18,7 +18,6 @@ Embedding-cosine near-duplicate detection reuses the same machinery:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
