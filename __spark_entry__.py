@@ -574,8 +574,10 @@ def sitemap_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def robots_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness filter (functions/web.py::filter_by_robots): synthetic
     per-host robots.txt (blanket disallow / longest-prefix allow-beats-
-    disallow / no robots at all) applied to synthetic crawl URLs; the
-    oracle re-derives every verdict from the same rule literals."""
+    disallow / query-targeted disallow / no robots at all) applied to
+    synthetic crawl URLs with query strings; the oracle re-derives every
+    verdict from the same rule literals (RFC 9309 matches rule prefixes
+    against path-plus-query)."""
     from docvault_ocr_service_spark.functions.web import filter_by_robots
 
     d = F.col("doc_id")
@@ -584,13 +586,17 @@ def robots_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat(F.lit("https://host"),
                              (d % 23).cast("string"),
                              F.lit(".example.com/Path/"),
-                             d.cast("string")).alias("url")))
+                             d.cast("string"),
+                             F.lit("?q="),
+                             (d % 7).cast("string")).alias("url")))
     hosts = spark.range(23).select(
         F.concat(F.lit("host"), F.col("id").cast("string"),
                  F.lit(".example.com")).alias("host"),
         F.when(F.col("id") % 3 == 0,
                F.lit("User-agent: *\nDisallow: /Path/1\n"
-                     "Allow: /Path/12\n"))
+                     "Allow: /Path/12\n"
+                     "Disallow: /Path/3?q=3\n"
+                     "Disallow: /Path/72?q=2\n"))
          .when(F.col("id") % 3 == 1,
                F.lit("User-agent: *\nDisallow: /\n"))
          .otherwise(F.lit(None)).alias("robots_txt"))

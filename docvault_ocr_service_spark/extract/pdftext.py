@@ -94,17 +94,20 @@ def _unhex(raw: bytes) -> str:
 
 def _stream_text(stream: bytes) -> str:
     """Text of one content stream: Tj/TJ/'/" show operators (literal and
-    hex strings), one line per show op.  Grouped by operator kind — the
-    pinned golden order for literal-only PDFs is unchanged."""
-    lines: list[str] = []
+    hex strings), one line per show op, **in content-stream order** —
+    all operator kinds' matches are collected with their stream offset
+    and sorted before joining, so a stream mixing Tj with TJ/'/" reads
+    top-to-bottom the way a viewer paints it (round-3 fix: the old
+    grouped-by-kind emission scrambled mixed streams)."""
+    hits: list[tuple[int, str]] = []
     for m in _TJ_RE.finditer(stream):
-        lines.append(_unescape(m.group(1)))
+        hits.append((m.start(), _unescape(m.group(1))))
     for m in _TJ_HEX_RE.finditer(stream):
-        lines.append(_unhex(m.group(1)))
+        hits.append((m.start(), _unhex(m.group(1))))
     for m in _QUOTE_RE.finditer(stream):
-        lines.append(_unescape(m.group(1)))
+        hits.append((m.start(), _unescape(m.group(1))))
     for m in _DQUOTE_RE.finditer(stream):
-        lines.append(_unescape(m.group(1)))
+        hits.append((m.start(), _unescape(m.group(1))))
     for m in _TJ_ARRAY_RE.finditer(stream):
         body = m.group(1)
         lit_spans = [(x.start(), x.end(), _unescape(x.group(1)))
@@ -117,8 +120,9 @@ def _stream_text(stream: bytes) -> str:
                             for ls, le, _ in lit_spans)]
         parts = sorted([(a, t) for a, _, t in lit_spans]
                        + [(a, t) for a, _, t in hexes])
-        lines.append("".join(p for _, p in parts))
-    return "\n".join(lines)
+        hits.append((m.start(), "".join(p for _, p in parts)))
+    hits.sort(key=lambda h: h[0])
+    return "\n".join(t for _, t in hits)
 
 
 def split_pdf_pages_raw(data: bytes) -> list[list[tuple[bytes, bool]]]:

@@ -106,9 +106,11 @@ def filter_by_robots(urls_df, robots_df, *, url_col: str = "url",
     a host's robots.txt disallows for ``agent``.
 
     ``robots_df`` is (host: string, robots_txt: string) — one row per
-    host, the shape a crawl frontier stores.  RFC 9309 matching: the
-    longest matching prefix wins; on equal length, Allow wins.  Hosts
-    with no robots row (or no matching rule) are allowed.
+    host, the shape a crawl frontier stores.  RFC 9309 matching: rule
+    prefixes match against **path-plus-query** (``/p?a=1`` — the RFC's
+    match target, so ``Disallow: /search?`` rules work); the longest
+    matching prefix wins; on equal length, Allow wins.  Hosts with no
+    robots row (or no matching rule) are allowed.
 
     Scale shape: rules explode to (host, prefix, allowed) rows joined on
     host (rules-per-host is small, AQE broadcasts the rule table when it
@@ -139,8 +141,12 @@ def filter_by_robots(urls_df, robots_df, *, url_col: str = "url",
     urls = (urls_df
             .withColumn("__uid", F.monotonically_increasing_id())
             .withColumn("__host", F.lower(url_host(F.col(url_col))))
-            .withColumn("__path", F.coalesce(url_path(F.col(url_col)),
-                                             F.lit("/"))))
+            .withColumn("__path", F.concat(
+                F.coalesce(url_path(F.col(url_col)), F.lit("/")),
+                # RFC 9309 matches path-plus-query; concat() is null when
+                # the URL has no query, hence the coalesce to ""
+                F.coalesce(F.concat(F.lit("?"), url_query(F.col(url_col))),
+                           F.lit("")))))
     # null out non-matching rules instead of filtering them: a URL whose
     # host has rules but none match must survive as allowed, and
     # duplicate input URLs keep their own rows (window keys on __uid)

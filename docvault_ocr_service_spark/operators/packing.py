@@ -64,7 +64,8 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
 def packing_stats(packed: DataFrame, tokens_col: str,
                   window: int) -> DataFrame:
     """Aggregate packing invariants: total tokens, number of windows,
-    boundary-spanning docs, and fill ratio of the last window."""
+    boundary-spanning docs, and fill ratio of the last window (every
+    window but the last is full by construction)."""
     n = F.col(tokens_col).cast("long")
     return packed.agg(
         F.count("*").alias("n_docs"),
@@ -72,4 +73,6 @@ def packing_stats(packed: DataFrame, tokens_col: str,
         (F.max(F.col("last_win")) + 1).alias("n_windows"),
         F.sum((F.col("n_windows_spanned") > 1).cast("long"))
          .alias("n_spanning"),
+        ((F.sum(n) - (F.max(F.col("last_win")).cast("long")) * window)
+         / window).alias("last_fill"),
     )

@@ -466,17 +466,21 @@ FROM documents WHERE doc_id < 400
 """
 
     # robots politeness: every verdict re-derived from the same rule
-    # literals (RFC 9309: longest prefix wins, Allow wins ties)
+    # literals (RFC 9309: matching is against path-plus-query, longest
+    # prefix wins, Allow wins ties — the ?q= rules are the longest)
     oracles["robots_filter_stats"] = """
 WITH d AS (
-  SELECT doc_id, doc_id % 23 AS k, '/Path/' || doc_id AS path
+  SELECT doc_id, doc_id % 23 AS k,
+         '/Path/' || doc_id || '?q=' || (doc_id % 7) AS pq
   FROM documents WHERE doc_id < 400
 )
 SELECT doc_id,
        CASE WHEN k % 3 = 2 THEN TRUE
             WHEN k % 3 = 1 THEN FALSE
-            WHEN path LIKE '/Path/12%' THEN TRUE
-            WHEN path LIKE '/Path/1%' THEN FALSE
+            WHEN pq LIKE '/Path/3?q=3%' THEN FALSE
+            WHEN pq LIKE '/Path/72?q=2%' THEN FALSE
+            WHEN pq LIKE '/Path/12%' THEN TRUE
+            WHEN pq LIKE '/Path/1%' THEN FALSE
             ELSE TRUE END AS allowed
 FROM d
 """

@@ -17,9 +17,15 @@ directory of WARC files into the engine's INPUT_SCHEMA table:
 - ``encode_warc(records)`` — deterministic writer used by tests and the
   round-trip invariant query (also handy to re-shard a corpus).
 
-Scale notes: parsing is streamed record-by-record (no whole-file string
-split), and the per-file memory high-water mark is one decompressed
-record.  Oversized extracted payloads are subject to the same
+Scale notes: gzip members are inflated *incrementally* — compressed
+bytes are fed to ``zlib.decompressobj`` ~1 MB at a time and only as much
+output is produced as the record walk consumes, so the decompressed-side
+memory high-water mark is one record (plus one inflate step), never the
+whole archive.  A record whose ``Content-Length`` exceeds
+``MAX_RECORD_BYTES`` is *skipped* (read-and-discarded in chunks), not a
+file-level failure — a 1 GB Common Crawl archive routinely inflates past
+any whole-file cap, and one pathological record must not drop the other
+~50k.  Oversized extracted payloads are additionally subject to the same
 ``MAX_PAYLOAD_BYTES`` admission the rest of the engine applies
 (``extract/document.py``), so a pathological record can't OOM a task.
 """
@@ -34,34 +40,142 @@ from datetime import datetime, timezone
 
 CRLF = b"\r\n"
 _GZIP_MAGIC = b"\x1f\x8b"
-# refuse to inflate a single record past this (zip-bomb guard; the
-# engine's admission cap is 50 MB, so anything bigger is dead on arrival)
+# skip (not fail) any single record declaring more than this (zip-bomb /
+# OOM guard; the engine's admission cap is 50 MB, so anything bigger is
+# dead on arrival anyway)
 MAX_RECORD_BYTES = 128 * 1024 * 1024
+# a WARC/HTTP header line longer than this is not a header line
+_MAX_LINE = 64 * 1024
 
 
 class WarcFormatError(ValueError):
     """Structurally invalid WARC data (bad header block / truncation)."""
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (the .warc.gz layout)."""
-    out = []
-    pos, total = 0, 0
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=31)
+class _GzipMemberStream:
+    """Incremental reader over concatenated gzip members (.warc.gz).
+
+    Inflates lazily: compressed input is fed to ``zlib.decompressobj``
+    ~1 MB at a time and at most ``_STEP`` output bytes are produced per
+    step, so holding a 1 GB archive's *compressed* bytes never implies
+    holding its (much larger) decompressed form.  Exposes the subset of
+    the binary-stream API ``parse_warc`` needs: ``readline`` / ``read``
+    / ``skip``.
+    """
+
+    _STEP = 1 << 20  # compressed bytes fed / inflated bytes produced per step
+
+    def __init__(self, data: bytes):
+        self._data = memoryview(data)
+        self._pos = 0           # next unread compressed offset
+        self._pending = b""     # unconsumed_tail / next-member leftover
+        self._d = zlib.decompressobj(wbits=31)
+        self._chunks: list[bytes] = []   # inflated, not yet consumed
+        self._avail = 0
+
+    def _step(self) -> bool:
+        """Inflate one step; False when the stream is cleanly exhausted."""
+        d = self._d
+        if d is None:
+            return False
+        if self._pending:
+            src, self._pending = self._pending, b""
+        else:
+            if self._pos >= len(self._data):
+                if not d.eof:
+                    raise WarcFormatError("truncated gzip member in .warc.gz")
+                self._d = None
+                return False
+            src = bytes(self._data[self._pos:self._pos + self._STEP])
+            self._pos += len(src)
         try:
-            chunk = d.decompress(data[pos:], MAX_RECORD_BYTES - total)
+            out = d.decompress(src, self._STEP)
         except zlib.error as e:
             raise WarcFormatError(f"bad gzip member: {e}") from e
-        out.append(chunk)
-        total += len(chunk)
-        if total >= MAX_RECORD_BYTES:
-            raise WarcFormatError("gzip stream exceeds MAX_RECORD_BYTES")
-        if not d.eof:  # truncated member
-            raise WarcFormatError("truncated gzip member in .warc.gz")
-        consumed = len(data) - pos - len(d.unused_data)
-        pos += max(consumed, 1)
-    return b"".join(out)
+        self._pending = d.unconsumed_tail
+        if d.eof:
+            leftover = d.unused_data
+            if leftover or self._pending or self._pos < len(self._data):
+                self._pending = self._pending + leftover
+                self._d = zlib.decompressobj(wbits=31)
+            else:
+                self._d = None
+        if out:
+            self._chunks.append(out)
+            self._avail += len(out)
+        return True
+
+    def _take(self, n: int) -> bytes:
+        """Remove and return up to n buffered bytes (no inflation)."""
+        out, need = [], n
+        while need > 0 and self._chunks:
+            head = self._chunks[0]
+            if len(head) <= need:
+                out.append(head)
+                need -= len(head)
+                self._chunks.pop(0)
+            else:
+                out.append(head[:need])
+                self._chunks[0] = head[need:]
+                need = 0
+        got = b"".join(out)
+        self._avail -= len(got)
+        return got
+
+    def read(self, n: int) -> bytes:
+        while self._avail < n and self._step():
+            pass
+        return self._take(n)
+
+    def skip(self, n: int) -> int:
+        """Discard n bytes without accumulating them; bytes skipped."""
+        done = 0
+        while done < n:
+            got = len(self._take(min(n - done, self._STEP)))
+            if got == 0:
+                if not self._step():
+                    break
+                continue
+            done += got
+        return done
+
+    def _find_newline(self) -> int:
+        off = 0
+        for c in self._chunks:
+            i = c.find(b"\n")
+            if i >= 0:
+                return off + i
+            off += len(c)
+        return -1
+
+    def readline(self) -> bytes:
+        while True:
+            sep = self._find_newline()
+            if sep >= 0:
+                return self._take(sep + 1)
+            if self._avail > _MAX_LINE or not self._step():
+                return self._take(min(self._avail, _MAX_LINE + 1))
+
+
+class _PlainStream:
+    """Same read/skip/readline surface over already-inflated bytes."""
+
+    def __init__(self, data: bytes):
+        self._io = io.BytesIO(data)
+
+    def read(self, n: int) -> bytes:
+        return self._io.read(n)
+
+    def skip(self, n: int) -> int:
+        here = self._io.tell()
+        self._io.seek(0, io.SEEK_END)
+        end = self._io.tell()
+        target = min(here + n, end)
+        self._io.seek(target)
+        return target - here
+
+    def readline(self) -> bytes:
+        return self._io.readline(_MAX_LINE + 1)
 
 
 def _parse_header_block(block: bytes) -> dict[str, str]:
@@ -127,10 +241,13 @@ def split_http_response(payload: bytes) -> tuple[dict[str, str], bytes]:
 
 def parse_warc(data: bytes) -> Iterator[dict]:
     """Yield dicts (url, warc_ts, html, warc_type, http_status) per
-    record of one WARC file (plain or multi-member gzip)."""
-    if data[:2] == _GZIP_MAGIC:
-        data = _gunzip_members(data)
-    stream = io.BytesIO(data)
+    record of one WARC file (plain or multi-member gzip).
+
+    Gzip archives are inflated incrementally (see ``_GzipMemberStream``);
+    records declaring > ``MAX_RECORD_BYTES`` are skipped in place.
+    """
+    stream = (_GzipMemberStream(data) if data[:2] == _GZIP_MAGIC
+              else _PlainStream(data))
     while True:
         # skip inter-record blank lines
         line = stream.readline()
@@ -154,7 +271,10 @@ def parse_warc(data: bytes) -> Iterator[dict]:
         except (KeyError, ValueError) as e:
             raise WarcFormatError(f"bad Content-Length: {e}") from e
         if length > MAX_RECORD_BYTES:
-            raise WarcFormatError("record exceeds MAX_RECORD_BYTES")
+            # one pathological record must not fail the whole archive
+            if stream.skip(length) != length:
+                raise WarcFormatError("truncated WARC payload")
+            continue
         payload = stream.read(length)
         if len(payload) != length:
             raise WarcFormatError("truncated WARC payload")

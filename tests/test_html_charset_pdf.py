@@ -262,6 +262,20 @@ def test_pdf_hex_inside_literal_not_double_extracted():
     assert _stream_text(b"[(a) <20> (b)] TJ") == "a b"
 
 
+def test_pdf_mixed_operators_stream_order():
+    """Show operators of different kinds must emit in content-stream
+    order, not grouped by operator kind (round-3 ADVICE fix)."""
+    from docvault_ocr_service_spark.extract.pdftext import _stream_text
+
+    stream = (b"BT (first Tj) Tj "
+              b"[(second ) (TJ)] TJ "
+              b"<746869726420686578> Tj "
+              b"(fourth quote) ' "
+              b"(fifth Tj) Tj ET")
+    assert _stream_text(stream).split("\n") == [
+        "first Tj", "second TJ", "third hex", "fourth quote", "fifth Tj"]
+
+
 def test_pdf_ascii_hex_decode_filter():
     import zlib
 

@@ -28,6 +28,8 @@ def test_pack_sequences_basic(spark):
     assert stats["total_tokens"] == 1124
     assert stats["n_windows"] == 3
     assert stats["n_spanning"] == 2             # docs 3 and 5
+    # last window holds tokens 1024..1123 of 1124 → 100/512 full
+    assert abs(stats["last_fill"] - 100 / 512) < 1e-12
 
 
 def test_pack_sequences_sharded(spark):

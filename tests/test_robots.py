@@ -72,6 +72,22 @@ def test_robots_wildcard_conservative_and_case():
     assert not any(allowed for _, allowed in rules)
 
 
+def test_robots_query_targeted_disallow(spark):
+    """RFC 9309 matches rule prefixes against path-plus-query, so a
+    Disallow containing '?' must be able to fire (round-3 ADVICE fix)."""
+    urls = spark.createDataFrame(
+        [("https://q.example/search?q=x",),    # query disallow fires
+         ("https://q.example/search",),        # bare path still allowed
+         ("https://q.example/page?sid=1",)],   # other queries unaffected
+        ["url"])
+    robots = spark.createDataFrame(
+        [("q.example", "User-agent: *\nDisallow: /search?\n")],
+        ["host", "robots_txt"])
+    kept = sorted(r["url"] for r in filter_by_robots(urls, robots).collect())
+    assert kept == ["https://q.example/page?sid=1",
+                    "https://q.example/search"]
+
+
 def test_robots_host_case_insensitive(spark):
     from docvault_ocr_service_spark.functions.web import filter_by_robots
 

@@ -104,6 +104,46 @@ def test_warc_to_extraction(spark, tmp_path):
     assert "Important invoice content here." in res[0].text
 
 
+def test_single_gzip_member_whole_file():
+    """Archives gzipped as ONE member (not per-record) must also parse."""
+    data = gzip.compress(encode_warc(RECS), mtime=0)
+    got = list(parse_warc(data))
+    assert [r["url"] for r in got] == [r["url"] for r in RECS]
+    assert [r["html"] for r in got] == [r["html"] for r in RECS]
+
+
+def test_cumulative_size_is_not_capped(monkeypatch):
+    """MAX_RECORD_BYTES guards ONE record; a many-record archive whose
+    cumulative decompressed size exceeds it must parse fully (the
+    pre-round-3 bug failed every real >128 MB-decompressed .warc.gz)."""
+    from docvault_ocr_service_spark.sources import warc as W
+
+    recs = [{"url": f"https://s.example/{i}", "warc_ts": TS,
+             "html": b"x" * 100} for i in range(12)]
+    data = encode_warc(recs, gzip_members=True)
+    monkeypatch.setattr(W, "MAX_RECORD_BYTES", 300)  # << cumulative size
+    got = list(W.parse_warc(data))
+    assert [r["url"] for r in got] == [r["url"] for r in recs]
+
+
+def test_oversized_record_skipped_not_fatal(monkeypatch):
+    """A single record over MAX_RECORD_BYTES is skipped in place; its
+    neighbours still come through."""
+    from docvault_ocr_service_spark.sources import warc as W
+
+    recs = [
+        {"url": "https://ok.example/a", "warc_ts": TS, "html": b"small"},
+        {"url": "https://big.example/b", "warc_ts": TS, "html": b"y" * 5000},
+        {"url": "https://ok.example/c", "warc_ts": TS, "html": b"small2"},
+    ]
+    for gz in (False, True):
+        data = encode_warc(recs, gzip_members=gz)
+        monkeypatch.setattr(W, "MAX_RECORD_BYTES", 1000)
+        got = list(W.parse_warc(data))
+        assert [r["url"] for r in got] == \
+            ["https://ok.example/a", "https://ok.example/c"]
+
+
 def test_truncated_gzip_body_keeps_raw_bytes():
     """Content-Encoding: gzip with a truncated body must not raise."""
     gz = gzip.compress(b"full page body", mtime=0)[:10]
