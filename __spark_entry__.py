@@ -4,9 +4,10 @@
 corpus (smoke check).  ``queries()`` — one entry per implemented operator
 from SURVEY.md §2 plus the training-data operators; each takes
 ``(spark, sf_dir)`` and returns a DataFrame.  ``oracle_sql()`` — DuckDB
-equivalents over the same parquet views; omitted for genuinely
-non-SQL-expressible ops (LSH ANN, the full extraction pipeline, media
-stubs) which get rows-only checks.
+equivalents over the same parquet views; seeded sketch queries whose
+semantics are deterministic but not SQL-recomputable (MinHash/SimHash
+pair lists, LSH/IVF ANN) use frozen-golden VALUES twins
+(``tools/freeze_pair_oracles.py``).
 
 Column names are aliased identically on both sides (the driver hashes
 values after sorting columns by name).
@@ -790,9 +791,10 @@ def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: MinHash-LSH near-dup pairs (finds the corpus's planted
-    near-duplicates; pair set depends on signature randomness, so the
-    SQL-checkable invariant lives in ``minhash_recall``)."""
+    """MinHash-LSH near-dup pairs (finds the corpus's planted
+    near-duplicates).  The pair set depends on the seeded hash family,
+    so its oracle is a frozen-golden VALUES twin; the analytically
+    SQL-checkable invariant lives in ``minhash_recall``."""
     from docvault_ocr_service_spark.operators.dedup import minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(_doubled_docs(spark, sf_dir),
@@ -802,8 +804,9 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: SimHash hamming-0 pairs (includes planted near-dups whose
-    token bags coincide; SQL-checkable invariant in ``simhash_recall``)."""
+    """SimHash hamming-0 pair summary (includes planted near-dups whose
+    token bags coincide).  Frozen-golden VALUES oracle; the analytic
+    invariant lives in ``simhash_recall``."""
     from docvault_ocr_service_spark.operators.dedup import simhash_near_pairs
 
     pairs = simhash_near_pairs(_doubled_docs(spark, sf_dir),
@@ -1055,7 +1058,8 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF coarse-quantizer ANN (scale path #2)."""
+    """IVF coarse-quantizer ANN (scale path #2); frozen-golden VALUES
+    oracle (approximate results differ from brute force by design)."""
     from docvault_ocr_service_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1077,7 +1081,9 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: embedding-cosine near-dup pairs on a doubled corpus."""
+    """Embedding-cosine near-dup pairs on a doubled corpus; the oracle
+    recomputes the exact brute-force truth in SQL (at the 0.999999
+    threshold the LSH pair set equals it)."""
     from docvault_ocr_service_spark.operators.similarity import (
         embedding_near_dup_pairs)
 

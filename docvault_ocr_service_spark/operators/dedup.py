@@ -17,8 +17,9 @@ Scale notes (the part that matters at 100 TB):
 - **ngram_jaccard**: exact pairwise verifier on candidate pairs only —
   never call it on a cross join at scale.
 
-Determinism: token/shingle hashing uses ``zlib.crc32`` / ``blake2b``
-(process-independent), never Python's seeded builtin ``hash``.
+Determinism: token/shingle hashing uses ``zlib.crc32`` (+ a splitmix64
+widening for SimHash), process-independent — never Python's seeded
+builtin ``hash``.
 """
 
 from __future__ import annotations
@@ -26,7 +27,6 @@ from __future__ import annotations
 import re
 import zlib
 from collections.abc import Iterator
-from hashlib import blake2b
 
 import numpy as np
 import pandas as pd
@@ -47,11 +47,6 @@ def _hash_permutations(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray
     a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.int64)
     b = rng.randint(0, 1 << 31, size=num_perm, dtype=np.int64)
     return a, b
-
-
-def _hash64(token: str) -> int:
-    return int.from_bytes(blake2b(token.encode("utf-8"),
-                                  digest_size=8).digest(), "little")
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -448,9 +443,16 @@ def dedup_lines(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, simhash long): sign-sum of per-token 64-bit blake2b hashes.
+    """(doc, simhash long): sign-sum of per-token 64-bit hashes.
 
-    Vectorized per Arrow batch with numpy bit unpacking.
+    Token hashing follows the MinHash kernel's recipe (``zlib.crc32``
+    per token — a cheap C call — then a *vectorized* widening): the
+    32-bit crc is pushed through a splitmix64 finalizer in one numpy
+    pass over the whole Arrow batch, and the majority vote runs as a
+    single ``add.reduceat`` over per-doc segments — no per-token Python
+    hashing (the pre-round-3 kernel called ``blake2b`` per token) and
+    no per-doc numpy dispatch.  A 32-bit-colliding token pair flips at
+    most one vote — harmless for a sign-sum sketch.
     """
     out_schema = T.StructType([
         T.StructField("doc", T.LongType()),
@@ -459,21 +461,38 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for text in pdf["__text"]:
+            texts = pdf["__text"]
+            counts = np.zeros(len(texts), dtype=np.int64)
+            tok_hashes: list[np.ndarray] = []
+            for i, text in enumerate(texts):
                 toks = (text or "").lower().split()
-                if not toks:
-                    out.append(0)
-                    continue
-                hashes = np.fromiter((_hash64(t) for t in toks),
-                                     dtype=np.uint64, count=len(toks))
-                bits = np.unpackbits(
-                    hashes.view(np.uint8).reshape(-1, 8), axis=1,
-                    bitorder="little")
-                votes = bits.sum(axis=0) * 2 - len(toks)
-                sim = np.packbits(votes > 0, bitorder="little") \
-                        .view(np.uint64)[0]
-                out.append(int(np.int64(sim)))
+                counts[i] = len(toks)
+                if toks:
+                    tok_hashes.append(np.fromiter(
+                        (zlib.crc32(t.encode("utf-8")) for t in toks),
+                        dtype=np.uint64, count=len(toks)))
+            out = np.zeros(len(texts), dtype=np.int64)
+            nz = counts > 0
+            if tok_hashes:
+                z = np.concatenate(tok_hashes)
+                # splitmix64 finalizer: spreads the 32-bit crc over all
+                # 64 bit positions (uint64 arithmetic wraps mod 2^64)
+                z = z + np.uint64(0x9E3779B97F4A7C15)
+                z ^= z >> np.uint64(30)
+                z *= np.uint64(0xBF58476D1CE4E5B9)
+                z ^= z >> np.uint64(27)
+                z *= np.uint64(0x94D049BB133111EB)
+                z ^= z >> np.uint64(31)
+                bits = np.unpackbits(z.view(np.uint8).reshape(-1, 8),
+                                     axis=1, bitorder="little")
+                ndocs = int(nz.sum())
+                starts = np.zeros(ndocs, dtype=np.intp)
+                np.cumsum(counts[nz][:-1], out=starts[1:])
+                ones = np.add.reduceat(bits, starts, axis=0)
+                sims = (np.packbits(ones * 2 > counts[nz][:, None],
+                                    bitorder="little")
+                        .reshape(ndocs, 8).view(np.int64).ravel())
+                out[nz] = sims
             yield pd.DataFrame({"doc": pdf["__id"], "simhash": out})
 
     prepared = df.select(F.col(id_col).cast("long").alias("__id"),
