@@ -1249,6 +1249,42 @@ def jpeg_flat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrast", 6).alias("contrast"))
 
 
+def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG (SOF2) under the driver gate: per doc, a
+    structured image is encoded both baseline and progressive (scan
+    script — band split, DC/AC successive-approximation depth — keyed on
+    doc_id) and both are decoded; progressive reorders the same
+    quantized coefficients, so the pixel mismatch count is exactly 0."""
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 150)
+
+    @F.pandas_udf(T.LongType())
+    def prog_vs_base(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from docvault_ocr_service_spark.extract.jpeg import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+        bands_opts = (((1, 5), (6, 63)), ((1, 63),))
+        out = []
+        for d in ids:
+            d = int(d)
+            img = np.clip(np.fromfunction(
+                lambda y, x: (d * 13) % 200 + 40 * np.sin(x / 3 + d)
+                + 20 * np.cos(y / 2), (16, 24)), 0, 255).astype(np.uint8)
+            base = decode_jpeg(encode_jpeg(img, quality=80))
+            prog = decode_jpeg(encode_jpeg_progressive(
+                img, quality=80, dc_al=d % 3, ac_al=d % 3,
+                bands=bands_opts[d % 2]))
+            out.append(int((base != prog).sum()))
+        return pd.Series(out)
+
+    return docs.select("doc_id",
+                       prog_vs_base(F.col("doc_id")).alias("n_mismatch"))
+
+
 def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio path under the driver gate: deterministic DC-signal WAVs
     (amplitude and length keyed on doc_id) parse to exactly-computable
@@ -1447,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_extract_stats": corpus_extract_stats,
         "png_pixel_stats": png_pixel_stats,
         "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
+        "jpeg_progressive_stats": jpeg_progressive_stats,
         "wav_audio_stats": wav_audio_stats,
         "thumbnail_dims": thumbnail_dims,
         "warc_roundtrip_stats": warc_roundtrip_stats,

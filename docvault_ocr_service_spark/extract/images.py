@@ -38,8 +38,8 @@ class ImageDecodeError(ValueError):
 
 class UnsupportedImageError(ImageDecodeError):
     """Structurally valid image, but a variant outside this engine's
-    codec envelope (progressive JPEG, 16-bit PNG, compressed TIFF…) —
-    callers should label it unsupported, not corrupted."""
+    codec envelope (arithmetic-coded JPEG, 16-bit PNG, compressed
+    TIFF…) — callers should label it unsupported, not corrupted."""
 
 
 def sniff_image_format(head: bytes) -> str | None:

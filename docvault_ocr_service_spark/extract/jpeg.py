@@ -1,16 +1,21 @@
-"""Pure-Python baseline JPEG codec (no libjpeg/PIL in this container).
+"""Pure-Python JPEG codec (no libjpeg/PIL in this container).
 
-Decoder: sequential baseline DCT (SOF0), 8-bit, grayscale or YCbCr with
-any sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0), restart markers,
-byte stuffing.  Encoder: the fixture writer (gray or 4:4:4 color, Annex-K
-quantization/Huffman tables, quality scaling) proving round-trips.
+Decoder: sequential baseline DCT (SOF0/1) AND progressive (SOF2 —
+spectral selection, successive approximation, EOB runs, refinement
+correction bits), 8-bit, grayscale or YCbCr with any sampling factors
+up to 2×2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, byte stuffing.
+Encoders: the baseline fixture writer and a scan-script-parameterized
+progressive writer proving round-trips.
 
 Validation stance (stated honestly): there is no libjpeg in this
 environment to differential-test against, so correctness rests on
 (a) the zigzag order and Annex-K tables being copied from the public
 spec, (b) the IDCT being checked against the textbook definition in
-tests, and (c) encoder↔decoder round-trips within quantization
-tolerance on random and structured images.
+tests, (c) encoder↔decoder round-trips within quantization tolerance
+on random and structured images, (d) progressive decodes being
+byte-identical to the baseline decode of the same quantized
+coefficients across varied scan scripts, and (e) a hand-assembled SOF2
+bitstream pinned in tests independently of the progressive encoder.
 
 Reference surface: app/document_processor.py:99-176 decodes JPEG via
 PIL; this gives the engine the same capability for feature extraction
@@ -201,15 +206,23 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 (H,W) gray or (H,W,3) RGB."""
+    """JPEG bytes → uint8 (H,W) gray or (H,W,3) RGB.
+
+    Sequential baseline (SOF0/1) and progressive (SOF2: spectral
+    selection + successive approximation, EOB runs, refinement scans,
+    restart markers).  Arithmetic-coded and hierarchical frames stay
+    honestly unsupported.
+    """
     if not data.startswith(b"\xff\xd8"):
         raise ImageDecodeError("missing JPEG SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    coefs: list[np.ndarray] | None = None       # per-comp zigzag coef grids
     restart_interval = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ImageDecodeError("marker expected")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
@@ -217,10 +230,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:                      # EOI before SOS
+        if marker == 0xD9:                      # EOI
+            if coefs is not None:
+                return _finish_progressive(frame, coefs, qtables)
             raise ImageDecodeError("no scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue                            # standalone, no length
+        if pos + 2 > len(data):
+            break
         (seg_len,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2:pos + seg_len]
         if marker == 0xDB:                      # DQT
@@ -249,7 +266,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(seg[p + 17:p + 17 + n])
                 htables[(tc, th)] = _build_decode_table(bits, values)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
             precision, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), \
                 seg[5]
             if precision != 8:
@@ -260,24 +277,274 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
-                f"non-baseline JPEG (SOF{marker - 0xC0})")
+                f"unsupported JPEG coding process (SOF{marker - 0xC0})")
         elif marker == 0xDD:                    # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                    # SOS
             if frame is None:
                 raise ImageDecodeError("SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
-            for i in range(ns):
-                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_tables[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(data, pos + seg_len, frame, scan_tables,
-                                qtables, htables, restart_interval)
+            if not progressive:
+                scan_tables = {}
+                for i in range(ns):
+                    cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    scan_tables[cs] = (tt >> 4, tt & 0x0F)
+                return _decode_scan(data, pos + seg_len, frame, scan_tables,
+                                    qtables, htables, restart_interval)
+            scan = _parse_progressive_sos(seg, frame)
+            if coefs is None:
+                coefs = _alloc_coef_grids(frame)
+            end = _decode_progressive_scan(data, pos + seg_len, frame, scan,
+                                           htables, coefs, restart_interval)
+            pos = _next_marker(data, end)
+            continue
         pos += seg_len
     raise ImageDecodeError("truncated JPEG")
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker's 0xFF (skipping entropy padding,
+    fill bytes, and stray restart markers)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or nxt == 0xFF:
+                pos += 1 if nxt == 0xFF else 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ImageDecodeError("truncated JPEG")
+
+
+def _parse_progressive_sos(seg: bytes, frame: dict) -> dict:
+    """SOS payload → {comps: [(comp_index, td, ta)], ss, se, ah, al}."""
+    ns = seg[0]
+    by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
+    sel = []
+    for i in range(ns):
+        cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+        if cs not in by_id:
+            raise ImageDecodeError(f"scan references unknown component {cs}")
+        sel.append((by_id[cs], tt >> 4, tt & 0x0F))
+    ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    if ss == 0 and se != 0:
+        raise ImageDecodeError("progressive DC scan with Se != 0")
+    if ss > 0 and ns != 1:
+        raise ImageDecodeError("interleaved progressive AC scan")
+    if not (ss <= se <= 63):
+        raise ImageDecodeError("bad spectral selection")
+    return {"comps": sel, "ss": ss, "se": se,
+            "ah": ahal >> 4, "al": ahal & 0x0F}
+
+
+def _alloc_coef_grids(frame: dict) -> list[np.ndarray]:
+    """Per component: (blocks_y, blocks_x, 64) int32 zigzag-order grid
+    sized to the padded interleaved MCU lattice."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise UnsupportedImageError("sampling factors beyond 2x2")
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+            for c in comps]
+
+
+def _comp_block_dims(frame: dict, c: dict) -> tuple[int, int]:
+    """Non-interleaved block grid (T.81 A.2.2): ceil(ceil(dim·f/fmax)/8)."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    comp_w = -(-frame["w"] * c["h"] // hmax)
+    comp_h = -(-frame["h"] * c["v"] // vmax)
+    return -(-comp_h // 8), -(-comp_w // 8)
+
+
+def _decode_progressive_scan(data, pos, frame, scan, htables, coefs,
+                             restart_interval) -> int:
+    """Accumulate one progressive scan into the coefficient grids;
+    returns the stream offset just past the consumed entropy bytes."""
+    comps = frame["comps"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    sel = scan["comps"]
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    unit = 0
+
+    def maybe_restart() -> None:
+        nonlocal pred, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.sync_restart()
+            pred = [0] * len(comps)
+            eobrun = 0
+
+    try:
+        if ss == 0:                              # DC scan
+            dc_tables = {}
+            for ci, td, _ in sel:
+                if ah == 0:
+                    t = htables.get((0, td))
+                    if t is None:
+                        raise ImageDecodeError("missing DC Huffman table")
+                    dc_tables[ci] = t
+            if len(sel) > 1:                     # interleaved MCU order
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = -(-frame["w"] // (8 * hmax))
+                mcus_y = -(-frame["h"] // (8 * vmax))
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        maybe_restart()
+                        unit += 1
+                        for ci, _, _ in sel:
+                            c = comps[ci]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    blk = coefs[ci][my * c["v"] + by,
+                                                    mx * c["h"] + bx]
+                                    _dc_progressive(reader, dc_tables.get(ci),
+                                                    blk, pred, ci, ah, al)
+            else:
+                ci = sel[0][0]
+                bh, bw = _comp_block_dims(frame, comps[ci])
+                for by in range(bh):
+                    for bx in range(bw):
+                        maybe_restart()
+                        unit += 1
+                        _dc_progressive(reader, dc_tables.get(ci),
+                                        coefs[ci][by, bx], pred, ci, ah, al)
+        else:                                    # AC scan: one component
+            ci, _, ta = sel[0]
+            ac_t = htables.get((1, ta))
+            if ac_t is None:
+                raise ImageDecodeError("missing AC Huffman table")
+            bh, bw = _comp_block_dims(frame, comps[ci])
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart()
+                    unit += 1
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:
+                        eobrun = _ac_first(reader, ac_t, blk, ss, se, al,
+                                           eobrun)
+                    else:
+                        eobrun = _ac_refine(reader, ac_t, blk, ss, se, al,
+                                            eobrun)
+    except _RestartMarker as e:
+        raise ImageDecodeError("unexpected restart marker") from e
+    return reader.pos
+
+
+def _dc_progressive(reader, dc_t, blk, pred, ci, ah, al) -> None:
+    if ah == 0:                                  # first pass: coded diff
+        size = _decode_huffman(reader, dc_t)
+        pred[ci] += _extend(reader.read_bits(size), size)
+        blk[0] = pred[ci] << al
+    else:                                        # refinement: one raw bit
+        if reader.read_bit():
+            blk[0] = int(blk[0]) | (1 << al)
+
+
+def _ac_first(reader, ac_t, blk, ss, se, al, eobrun) -> int:
+    """First AC pass for one block's band (T.81 G.1.2.2); returns the
+    updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:                          # EOBn
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun
+            k += 16                              # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ImageDecodeError("AC run past band end")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, ac_t, blk, ss, se, al, eobrun) -> int:
+    """AC refinement pass for one block's band (T.81 G.1.2.3): newly
+    nonzero coefficients arrive as ±1<<Al; history-nonzero coefficients
+    absorb one correction bit each; zero-run lengths count only
+    zero-history positions."""
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(k: int) -> None:
+        c = int(blk[k])
+        if c != 0 and reader.read_bit() and (c & p1) == 0:
+            blk[k] = c + (p1 if c >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huffman(reader, ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:                      # EOBn: rest of band below
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history positions, s stays 0
+            elif s != 1:
+                raise ImageDecodeError("invalid AC refinement magnitude")
+            else:
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:                       # advance r zero-history
+                if int(blk[k]) != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:                               # EOB: corrections only
+        while k <= se:
+            correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_progressive(frame, coefs, qtables) -> np.ndarray:
+    """Dequantize + batch-IDCT the accumulated coefficient grids."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ImageDecodeError("missing quant table")
+        zz = coefs[ci]
+        nat = np.zeros(zz.shape, dtype=np.float64)
+        nat[:, :, ZIGZAG] = zz
+        by, bx = zz.shape[:2]
+        blocks = nat.reshape(by, bx, 8, 8) * q[None, None]
+        spatial = np.matmul(np.matmul(_C.T, blocks), _C) + 128.0
+        planes.append(spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _planes_to_image(frame, planes, hmax, vmax)
 
 
 def _decode_scan(data, pos, frame, scan_tables, qtables, htables,
@@ -324,6 +591,14 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables,
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = block
 
+    return _planes_to_image(frame, planes, hmax, vmax)
+
+
+def _planes_to_image(frame, planes, hmax, vmax) -> np.ndarray:
+    """Upsample subsampled planes, crop padding, convert to gray/RGB —
+    shared by the baseline and progressive decode paths."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
     out_planes = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -445,6 +720,311 @@ def _downsample2(plane: np.ndarray) -> np.ndarray:
     p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
     return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2]
             + p[1::2, 1::2]) / 4.0
+
+
+def _prep_planes(arr: np.ndarray, subsampling: str):
+    """Shared encoder front half: level-shifted planes + quant/sampling
+    metadata for (H,W) gray or (H,W,3) RGB input."""
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encoder takes (H,W) gray or (H,W,3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = subsampling == "420" and not gray
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+        qmap = [0]
+        samp = [(1, 1)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if sub:
+            cb, cr = _downsample2(cb), _downsample2(cr)
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qmap = [0, 1, 1]
+        samp = [(2, 2) if sub else (1, 1), (1, 1), (1, 1)]
+    return planes, qmap, samp
+
+
+def _quantized_zigzag(pixels: np.ndarray, quality: int, subsampling: str):
+    """Quantized zigzag-order coefficient grids, one (BY,BX,64) int array
+    per component on the padded interleaved MCU lattice."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    planes, qmap, samp = _prep_planes(arr, subsampling)
+    ql = _scale_quant(QUANT_LUMA, quality)
+    qc = _scale_quant(QUANT_CHROMA, quality)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_y, mcus_x = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    grids = []
+    for ci, plane in enumerate(planes):
+        ch, cv = samp[ci]
+        q = ql if qmap[ci] == 0 else qc
+        grid = np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+        for by in range(mcus_y * cv):
+            for bx in range(mcus_x * ch):
+                blk = _block_at(plane, by * 8, bx * 8)
+                qz = np.rint(dct2(blk) / q).astype(np.int64)
+                grid[by, bx] = qz.reshape(64)[ZIGZAG]
+        grids.append(grid)
+    meta = {"h": h, "w": w, "samp": samp, "qmap": qmap, "ql": ql, "qc": qc,
+            "hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y}
+    return grids, meta
+
+
+def _huff_from_symbols(symbols) -> tuple[list[int], list[int]]:
+    """Minimal valid Huffman spec for a symbol set: all codes at one
+    length L with 2^L > n (so the all-ones code stays unassigned)."""
+    vals = sorted(set(symbols))
+    if not vals:
+        vals = [0]
+    n = len(vals)
+    length = max(1, (n + 1 - 1).bit_length())   # 2^L >= n+1
+    if (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, vals
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
+                            subsampling: str = "444",
+                            restart_interval: int = 0,
+                            bands: tuple = ((1, 5), (6, 63)),
+                            dc_al: int = 1, ac_al: int = 1) -> bytes:
+    """Progressive JPEG (SOF2) fixture writer.
+
+    Scan script: interleaved DC first pass at Al=``dc_al`` + one
+    refinement scan per remaining bit, then per component the AC
+    ``bands`` first at Al=``ac_al`` and refined bit-by-bit to Al=0 —
+    which exercises spectral selection, successive approximation,
+    EOB-run accumulation, ZRL inside refinement, and correction-bit
+    buffering.  The script is parameterized so tests can assert that
+    *different* progressive structures of the same image decode
+    identically.  Per-scan Huffman tables are built from the scan's own
+    symbol set (EOBn symbols are outside the Annex-K baseline tables).
+    Encodes the same quantized coefficients as ``encode_jpeg``, so both
+    decode to identical pixels.
+    """
+    grids, meta = _quantized_zigzag(pixels, quality, subsampling)
+    nc = len(grids)
+    out = bytearray(b"\xff\xd8")                # SOI
+    tq_tbl = ((0, meta["ql"]),) + (((1, meta["qc"]),) if nc > 1 else ())
+    for tq, tbl in tq_tbl:
+        zz = tbl.reshape(64)[ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
+            + bytes(int(v) for v in zz)
+    sof = struct.pack(">BHHB", 8, meta["h"], meta["w"], nc)
+    for i in range(nc):
+        sof += bytes([i + 1, meta["samp"][i][0] << 4 | meta["samp"][i][1],
+                      meta["qmap"][i]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof   # SOF2
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def emit_sos(comps_tt: list[tuple[int, int]], ss, se, ah, al) -> None:
+        sos = bytes([len(comps_tt)])
+        for cid, tt in comps_tt:
+            sos += bytes([cid, tt])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
+
+    def emit_dht(tc: int, th: int, bits: list[int],
+                 values: list[int]) -> None:
+        payload = bytes([tc << 4 | th]) + bytes(bits) + bytes(values)
+        out.extend(b"\xff\xc4" + struct.pack(">H", len(payload) + 2)
+                   + payload)
+
+    def run_scan(body, huff_class: int | None, sos_args) -> None:
+        """Two passes: collect symbols → DHT + SOS + entropy bytes."""
+        if huff_class is not None:
+            seen: list[int] = []
+            body(lambda s: seen.append(s), lambda v, n: None, lambda: None)
+            bits, values = _huff_from_symbols(seen)
+            codes = _build_huffman_codes(bits, values)
+            emit_dht(huff_class, 0, bits, values)
+        emit_sos(*sos_args)
+        bw = _BitWriter()
+        rst = [0]
+
+        def restart() -> None:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst[0] % 8])
+            rst[0] += 1
+
+        if huff_class is not None:
+            body(lambda s: bw.write(*codes[s]), bw.write, restart)
+        else:
+            body(lambda s: None, bw.write, restart)
+        bw.flush()
+        out.extend(bw.out)
+
+    mcus = [(my, mx) for my in range(meta["mcus_y"])
+            for mx in range(meta["mcus_x"])]
+
+    def dc_first(sym, bits, restart) -> None:
+        pred = [0] * nc
+        for unit, (my, mx) in enumerate(mcus):
+            if restart_interval and unit and unit % restart_interval == 0:
+                restart()
+                pred = [0] * nc
+            for ci in range(nc):
+                ch, cv = meta["samp"][ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        val = int(grids[ci][my * cv + by, mx * ch + bx, 0]) \
+                            >> dc_al             # arithmetic point transform
+                        diff = val - pred[ci]
+                        pred[ci] = val
+                        size = abs(diff).bit_length()
+                        sym(size)
+                        if size:
+                            bits(diff if diff > 0 else
+                                 diff + (1 << size) - 1, size)
+
+    def dc_refine(al: int):
+        def body(sym, bits, restart) -> None:
+            for unit, (my, mx) in enumerate(mcus):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    restart()
+                for ci in range(nc):
+                    ch, cv = meta["samp"][ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            bits((int(grids[ci][my * cv + by,
+                                                mx * ch + bx, 0]) >> al)
+                                 & 1, 1)
+        return body
+
+    def comp_blocks(ci: int):
+        ch, cv = meta["samp"][ci]
+        comp_w = -(-meta["w"] * ch // meta["hmax"])
+        comp_h = -(-meta["h"] * cv // meta["vmax"])
+        bw_, bh_ = -(-comp_w // 8), -(-comp_h // 8)
+        return [(by, bx) for by in range(bh_) for bx in range(bw_)]
+
+    def ac_first(ci: int, ss: int, se: int, al: int):
+        def body(sym, bits, restart) -> None:
+            eobrun = [0]
+
+            def flush_eob() -> None:
+                while eobrun[0] > 0:
+                    chunk = min(eobrun[0], 0x7FFF)
+                    r = chunk.bit_length() - 1
+                    sym(r << 4)
+                    if r:
+                        bits(chunk - (1 << r), r)
+                    eobrun[0] -= chunk
+
+            for unit, (by, bx) in enumerate(comp_blocks(ci)):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    flush_eob()
+                    restart()
+                blk = grids[ci][by, bx]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                    if t == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        sym(0xF0)
+                        run -= 16
+                    size = abs(t).bit_length()
+                    sym(run << 4 | size)
+                    bits(t if t > 0 else t + (1 << size) - 1, size)
+                    run = 0
+                if run > 0:
+                    eobrun[0] += 1
+            flush_eob()
+        return body
+
+    def ac_refine(ci: int, ss: int, se: int, al: int):
+        def body(sym, bits, restart) -> None:
+            eobrun = [0]
+            pend: list[int] = []                 # bits owed to the EOB run
+
+            def flush_eob() -> None:
+                # pend bits belong to the EOB run: they are only ever
+                # appended together with eobrun increments
+                if eobrun[0] == 0:
+                    return
+                r = eobrun[0].bit_length() - 1
+                sym(r << 4)
+                if r:
+                    bits(eobrun[0] - (1 << r), r)
+                eobrun[0] = 0
+                for b in pend:
+                    bits(b, 1)
+                pend.clear()
+
+            for unit, (by, bx) in enumerate(comp_blocks(ci)):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    flush_eob()
+                    restart()
+                blk = grids[ci][by, bx]
+                absvals = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eob_idx = -1
+                for i, a in enumerate(absvals):
+                    if a == 1:
+                        eob_idx = i
+                r = 0
+                br: list[int] = []
+                for i, a in enumerate(absvals):
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob_idx:
+                        flush_eob()
+                        sym(0xF0)
+                        r -= 16
+                        for b in br:
+                            bits(b, 1)
+                        br = []
+                    if a > 1:                    # history-nonzero: 1 bit
+                        br.append(a & 1)
+                        continue
+                    flush_eob()                  # newly nonzero (|t| == 1)
+                    sym(r << 4 | 1)
+                    bits(1 if int(blk[ss + i]) > 0 else 0, 1)
+                    for b in br:
+                        bits(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun[0] += 1
+                    pend.extend(br)
+                    if eobrun[0] == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+        return body
+
+    # scan script: DC first + per-bit refinements, then per-component
+    # AC bands first + per-bit refinements
+    all_comps = [(i + 1, 0) for i in range(nc)]
+    run_scan(dc_first, 0, (all_comps, 0, 0, 0, dc_al))
+    for a in range(dc_al - 1, -1, -1):
+        run_scan(dc_refine(a), None, (all_comps, 0, 0, a + 1, a))
+    for ci in range(nc):
+        for ss, se in bands:
+            run_scan(ac_first(ci, ss, se, ac_al), 1,
+                     ([(ci + 1, 0)], ss, se, 0, ac_al))
+    for a in range(ac_al - 1, -1, -1):
+        for ci in range(nc):
+            for ss, se in bands:
+                run_scan(ac_refine(ci, ss, se, a), 1,
+                         ([(ci + 1, 0)], ss, se, a + 1, a))
+    out += b"\xff\xd9"                          # EOI
+    return bytes(out)
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 90,

@@ -475,18 +475,24 @@ def test_thumbnail_unsupported_vs_corrupted(spark):
     from docvault_ocr_service_spark.functions.multimodal import (
         generate_thumbnails)
 
+    from docvault_ocr_service_spark.extract.jpeg import (
+        encode_jpeg_progressive)
+
     data = bytearray(encode_jpeg(_gray()))
     pos = 2
     while data[pos + 1] != 0xC0:
         pos += 2 + st.unpack_from(">H", data, pos + 2)[0]
-    data[pos + 1] = 0xC2                         # progressive
+    data[pos + 1] = 0xC9                         # arithmetic-coded
     media = spark.createDataFrame(
-        [("prog", bytes(data)), ("trunc", bytes(encode_jpeg(_gray())[:30]))],
+        [("arith", bytes(data)),
+         ("trunc", bytes(encode_jpeg(_gray())[:30])),
+         ("prog", encode_jpeg_progressive(_gray()))],  # decodes since r3
         ["media_id", "payload"])
     got = {r["media_id"]: r["status"]
            for r in generate_thumbnails(media).collect()}
-    assert got["prog"].startswith("unsupported:")
+    assert got["arith"].startswith("unsupported:")
     assert got["trunc"].startswith("corrupted:")
+    assert got["prog"] == "ok"
 
 
 def test_dhash_perceptual_similarity():

@@ -77,13 +77,113 @@ def test_unsupported_and_corrupted_taxonomy(smooth):
     pos = 2                                    # walk real segment bounds
     while data[pos + 1] != 0xC0:
         pos += 2 + struct.unpack_from(">H", data, pos + 2)[0]
-    data[pos + 1] = 0xC2                       # pretend progressive
+    data[pos + 1] = 0xC9                       # pretend arithmetic-coded
     with pytest.raises(UnsupportedImageError):
         decode_jpeg(bytes(data))
     with pytest.raises(ImageDecodeError):
         decode_jpeg(b"\xff\xd8\xff\xe0 not a real jpeg")
     with pytest.raises(ImageDecodeError):
         decode_jpeg(encode_jpeg(smooth)[:40])  # truncated
+
+
+# -- progressive (SOF2) ------------------------------------------------------
+
+SCRIPTS = [
+    {},                                        # DC 1+1, AC bands at Al=1
+    {"bands": ((1, 63),), "dc_al": 0, "ac_al": 0},  # spectral-select only
+    {"bands": ((1, 2), (3, 10), (11, 63)), "dc_al": 2, "ac_al": 2},
+    {"bands": ((1, 63),), "ac_al": 2},
+]
+
+
+def test_progressive_matches_baseline_exactly(smooth):
+    """Progressive reorders the SAME quantized coefficients, so every
+    scan script must decode byte-identically to the baseline encoding."""
+    from docvault_ocr_service_spark.extract.jpeg import (
+        encode_jpeg_progressive)
+
+    rgb = np.dstack([smooth, 255 - smooth, np.roll(smooth, 7, axis=1)])
+    rng = np.random.RandomState(1)
+    noise = rng.randint(0, 256, (40, 56), dtype=np.uint8)
+    cases = [(smooth, {}), (rgb, {}), (noise, {}),
+             (rgb, {"subsampling": "420"})]
+    for src, kw in cases:
+        base = decode_jpeg(encode_jpeg(src, quality=80, **kw))
+        for script in SCRIPTS:
+            prog = decode_jpeg(
+                encode_jpeg_progressive(src, quality=80, **kw, **script))
+            assert (base == prog).all(), (kw, script)
+
+
+def test_progressive_eob_runs_and_restarts():
+    """Sparse blocks produce multi-block EOB runs; restart markers reset
+    DC prediction and the EOB run without changing pixels."""
+    from docvault_ocr_service_spark.extract.jpeg import (
+        encode_jpeg_progressive)
+
+    sparse = np.full((128, 120), 119, dtype=np.uint8)
+    sparse[5, 7], sparse[100, 90], sparse[64, 64] = 250, 10, 180
+    base = decode_jpeg(encode_jpeg(sparse, quality=90))
+    assert (base == decode_jpeg(
+        encode_jpeg_progressive(sparse, quality=90))).all()
+    assert (base == decode_jpeg(
+        encode_jpeg_progressive(sparse, quality=90,
+                                restart_interval=3))).all()
+
+
+def test_progressive_handwritten_bitstream():
+    """Spec-level pin independent of our progressive ENCODER: a
+    hand-assembled SOF2 stream (DC first at Al=1, DC refinement, AC
+    first at Al=1, AC refinement with a correction bit) must decode to
+    the exact IDCT of the hand-chosen coefficients."""
+    import struct
+
+    from docvault_ocr_service_spark.extract.jpeg import (
+        QUANT_LUMA, ZIGZAG, idct2)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    def dht(tc, th, bits16, values):
+        return seg(0xC4, bytes([tc << 4 | th]) + bytes(bits16)
+                   + bytes(values))
+
+    q = QUANT_LUMA
+    # DQT: Annex-K luma table, zigzag order
+    dqt = seg(0xDB, bytes([0]) + bytes(int(v) for v in q.reshape(64)[ZIGZAG]))
+    sof = seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+
+    # target coefficients (zigzag): DC=2, first AC (zigzag k=1) = 3
+    # scan 1 — DC first, Al=1: encodes 2>>1 = 1 → size-1 symbol + bit 1
+    # DC table: symbol {1} at code length 1 (code '0')
+    dc_dht = dht(0, 0, [1] + [0] * 15, [1])
+    sos1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    scan1 = bytes([0b0_1_111111])              # sym '0', diff bit '1', pad
+    # scan 2 — DC refinement to Al=0: raw bit (2 & 1) = 0
+    sos2 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    scan2 = bytes([0b0_1111111])
+    # scan 3 — AC first, band 1..63, Al=1: t = 3>>1 = 1 at k=1
+    # AC table: symbols {0x00 (EOB0), 0x01} at length 2 (codes '00','01')
+    ac_dht = dht(1, 0, [0, 2] + [0] * 14, [0x00, 0x01])
+    sos3 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    # sym 0x01 ('01') + sign '1' + EOB0 ('00') + pad
+    scan3 = bytes([0b01_1_00_111])
+    # scan 4 — AC refinement to Al=0: coef 3 is history-nonzero
+    # (|3|>>0 > 1): whole band is one EOB0 + correction bit (3 & 1) = 1
+    sos4 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    scan4 = bytes([0b00_1_11111])              # EOB0 '00' + correction '1'
+    data = (b"\xff\xd8" + dqt + sof
+            + dc_dht + sos1 + scan1 + sos2 + scan2
+            + ac_dht + sos3 + scan3 + sos4 + scan4 + b"\xff\xd9")
+
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 2 * q[0, 0]
+    coef[0, 1] = 3 * q[0, 1]                   # zigzag k=1 → natural (0,1)
+    expected = np.clip(np.rint(idct2(coef) + 128.0), 0, 255).astype(np.uint8)
+    got = decode_jpeg(data)
+    assert got.shape == (8, 8)
+    assert (got == expected).all()
 
 
 def test_jpeg_media_and_thumbnail(spark, smooth):
