@@ -1285,6 +1285,51 @@ def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        prog_vs_base(F.col("doc_id")).alias("n_mismatch"))
 
 
+def tiff_compressed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-TIFF codecs under the driver gate: per doc, a
+    deterministic 16×16 gradient is written as LZW, PackBits, or
+    LZW+horizontal-predictor TIFF (compression keyed on doc_id) and
+    decoded through extract_media_features.  All three are lossless, so
+    DuckDB recomputes brightness/contrast analytically from the pixel
+    formula v = (doc_id*11 + 3k) % 256 — parity with the reference's
+    PIL-backed compressed multi-frame TIFF handling
+    (tests/test_document_processor.py:157-176)."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.extract.images import encode_tiff_gray
+    from docvault_ocr_service_spark.functions.multimodal import (
+        extract_media_features)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 240)
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_tiff(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in ids:
+            d = int(d)
+            k = np.arange(256)
+            pix = ((d * 11 + 3 * k) % 256).astype("uint8").reshape(16, 16)
+            kw = ({"compression": "lzw"},
+                  {"compression": "packbits"},
+                  {"compression": "lzw", "predictor": True})[d % 3]
+            out.append(encode_tiff_gray([pix], **kw))
+        return pd.Series(out)
+
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        mk_tiff(F.col("doc_id")).alias("payload"))
+    feats = extract_media_features(media, fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "decode_status", "width", "height",
+        F.round("brightness", 6).alias("brightness"),
+        F.round("contrast", 6).alias("contrast"))
+
+
 def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio path under the driver gate: deterministic DC-signal WAVs
     (amplitude and length keyed on doc_id) parse to exactly-computable
@@ -1484,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_pixel_stats": png_pixel_stats,
         "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
         "jpeg_progressive_stats": jpeg_progressive_stats,
+        "tiff_compressed_stats": tiff_compressed_stats,
         "wav_audio_stats": wav_audio_stats,
         "thumbnail_dims": thumbnail_dims,
         "warc_roundtrip_stats": warc_roundtrip_stats,

@@ -278,39 +278,228 @@ def encode_tiff_frames(n_frames: int, width: int = 8,
     return bytes(out)
 
 
-def encode_tiff_gray(frames: list[np.ndarray]) -> bytes:
-    """8-bit grayscale frames → uncompressed little-endian TIFF (one
-    strip per frame).  Fixture writer proving ``decode_tiff``
-    round-trips."""
-    if not frames:
-        raise ValueError("need at least one frame")
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (TIFF6 §13): MSB-first variable-width codes,
+    CLEAR=256 / EOI=257, *early change* (width bumps one code earlier
+    than GIF).  Fixture writer proving ``_tiff_lzw_decode``."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    put(256, width)                               # leading CLEAR
+    w = b""
+    for i in range(len(data)):
+        c = data[i:i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1                            # early change
+        elif next_code >= 4094:                   # table nearly full
+            put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        put(table[w], width)
+    put(257, width)                               # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of ``_tiff_lzw_encode`` (and of any spec-conforming TIFF
+    LZW writer): stops at EOI or ``expected`` output bytes."""
+    out = bytearray()
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    base_len = len(table)
+    width = 9
+    acc = nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ImageDecodeError("TIFF LZW strip ended early")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        if code == 256:                           # CLEAR
+            table = table[:base_len]
+            width = 9
+            prev = None
+            continue
+        if code == 257:                           # EOI
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ImageDecodeError("bad first TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ImageDecodeError("TIFF LZW code out of range")
+        out += entry
+        prev = entry
+        # early change, with the decoder's one-entry lag: the decoder
+        # reconstructs entry n-1 while reading code n, so it must bump
+        # when the table is one short of the encoder's trigger
+        # (libtiff: maxcode = (1<<bits)-2)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ImageDecodeError("TIFF LZW strip ended early")
+    return bytes(out[:expected])
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """PackBits one row (TIFF6 §9: rows are packed separately)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([(1 - run) & 0xFF, row[i]])
+            i += run
+            continue
+        j = i + 1                                 # literal until a 2-run
+        while j < n and j - i < 128 and \
+                not (j + 1 < n and row[j] == row[j + 1]):
+            j += 1
+        out += bytes([j - i - 1]) + row[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while len(out) < expected:
+        if pos >= len(data):
+            raise ImageDecodeError("PackBits strip ended early")
+        n = data[pos]
+        pos += 1
+        if n == 128:                              # -128: noop
+            continue
+        if n < 128:                               # n+1 literal bytes
+            if pos + n + 1 > len(data):
+                raise ImageDecodeError("PackBits strip ended early")
+            out += data[pos:pos + n + 1]
+            pos += n + 1
+        else:                                     # repeat next 257-n times
+            if pos >= len(data):
+                raise ImageDecodeError("PackBits strip ended early")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+    return bytes(out[:expected])
+
+
+def encode_tiff_gray(frames: list[np.ndarray], *,
+                     compression: str = "none",
+                     predictor: bool = False) -> bytes:
+    """8-bit grayscale frames → little-endian TIFF (one strip per
+    frame; Compression none / ``lzw`` / ``packbits``, optional
+    horizontal predictor with LZW).  Fixture writer proving
+    ``decode_tiff`` round-trips."""
     arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
     if any(a.ndim != 2 for a in arrs):
         raise ValueError("encode_tiff_gray takes (H,W) uint8 frames")
+    return _encode_tiff(arrs, spp=1, compression=compression,
+                        predictor=predictor)
+
+
+def encode_tiff_rgb(frames: list[np.ndarray], *,
+                    compression: str = "none",
+                    predictor: bool = False) -> bytes:
+    """8-bit (H,W,3) RGB frames → little-endian TIFF."""
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if any(a.ndim != 3 or a.shape[2] != 3 for a in arrs):
+        raise ValueError("encode_tiff_rgb takes (H,W,3) uint8 frames")
+    return _encode_tiff(arrs, spp=3, compression=compression,
+                        predictor=predictor)
+
+
+_TIFF_COMPRESSION_IDS = {"none": 1, "lzw": 5, "packbits": 32773}
+
+
+def _encode_tiff(arrs: list[np.ndarray], spp: int, compression: str,
+                 predictor: bool) -> bytes:
+    if not arrs:
+        raise ValueError("need at least one frame")
+    if compression not in _TIFF_COMPRESSION_IDS:
+        raise ValueError(f"unknown compression {compression!r}")
+    if predictor and compression != "lzw":
+        raise ValueError("predictor requires lzw compression")
     out = bytearray(b"II*\x00")
     # pixel strips first, IFD chain after
-    pix_offsets = []
+    pix_offsets, pix_counts = [], []
     body = bytearray()
     base = 8
     for a in arrs:
+        h, w = a.shape[:2]
+        flat = a.reshape(h, w * spp)
+        if predictor:
+            # differencing is per SAMPLE: reshape so channels interleave
+            d = a.astype(np.int16)
+            d[:, 1:] = (a[:, 1:].astype(np.int16)
+                        - a[:, :-1].astype(np.int16))
+            flat = (d % 256).astype(np.uint8).reshape(h, w * spp)
+        if compression == "lzw":
+            strip = _tiff_lzw_encode(flat.tobytes())
+        elif compression == "packbits":
+            strip = b"".join(_packbits_encode_row(flat[r].tobytes())
+                             for r in range(h))
+        else:
+            strip = flat.tobytes()
         pix_offsets.append(base + len(body))
-        body += a.tobytes()
+        pix_counts.append(len(strip))
+        body += strip
     ifd_start = base + len(body)
-    n_entries = 9
+    n_entries = 10 + (1 if predictor else 0)
     ifd_size = 2 + 12 * n_entries + 4
     out += struct.pack("<I", ifd_start)
     out += body
     for k, a in enumerate(arrs):
-        h, w = a.shape
+        h, w = a.shape[:2]
         entries = [
             (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
-            (259, 3, 1, 1),                       # Compression = none
+            (259, 3, 1, _TIFF_COMPRESSION_IDS[compression]),
             (262, 3, 1, 1),                       # BlackIsZero
             (273, 4, 1, pix_offsets[k]),          # StripOffsets
-            (277, 3, 1, 1),                       # SamplesPerPixel
+            (277, 3, 1, spp),                     # SamplesPerPixel
             (278, 3, 1, h),                       # RowsPerStrip
-            (279, 4, 1, w * h),                   # StripByteCounts
+            (279, 4, 1, pix_counts[k]),           # StripByteCounts
+            (284, 3, 1, 1),                       # PlanarConfig = chunky
         ]
+        if predictor:
+            entries.append((317, 3, 1, 2))        # horizontal predictor
+        entries.sort()
         ifd = struct.pack("<H", n_entries)
         for tag, typ, cnt, val in entries:
             packed = (struct.pack("<HH", val, 0) if typ == 3
@@ -357,12 +546,14 @@ def _tiff_ifd_values_unsafe(data: bytes, offset: int,
 
 
 def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
-    """Uncompressed 8-bit gray/RGB TIFF frame → uint8 array.
+    """8-bit gray/RGB TIFF frame → uint8 array.
 
-    The honest envelope without an LZW/JPEG codec: Compression=1 strips
-    only; anything else raises ``ImageDecodeError`` (callers fall back
-    to IFD metadata via ``count_tiff_frames``).  Truncated IFD chains
-    surface as ImageDecodeError, never struct.error."""
+    Compression: none (1), LZW (5, incl. the horizontal predictor
+    tag 317=2), and PackBits (32773) — the formats PIL covers for the
+    reference's multi-frame TIFFs (tests/test_document_processor.py:
+    157-176).  Anything else (JPEG-in-TIFF, deflate, CCITT fax) raises
+    ``UnsupportedImageError``; truncated IFD chains surface as
+    ImageDecodeError, never struct.error."""
     if data[:4] == b"II*\x00":
         end = "<"
     elif data[:4] == b"MM\x00*":
@@ -390,23 +581,35 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
     except KeyError as e:
         raise ImageDecodeError(f"missing required TIFF tag {e}") from e
     compression = v.get(259, [1])[0]
-    if compression != 1:
-        raise ImageDecodeError(f"unsupported TIFF compression {compression}")
+    if compression not in (1, 5, 32773):
+        raise UnsupportedImageError(
+            f"unsupported TIFF compression {compression}")
     spp = v.get(277, [1])[0]
     bits = v.get(258, [8])
     if spp not in (1, 3) or any(b != 8 for b in bits):
         raise ImageDecodeError(f"unsupported TIFF spp={spp} bits={bits}")
     if len(strip_offs) != len(strip_cnts):
         raise ImageDecodeError("strip offset/count mismatch")
+    rows_per_strip = v.get(278, [h])[0] or h
     raw = bytearray()
-    for off, cnt in zip(strip_offs, strip_cnts):
+    for si, (off, cnt) in enumerate(zip(strip_offs, strip_cnts)):
         if off + cnt > len(data):
             raise ImageDecodeError("strip out of bounds")
-        raw += data[off:off + cnt]
+        chunk = data[off:off + cnt]
+        rows_here = min(rows_per_strip, h - si * rows_per_strip)
+        if rows_here <= 0:
+            break
+        if compression == 5:
+            chunk = _tiff_lzw_decode(chunk, rows_here * w * spp)
+        elif compression == 32773:
+            chunk = _packbits_decode(chunk, rows_here * w * spp)
+        raw += chunk
     if len(raw) != w * h * spp:
         raise ImageDecodeError("pixel data size mismatch")
     arr = np.frombuffer(bytes(raw), dtype=np.uint8)
     arr = arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, 3)
+    if v.get(317, [1])[0] == 2:         # horizontal predictor: undo the
+        arr = np.cumsum(arr, axis=1, dtype=np.uint8)  # per-row differencing
     if v.get(262, [1])[0] == 0:         # WhiteIsZero → invert to common
         arr = 255 - arr
     return arr

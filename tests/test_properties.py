@@ -104,6 +104,12 @@ def test_tiff_gif_roundtrip_random(h, w, seed, n_frames):
     assert count_tiff_frames(tif) == n_frames
     for k, f in enumerate(frames):
         assert (decode_tiff(tif, frame=k) == f).all()
+    # compressed variants round-trip the same frames byte-exactly
+    for kw in ({"compression": "lzw"}, {"compression": "packbits"},
+               {"compression": "lzw", "predictor": True}):
+        ctif = encode_tiff_gray(frames, **kw)
+        for k, f in enumerate(frames):
+            assert (decode_tiff(ctif, frame=k) == f).all()
     gif = encode_gif_gray(frames)
     assert count_gif_frames(gif) == n_frames
     for k, f in enumerate(frames):
