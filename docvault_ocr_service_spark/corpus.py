@@ -284,14 +284,34 @@ def generate_row(i: int) -> dict:
             lambda y, x: (i + x + y * w) % 256, (h, w)).astype("uint8")
         html = encode_png(pix)
     elif template == "image_jpeg":
-        # JFIF magic + deterministic noise (no DCT codec needed to sniff)
-        html = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01"
-                + bytes(rng.randrange(256) for _ in range(128))
-                + b"\xff\xd9")
-    elif template == "image_tiff":
-        from .extract.images import encode_tiff_frames
+        # real baseline JPEG (the engine has a full DCT codec now):
+        # smooth gradient keyed on i, decodable by decode_jpeg
+        import numpy as np
 
-        html = encode_tiff_frames((i % 5) + 1)
+        from .extract.jpeg import encode_jpeg
+
+        pix = np.fromfunction(
+            lambda y, x: (i * 3 + 4 * x + 6 * y) % 256,
+            (16, 24)).astype("uint8")
+        html = encode_jpeg(pix, quality=85)
+    elif template == "image_tiff":
+        # alternate metadata-only multi-frame fixtures (keeps the honest
+        # metadata_only taxonomy exercised) with real compressed TIFFs
+        # (LZW / PackBits) that decode end-to-end
+        if i % 3 == 0:
+            from .extract.images import encode_tiff_frames
+
+            html = encode_tiff_frames((i % 5) + 1)
+        else:
+            import numpy as np
+
+            from .extract.images import encode_tiff_gray
+
+            pix = np.fromfunction(
+                lambda y, x: (i + 2 * x + 3 * y) % 256,
+                (16, 16)).astype("uint8")
+            html = encode_tiff_gray(
+                [pix], compression="lzw" if i % 3 == 1 else "packbits")
     elif template == "poison":
         choice = i % 3
         if choice == 0:
