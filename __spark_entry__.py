@@ -1330,6 +1330,53 @@ def tiff_compressed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrast", 6).alias("contrast"))
 
 
+def media_preprocess_decisions(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The full adaptive OCR preprocessing (O2: CLAHE → brightness →
+    bilateral → threshold → deskew, app/ocr_service.py:135-246) under
+    the driver gate: three deterministic 16×16 fixture classes keyed on
+    doc_id%3 (flat-dark → aggressive/CLAHE/bilateral/threshold,
+    bright checkerboard → medium, crisp checkerboard → light) whose
+    decision columns DuckDB recomputes with a CASE."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.extract.images import encode_png
+    from docvault_ocr_service_spark.functions.multimodal import (
+        preprocess_media)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 240)
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_img(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in ids:
+            d = int(d)
+            if d % 3 == 0:                       # flat dark → aggressive
+                pix = np.full((16, 16), 20 + d % 40, dtype=np.uint8)
+            elif d % 3 == 1:                     # bright → medium
+                pix = np.empty((16, 16), dtype=np.uint8)
+                pix[::2], pix[1::2] = 120, 255
+            else:                                # crisp → light
+                pix = np.empty((16, 16), dtype=np.uint8)
+                pix[::2], pix[1::2] = 60, 190
+            out.append(encode_png(pix))
+        return pd.Series(out)
+
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        mk_img(F.col("doc_id")).alias("payload"))
+    pre = preprocess_media(media)
+    return pre.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "status", "enhance_level", "psm", "thresholded",
+        "clahe", "bilateral",
+        F.round("deskew_angle", 6).alias("deskew_angle"),
+        "width", "height")
+
+
 def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio path under the driver gate: deterministic DC-signal WAVs
     (amplitude and length keyed on doc_id) parse to exactly-computable
@@ -1530,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
         "jpeg_progressive_stats": jpeg_progressive_stats,
         "tiff_compressed_stats": tiff_compressed_stats,
+        "media_preprocess_decisions": media_preprocess_decisions,
         "wav_audio_stats": wav_audio_stats,
         "thumbnail_dims": thumbnail_dims,
         "warc_roundtrip_stats": warc_roundtrip_stats,

@@ -977,22 +977,206 @@ def _box_mean(gray: np.ndarray, block: int) -> np.ndarray:
     return s / (b * b)
 
 
+def clahe(gray: np.ndarray, clip_limit: float = 2.0,
+          tiles: int = 8) -> np.ndarray:
+    """CLAHE — the cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8,8))
+    algorithm (OpenCV modules/imgproc/src/clahe.cpp) in pure numpy,
+    closing the reference's STEP 1 (app/ocr_service.py:174-176):
+
+    - pad bottom/right (border-replicate) to tile multiples;
+    - per-tile 256-bin histogram, clipped at
+      max(int(clip_limit * tile_area / 256), 1) with the excess
+      redistributed uniformly (+ OpenCV's strided residual spread);
+    - per-tile LUT = round(cdf * 255 / tile_area);
+    - per-pixel bilinear interpolation between the 4 nearest tile LUTs.
+    """
+    h, w = gray.shape
+    th = -(-h // tiles)
+    tw = -(-w // tiles)
+    p = np.pad(gray, ((0, th * tiles - h), (0, tw * tiles - w)),
+               mode="edge")
+    tiled = (p.reshape(tiles, th, tiles, tw)
+             .transpose(0, 2, 1, 3).reshape(tiles, tiles, th * tw))
+    area = th * tw
+    clip = max(int(clip_limit * area / 256), 1)
+    hist = np.zeros((tiles, tiles, 256), dtype=np.int64)
+    for i in range(tiles):
+        for j in range(tiles):
+            hist[i, j] = np.bincount(tiled[i, j], minlength=256)
+    excess = np.maximum(hist - clip, 0).sum(axis=2)
+    hist = np.minimum(hist, clip) + (excess // 256)[..., None]
+    residual = (excess % 256).astype(np.int64)
+    for i in range(tiles):
+        for j in range(tiles):
+            r = int(residual[i, j])
+            if r:                         # OpenCV: stride 256//r, r bins
+                hist[i, j, np.arange(0, 256, max(256 // r, 1))[:r]] += 1
+    lut = np.clip(np.rint(hist.cumsum(axis=2) * (255.0 / area)),
+                  0, 255).astype(np.uint8)
+
+    ty = (np.arange(h) + 0.5) / th - 0.5
+    tx = (np.arange(w) + 0.5) / tw - 0.5
+    y0 = np.floor(ty).astype(np.int64)
+    x0 = np.floor(tx).astype(np.int64)
+    fy = (ty - y0)[:, None]
+    fx = (tx - x0)[None, :]
+    y0c = np.clip(y0, 0, tiles - 1)[:, None]
+    y1c = np.clip(y0 + 1, 0, tiles - 1)[:, None]
+    x0c = np.clip(x0, 0, tiles - 1)[None, :]
+    x1c = np.clip(x0 + 1, 0, tiles - 1)[None, :]
+    g = gray.astype(np.int64)
+    v00 = lut[y0c, x0c, g].astype(np.float64)
+    v01 = lut[y0c, x1c, g].astype(np.float64)
+    v10 = lut[y1c, x0c, g].astype(np.float64)
+    v11 = lut[y1c, x1c, g].astype(np.float64)
+    out = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+           + fy * ((1 - fx) * v10 + fx * v11))
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def bilateral_filter(gray: np.ndarray, d: int = 5,
+                     sigma_color: float = 50.0,
+                     sigma_space: float = 50.0) -> np.ndarray:
+    """cv2.bilateralFilter(img, 5, 50, 50) — the reference's STEP 3 noise
+    reduction (app/ocr_service.py:187-189) — in numpy: circular
+    d-diameter neighborhood, spatial Gaussian exp(-r²/2σs²) × range
+    Gaussian on the intensity difference, border-replicate."""
+    r = d // 2
+    src = gray.astype(np.float64)
+    p = np.pad(src, r, mode="edge")
+    cc = -0.5 / (sigma_color * sigma_color)
+    sc = -0.5 / (sigma_space * sigma_space)
+    num = np.zeros_like(src)
+    den = np.zeros_like(src)
+    h, w = gray.shape
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            rr = dy * dy + dx * dx
+            if rr > r * r:                # OpenCV masks to the disc
+                continue
+            nb = p[r + dy:r + dy + h, r + dx:r + dx + w]
+            wgt = np.exp(sc * rr + cc * (nb - src) ** 2)
+            num += wgt * nb
+            den += wgt
+    return np.clip(np.rint(num / den), 0, 255).astype(np.uint8)
+
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain over (N,2) points → hull vertices CCW."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def half(points):
+        out: list[np.ndarray] = []
+        for q in points:
+            while len(out) >= 2 and np.cross(
+                    out[-1] - out[-2], q - out[-2]) <= 0:
+                out.pop()
+            out.append(q)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def min_area_rect_angle(points: np.ndarray) -> float:
+    """Angle of the minimum-area bounding rectangle in OpenCV's legacy
+    convention (∈ [-90, 0), what the reference's deskew consumes at
+    app/ocr_service.py:229-234 via cv2.minAreaRect(coords)[-1]).
+    ``points`` is whatever the caller stacks — the reference passes
+    (row, col) pairs from np.where, and this mirrors that contract."""
+    hull = _convex_hull(np.asarray(points, dtype=np.float64))
+    if len(hull) <= 2:
+        return -90.0
+    best_area, best_phi = None, 0.0
+    edges = np.roll(hull, -1, axis=0) - hull
+    for e in edges:
+        n = np.hypot(e[0], e[1])
+        if n == 0:
+            continue
+        c, s = e[0] / n, e[1] / n
+        u = hull @ np.array([c, s])
+        v = hull @ np.array([-s, c])
+        span = (u.max() - u.min()) * (v.max() - v.min())
+        if best_area is None or span < best_area:
+            best_area = span
+            best_phi = np.degrees(np.arctan2(s, c)) % 90.0
+    return best_phi - 90.0
+
+
+def _cubic_weights(t: np.ndarray, a: float = -0.75) -> list[np.ndarray]:
+    """BiCubic weights for offsets (-1, 0, 1, 2), OpenCV's a=-0.75."""
+    def k(x):
+        ax = np.abs(x)
+        return np.where(
+            ax <= 1, (a + 2) * ax ** 3 - (a + 3) * ax ** 2 + 1,
+            np.where(ax < 2,
+                     a * ax ** 3 - 5 * a * ax ** 2 + 8 * a * ax - 4 * a,
+                     0.0))
+    return [k(t + 1), k(t), k(t - 1), k(t - 2)]
+
+
+def rotate_image(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """cv2.warpAffine(img, getRotationMatrix2D((w//2, h//2), angle, 1.0),
+    (w, h), INTER_CUBIC, BORDER_REPLICATE) — the reference's deskew
+    rotation (app/ocr_service.py:237-246) — via inverse mapping + bicubic
+    sampling with replicated borders."""
+    h, w = img.shape[:2]
+    cx, cy = w // 2, h // 2
+    th = np.radians(angle_deg)
+    cth, sth = np.cos(th), np.sin(th)
+    # inverse of the rotation: rotate output coords by -angle about center
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    sx = cth * (xs - cx) - sth * (ys - cy) + cx
+    sy = sth * (xs - cx) + cth * (ys - cy) + cy
+    ix = np.floor(sx).astype(np.int64)
+    iy = np.floor(sy).astype(np.int64)
+    wx = _cubic_weights(sx - ix)
+    wy = _cubic_weights(sy - iy)
+    src = img.astype(np.float64)
+    out = np.zeros_like(src)
+    for j in range(4):
+        row = np.clip(iy + (j - 1), 0, h - 1)
+        acc = np.zeros_like(src)
+        for i in range(4):
+            col = np.clip(ix + (i - 1), 0, w - 1)
+            acc += wx[i] * src[row, col]
+        out += wy[j] * acc
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def deskew_angle(binary: np.ndarray) -> float:
+    """The reference's deskew decision (app/ocr_service.py:227-236):
+    white-pixel coords (row, col), legacy minAreaRect angle, then the
+    fold  angle < -45 → -(90+angle), else -angle."""
+    coords = np.column_stack(np.where(binary > 0))
+    if len(coords) == 0:
+        return 0.0
+    angle = min_area_rect_angle(coords)
+    return -(90.0 + angle) if angle < -45 else -angle
+
+
 def preprocess_image(img: np.ndarray,
                      enhance_level: str = "auto") -> tuple[np.ndarray, dict]:
     """Adaptive OCR-style preprocessing (the O2 surface,
     app/ocr_service.py:135-226) with numpy kernels:
 
     - light: sharpen only (PIL SHARPEN kernel);
-    - medium/aggressive: the reference's exact brightness scaling
-      (×1.3+30 dark, ×0.8−20 bright), then Otsu binarization on the
-      aggressive path / local-mean adaptive threshold (block 31, C=10 —
-      box mean stands in for cv2's Gaussian window) on the medium
-      low-contrast path.
+    - medium/aggressive: CLAHE (clipLimit 2.0, 8×8 tiles) for dark or
+      low-contrast input, the reference's exact brightness scaling
+      (×1.3+30 dark, ×0.8−20 bright), bilateral(5, 50, 50) on the
+      aggressive blurry path, then Otsu binarization on the aggressive
+      path / local-mean adaptive threshold (block 31, C=10 — box mean
+      stands in for cv2's Gaussian window) on the medium low-contrast
+      path; the aggressive binarized output is deskewed when the
+      minAreaRect angle exceeds 0.5° (STEP 5's 1×1-kernel morphology is
+      an identity and stays a no-op).
 
-    CLAHE, bilateral filtering, and minAreaRect deskew need cv2 and are
-    documented omissions (the reference applies them in the same
-    branches).  Returns (image, decision dict incl. enhance_level and
-    the auto-selected PSM)."""
+    Returns (image, decision dict incl. enhance_level, the auto-selected
+    PSM, and the clahe/bilateral/deskew_angle decisions)."""
     gray = np.clip(np.rint(to_grayscale(img)), 0, 255).astype(np.uint8)
     quality = analyze_image_quality(gray)
     level = select_enhance_level(quality, enhance_level)
@@ -1000,11 +1184,21 @@ def preprocess_image(img: np.ndarray,
         "enhance_level": level,
         "psm": determine_psm(gray.shape[1], gray.shape[0]),
         "thresholded": False,
+        "clahe": False,
+        "bilateral": False,
+        "deskew_angle": 0.0,
     }
     if level == "light":
         return _sharpen(gray), decisions
 
-    out = gray.astype(np.float64)
+    # STEP 1 (app/ocr_service.py:173-176): CLAHE for low contrast / dark
+    out_u8 = gray
+    if quality["is_low_contrast"] or quality["is_dark"]:
+        out_u8 = clahe(out_u8, clip_limit=2.0, tiles=8)
+        decisions["clahe"] = True
+
+    # STEP 2: brightness correction
+    out = out_u8.astype(np.float64)
     if quality["is_dark"]:
         out = out * 1.3 + 30           # convertScaleAbs(alpha=1.3, beta=30)
     elif quality["is_bright"]:
@@ -1012,11 +1206,22 @@ def preprocess_image(img: np.ndarray,
     # convertScaleAbs = saturate(|alpha*x + beta|): abs BEFORE clipping
     out = np.clip(np.rint(np.abs(out)), 0, 255).astype(np.uint8)
 
+    # STEP 3 (:187-189): bilateral noise reduction, aggressive+blurry only
+    if quality["sharpness"] < 100 and level == "aggressive":
+        out = bilateral_filter(out, 5, 50.0, 50.0)
+        decisions["bilateral"] = True
+
     if level == "aggressive" and (quality["is_low_contrast"]
                                   or quality["is_dark"]):
         t = otsu_threshold(out)
         out = np.where(out > t, 255, 0).astype(np.uint8)
         decisions["thresholded"] = True
+        # STEP 5 morphology uses a 1×1 kernel — an identity, kept as such.
+        # STEP 6 (:226-246): deskew the binarized page when warranted
+        angle = deskew_angle(out)
+        if abs(angle) > 0.5:
+            out = rotate_image(out, angle)
+            decisions["deskew_angle"] = float(angle)
     elif level == "medium" and quality["is_low_contrast"]:
         local = _box_mean(out, 31) - 10
         out = np.where(out > local, 255, 0).astype(np.uint8)

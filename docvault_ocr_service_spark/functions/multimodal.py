@@ -322,6 +322,90 @@ def generate_thumbnails(df: DataFrame, max_size: int = 128) -> DataFrame:
         .mapInPandas(kernel, schema=THUMBNAIL_SCHEMA)
 
 
+PREPROCESS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("status", T.StringType(), True),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("enhance_level", T.StringType(), True),
+    T.StructField("psm", T.IntegerType(), True),
+    T.StructField("thresholded", T.BooleanType(), True),
+    T.StructField("clahe", T.BooleanType(), True),
+    T.StructField("bilateral", T.BooleanType(), True),
+    T.StructField("deskew_angle", T.DoubleType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("preprocessed_png", T.BinaryType(), True),
+])
+
+
+def preprocess_media(df: DataFrame,
+                     enhance_level: str = "auto") -> DataFrame:
+    """The reference's full adaptive OCR preprocessing
+    (app/ocr_service.py:135-246: auto level → CLAHE → brightness →
+    bilateral → Otsu/adaptive threshold → deskew) as a map stage over
+    (media_id, payload) image rows.  Emits the preprocessed page as PNG
+    plus every decision column — what a downstream OCR engine would
+    consume.  Undecodable payloads come back with an honest status,
+    never a task failure."""
+    from ..extract.images import (
+        decode_tiff,
+        encode_png,
+        preprocess_image,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PREPROCESS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {c: None for c in cols}
+                row["media_id"] = media_id
+                try:
+                    fmt = sniff_image_format((payload or b"")[:8])
+                    row["format"] = fmt
+                    if fmt == "png":
+                        img = decode_png(payload)
+                    elif fmt == "tiff":
+                        img = decode_tiff(payload)
+                    elif fmt == "gif":
+                        img = decode_gif(payload)
+                    elif fmt == "jpeg":
+                        from ..extract.jpeg import decode_jpeg
+
+                        img = decode_jpeg(payload)
+                    else:
+                        row["status"] = f"no_codec:{fmt}"
+                        rows.append(row)
+                        continue
+                    if img.ndim == 3 and img.shape[2] in (2, 4):
+                        img = img[..., :3] if img.shape[2] == 4 \
+                            else img[..., 0]
+                    out, d = preprocess_image(img, enhance_level)
+                    row.update({
+                        "status": "ok",
+                        "enhance_level": d["enhance_level"],
+                        "psm": int(d["psm"]),
+                        "thresholded": bool(d["thresholded"]),
+                        "clahe": bool(d["clahe"]),
+                        "bilateral": bool(d["bilateral"]),
+                        "deskew_angle": float(d["deskew_angle"]),
+                        "width": int(out.shape[1]),
+                        "height": int(out.shape[0]),
+                        "preprocessed_png": encode_png(out),
+                    })
+                except UnsupportedImageError as e:
+                    row["status"] = f"unsupported:{e}"
+                except ImageDecodeError as e:
+                    row["status"] = f"corrupted:{e}"
+                except Exception as e:  # noqa: BLE001
+                    row["status"] = f"unexpected:{type(e).__name__}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload") \
+        .mapInPandas(kernel, schema=PREPROCESS_SCHEMA)
+
+
 def extract_media_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
     """MEDIA_SCHEMA DataFrame → FEATURE_SCHEMA DataFrame.
 
