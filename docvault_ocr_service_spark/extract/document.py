@@ -81,6 +81,21 @@ def detect_format(payload: bytes | None) -> str:
     return "unknown"
 
 
+def page_spans(pages: list[str]) -> list[dict]:
+    """Char-offset span per page within the PAGE_JOINER-joined full
+    text — the hOCR page-box analogue for native-PDF output (the
+    reference emits hOCR/word boxes from Tesseract image_to_data,
+    app/ocr_service.py:382-403; native text has no pixel geometry, so
+    offsets into the joined text are the portable spans).  Invariant:
+    full_text[start:end] == pages[seq]."""
+    spans, off = [], 0
+    for i, t in enumerate(pages):
+        spans.append({"seq": i, "tag": "page", "start": off,
+                      "end": off + len(t), "link_density": 0.0})
+        off += len(t) + len(PAGE_JOINER)
+    return spans
+
+
 def _page_entries(pages: list[str], confidence: float, source: str) -> list[dict]:
     """Per-page result entries (shape of app/worker.py:231-239)."""
     return [
@@ -178,7 +193,7 @@ def extract_document(url: str, html: bytes | None, text: str | None,
                 return _error(url, lang, "corrupted_file", str(e), started)
             if has_native_text(pages):
                 return _finish(url, lang, pages, NATIVE_CONFIDENCE,
-                               "native_pdf", started, [])
+                               "native_pdf", started, page_spans(pages))
             return _error(
                 url, lang, "ocr_unavailable",
                 f"native text < {NATIVE_TEXT_MIN_CHARS} chars and no OCR "

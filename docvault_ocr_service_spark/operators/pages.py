@@ -40,6 +40,7 @@ from ..extract.document import (
     PAGE_JOINER,
     _error,
     _finish,
+    page_spans,
 )
 from ..extract.pdftext import (
     NATIVE_TEXT_MIN_CHARS,
@@ -247,9 +248,10 @@ def _finish_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     f"native text < {NATIVE_TEXT_MIN_CHARS} chars and no "
                     "OCR runtime in this environment", started))
             else:
-                rows.append(_finish(url, lang, list(texts),
+                texts = list(texts)
+                rows.append(_finish(url, lang, texts,
                                     NATIVE_CONFIDENCE, "native_pdf",
-                                    started, []))
+                                    started, page_spans(texts)))
         out = pd.DataFrame(rows, columns=RESULT_COLUMNS[:-1])
         out["partition_id"] = pid
         yield out

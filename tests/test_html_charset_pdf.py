@@ -300,3 +300,25 @@ def test_pdf_ascii_hex_decode_filter():
     pages2 = extract_pdf_pages(
         mini_pdf(chained, b"/Filter[/ASCIIHexDecode /FlateDecode]"))
     assert "hex filtered text" in pages2[0]
+
+
+def test_pdf_page_spans_cover_text():
+    """The hOCR-analogue invariant for native-PDF output: one span per
+    page, full_text[start:end] == that page's text, seq == page index
+    (mirrors the HTML spans-cover-text invariant)."""
+    from docvault_ocr_service_spark.extract.document import extract_document
+
+    pdf = make_pdf(["PAGE-1-alpha " * 20, "PAGE-2-bravo " * 20,
+                    "PAGE-3-charlie " * 20])
+    res = extract_document("u", pdf, None, "en")
+    assert res["status"] == "done" and res["source"] == "native_pdf"
+    spans = res["spans"]
+    assert len(spans) == res["page_count"] == 3
+    assert [s["seq"] for s in spans] == [0, 1, 2]
+    for s, page in zip(spans, res["pages"]):
+        assert s["tag"] == "page"
+        assert res["text"][s["start"]:s["end"]] == page["text"]
+    # spans tile the joined text exactly (joiner-width gaps)
+    for a, b in zip(spans, spans[1:]):
+        assert b["start"] == a["end"] + 2          # len("\n\n")
+    assert spans[-1]["end"] == len(res["text"])
