@@ -1330,6 +1330,59 @@ def tiff_compressed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrast", 6).alias("contrast"))
 
 
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link graph + fixed-iteration PageRank under the driver gate:
+    deterministic anchor markup per doc (host doc_id%20 links to hosts
+    (doc_id*7+k)%20, k=1..3) goes through the REAL pipeline — columnar
+    href extraction → weighted host multigraph (self-loops dropped) →
+    5 PageRank iterations with dangling-mass handling — while DuckDB
+    recomputes the edges analytically and unrolls the same 5 iterations
+    in SQL.  Ranks quantized to micro-units (BIGINT) so sum-order FP
+    drift can't flip the hash."""
+    from docvault_ocr_service_spark.operators.linkgraph import (
+        extract_links, host_edges, pagerank)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def host_of(e):
+        return F.concat(F.lit("host"), (e % 20).cast("long").cast("string"),
+                        F.lit(".example"))
+
+    anchors = [
+        F.concat(F.lit('<a href="https://'),
+                 host_of(F.col("doc_id") * 7 + k),
+                 F.lit(f'/x{k}">l</a> '))
+        for k in (1, 2, 3)
+    ]
+    page = docs.select(
+        F.concat(F.lit("https://"), host_of(F.col("doc_id")),
+                 F.lit("/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(*anchors).alias("html_text"))
+    pr = pagerank(host_edges(extract_links(page)), damping=0.85, iters=5)
+    return pr.select(
+        "host",
+        F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro"))
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit over the real documents table: per-type match
+    counts + scrubbed-text length, aggregated per source.  DuckDB applies
+    the byte-identical RE2-compatible regexes in the same order."""
+    from docvault_ocr_service_spark.functions.pii import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scrubbed = scrub_pii(docs)
+    return (scrubbed.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_email").cast("long").alias("n_email"),
+                 F.sum("n_card").cast("long").alias("n_card"),
+                 F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+                 F.sum("n_phone").cast("long").alias("n_phone"),
+                 F.sum(F.length("text_clean")).cast("long")
+                  .alias("clean_chars"))
+            .orderBy("source"))
+
+
 def media_preprocess_decisions(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """The full adaptive OCR preprocessing (O2: CLAHE → brightness →
@@ -1578,6 +1631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive_stats": jpeg_progressive_stats,
         "tiff_compressed_stats": tiff_compressed_stats,
         "media_preprocess_decisions": media_preprocess_decisions,
+        "host_pagerank": host_pagerank,
+        "doc_pii_scrub": doc_pii_scrub,
         "wav_audio_stats": wav_audio_stats,
         "thumbnail_dims": thumbnail_dims,
         "warc_roundtrip_stats": warc_roundtrip_stats,

@@ -1,0 +1,129 @@
+"""Link-graph extraction + PageRank over crawl corpora.
+
+Why it belongs in a training-data engine: host-level link authority is a
+standard crawl-curation signal (seed-list expansion, spam-host
+down-weighting, crawl-frontier prioritization — the role OPIC/PageRank
+plays in production crawlers).  The reference service has no graph stage
+(it is per-document); this is one of the web-scale additions layered on
+top of its extraction semantics.
+
+Scale shape:
+
+- link extraction is a native ``regexp_extract_all`` + ``explode`` —
+  JVM-side, no Python;
+- the host edge list aggregates once (map-side partial), and every
+  PageRank iteration shuffles only (src_host → dst_host) contributions —
+  rank state is one slim row per node, re-partitioned consistently by
+  the join key, so iterations reuse the same hash partitioning;
+- dangling mass is a single scalar agg per iteration (no collect of
+  vectors, just one double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.web import url_host
+
+HREF_RE = r"""href\s*=\s*["']([^"'#][^"']*)["']"""
+
+
+def extract_links(df: DataFrame, url_col: str = "url",
+                  html_col: str = "html_text") -> DataFrame:
+    """(page url, href) pairs from anchor tags in the page text.
+
+    Columnar: ``regexp_extract_all`` runs in the JVM; one output row per
+    href.  Relative links are kept verbatim (callers can resolve against
+    ``src`` if needed); fragment-only links never match.
+    """
+    return df.select(
+        F.col(url_col).alias("src"),
+        F.explode(F.regexp_extract_all(
+            F.col(html_col), F.lit(HREF_RE), 1)).alias("dst"),
+    )
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """(src, dst) url pairs → weighted host multigraph
+    (src_host, dst_host, n_links), self-loops dropped (a host linking to
+    itself carries no authority signal)."""
+    e = links.select(
+        url_host(F.col("src")).alias("src_host"),
+        url_host(F.col("dst")).alias("dst_host"),
+    ).where(F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != F.col("dst_host")))
+    return e.groupBy("src_host", "dst_host") \
+        .agg(F.count("*").alias("n_links"))
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85,
+             iters: int = 5, node_col_out: str = "host") -> DataFrame:
+    """Weighted PageRank over (src_host, dst_host, n_links) edges.
+
+    Exact fixed-iteration form (the driver-gate oracle unrolls the same
+    ``iters`` steps in SQL):
+
+        r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)·w(u,v)/deg(u)
+                                + Σ_{dangling u} r(u)/N )
+
+    deg(u) = Σ_v w(u,v).  One scalar agg (dangling mass) + one slim
+    (node, contribution) shuffle per iteration; rank state is a single
+    row per node.  ``iters`` is fixed rather than convergence-tested so
+    results are deterministic and SQL-twinnable; production callers loop
+    to an L1-delta threshold instead.
+    """
+    spark = edges.sparkSession
+    edges = edges.select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("w")).persist()
+    deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    n = nodes.count()
+    if n == 0:
+        edges.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame(
+            [], f"{node_col_out} string, rank double")
+    base = (1.0 - damping) / n
+
+    # (src, dst, w/deg): the per-link share of the source's rank
+    shares = (edges.join(deg, "src")
+              .select("src", "dst", (F.col("w") / F.col("deg"))
+                      .alias("share"))).persist()
+    shares.count()
+    edges.unpersist()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).persist()
+    sources = shares.select("src").distinct()
+    for _ in range(iters):
+        dangling = (ranks.join(sources,
+                               ranks["node"] == sources["src"],
+                               "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .first()[0])
+        contribs = (shares.join(ranks, shares["src"] == ranks["node"])
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("rank") * F.col("share"))
+                         .alias("contrib")))
+        new_ranks = (nodes.join(contribs,
+                                nodes["node"] == contribs["dst"], "left")
+                     .select(
+                         "node",
+                         (F.lit(base)
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                             + F.lit(dangling / n))).alias("rank"))
+                     .persist())
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+
+    out = ranks.select(F.col("node").alias(node_col_out), "rank")
+    shares.unpersist()
+    nodes.unpersist()
+    return out

@@ -45,6 +45,12 @@ def get_spark(app_name: str = "docvault_ocr_service_spark",
                 os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # keep exactly one Python worker per task slot alive across
+        # stages: a fresh fork per stage both pays startup again and
+        # briefly doubles the Python process count — on a taskset-pinned
+        # core budget that oversubscription is measurable at 32 cores
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
