@@ -1330,6 +1330,37 @@ def tiff_compressed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrast", 6).alias("contrast"))
 
 
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (p_i ∝ f_i^(1/2), total 100)
+    over the documents table; DuckDB recomputes the quotas and the
+    md5-ordered draw."""
+    from docvault_ocr_service_spark.functions.textstats import (
+        temperature_sample)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = temperature_sample(docs, "source",
+                             F.col("doc_id").cast("string"),
+                             total_rows=100, temperature=2.0)
+    return out.select("doc_id", "source")
+
+
+def doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. ExactSubstr, k-gram form) over
+    the real documents table: tokens covered by any corpus-duplicated
+    8-gram are removed.  DuckDB recomputes the whole pass — grams via
+    list_slice over a lateral series, the same \\x1f-joined gram keys,
+    coverage, and reassembly — and both sides report the md5 of the
+    cleaned text."""
+    from docvault_ocr_service_spark.operators.substring_dedup import (
+        dedup_exact_substrings)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup_exact_substrings(docs, k=8)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed",
+        F.md5(F.col("clean_text")).alias("clean_md5"))
+
+
 def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link graph + fixed-iteration PageRank under the driver gate:
     deterministic anchor markup per doc (host doc_id%20 links to hosts
@@ -1632,6 +1663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_compressed_stats": tiff_compressed_stats,
         "media_preprocess_decisions": media_preprocess_decisions,
         "host_pagerank": host_pagerank,
+        "doc_substring_dedup": doc_substring_dedup,
+        "doc_temperature_mix": doc_temperature_mix,
         "doc_pii_scrub": doc_pii_scrub,
         "wav_audio_stats": wav_audio_stats,
         "thumbnail_dims": thumbnail_dims,

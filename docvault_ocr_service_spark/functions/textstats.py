@@ -259,6 +259,38 @@ def stratified_sample(df: DataFrame, strata_col: str, key: Column,
               .drop("__rn"))
 
 
+def temperature_sample(df: DataFrame, group_col: str, key: Column,
+                       total_rows: int,
+                       temperature: float = 2.0) -> DataFrame:
+    """Temperature-flattened mixture sampling — the multilingual/source
+    rebalancing rule p_i ∝ f_i^(1/T) (Conneau & Lample 2019 §3.1;
+    Raffel et al. 2020 §3.4.2): big groups are down-sampled toward a
+    flatter mix, T=1 keeps the natural distribution, T→∞ approaches
+    uniform.  Per-group integer quotas (min(count, round(total·share)))
+    are filled in md5-of-key order, so the draw is deterministic and
+    engine-portable, and no per-row float comparison can drift between
+    engines.  Cost: one count agg + one window shuffle; the quota table
+    (one row per group) broadcasts."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__c"))
+    share = F.pow(F.col("__c").cast("double"), 1.0 / temperature)
+    z = counts.agg(F.sum(F.pow(F.col("__c").cast("double"),
+                                1.0 / temperature)).alias("__z"))
+    quotas = (counts.crossJoin(F.broadcast(z))
+              .select(group_col,
+                      F.least(
+                          F.col("__c"),
+                          F.floor(F.lit(float(total_rows)) * share
+                                  / F.col("__z") + 0.5).cast("long"))
+                       .alias("__quota")))
+    w = Window.partitionBy(group_col).orderBy(F.md5(key), key)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .join(F.broadcast(quotas), group_col)
+              .where(F.col("__rn") <= F.col("__quota"))
+              .drop("__rn", "__quota"))
+
+
 def sample_to_token_budget(df: DataFrame, group_col: str, tokens_col: str,
                            budget: int, key: Column) -> DataFrame:
     """Pretraining-mix sampler: per group, take rows in md5-of-key order

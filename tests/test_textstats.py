@@ -210,3 +210,34 @@ def test_sitemap_entity_unescape_order():
     # &amp;lt; is the ESCAPED text '&lt;' — must not double-unescape
     xml = "<loc>https://x/?q=&amp;lt;tag&amp;r=1</loc>"
     assert parse_sitemap(xml) == ["https://x/?q=&lt;tag&r=1"]
+
+
+def test_temperature_sample_quotas_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from docvault_ocr_service_spark.functions.textstats import (
+        temperature_sample)
+
+    # 90/9/1 natural mix; T=2 flattens toward sqrt shares
+    rows = ([(i, "big") for i in range(90)]
+            + [(100 + i, "mid") for i in range(9)]
+            + [(200, "small")])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_sample(df, "source",
+                             F.col("doc_id").cast("string"),
+                             total_rows=40, temperature=2.0)
+    got = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    import math
+    z = math.sqrt(90) + math.sqrt(9) + math.sqrt(1)
+    for src, c in (("big", 90), ("mid", 9), ("small", 1)):
+        want = min(c, math.floor(40 * math.sqrt(c) / z + 0.5))
+        assert by.get(src, 0) == want, src
+    # flattening: big's share shrinks vs natural, small's grows
+    assert by["big"] / 40 < 0.9
+    # deterministic: second run picks the identical rows
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(
+        df, "source", F.col("doc_id").cast("string"),
+        total_rows=40, temperature=2.0).collect())
+    assert a == b
