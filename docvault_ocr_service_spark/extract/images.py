@@ -965,6 +965,35 @@ def _sharpen(gray: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
+def _gaussian_blur(gray: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable Gaussian blur (σ = PIL's ``radius``), edge-replicated.
+    Analytic form of PIL's triple-box approximation — the documented
+    stand-in since the exact box cascade is an implementation detail."""
+    half = max(int(3.0 * sigma + 0.5), 1)
+    x = np.arange(-half, half + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    k /= k.sum()
+    p = np.pad(gray.astype(np.float64), half, mode="edge")
+    tmp = np.apply_along_axis(
+        lambda r: np.convolve(r, k, mode="valid"), 1, p)
+    out = np.apply_along_axis(
+        lambda c: np.convolve(c, k, mode="valid"), 0, tmp)
+    return out
+
+
+def unsharp_mask(gray: np.ndarray, radius: float = 1.0,
+                 percent: int = 150, threshold: int = 3) -> np.ndarray:
+    """PIL ImageFilter.UnsharpMask(radius, percent, threshold) — the
+    reference's STEP 7 edge enhancement for non-binarized output
+    (app/ocr_service.py:250-255): sharpen by percent/100 of the
+    (image − blur) difference wherever |difference| ≥ threshold."""
+    src = gray.astype(np.float64)
+    diff = src - _gaussian_blur(gray, radius)
+    out = np.where(np.abs(diff) >= threshold,
+                   src + diff * (percent / 100.0), src)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def _box_mean(gray: np.ndarray, block: int) -> np.ndarray:
     """Local mean over a block×block window via integral image."""
     half = block // 2
@@ -1226,4 +1255,12 @@ def preprocess_image(img: np.ndarray,
         local = _box_mean(out, 31) - 10
         out = np.where(out > local, 255, 0).astype(np.uint8)
         decisions["thresholded"] = True
+
+    # STEP 7 (:250-258): final edge enhancement — UnsharpMask for
+    # grayscale output, plain SHARPEN for medium binary, nothing for
+    # aggressive binary (the reference's exact branch)
+    if not decisions["thresholded"]:
+        out = unsharp_mask(out, radius=1.0, percent=150, threshold=3)
+    elif level == "medium":
+        out = _sharpen(out)
     return out, decisions

@@ -93,13 +93,20 @@ def test_bright_path_matches_convert_scale_abs():
 
     from docvault_ocr_service_spark.extract.images import preprocess_image
 
+    from docvault_ocr_service_spark.extract.images import unsharp_mask
+
     img = np.empty((30, 30), dtype=np.uint8)     # bright, HIGH contrast
     img[::2], img[1::2] = 120, 255               # mean≈187, std≈67
     img[0, 0] = 5                                 # |5*0.8 - 20| = 16
     out, d = preprocess_image(img)
     assert d["is_bright"] and not d["is_low_contrast"]
     assert not d["thresholded"]
-    assert out[0, 0] == 16
+    # the convertScaleAbs reflection feeds STEP 7's UnsharpMask; pin the
+    # intermediate exactly and the final output as its unsharp image
+    inter = np.clip(np.rint(np.abs(img.astype(np.float64) * 0.8 - 20)),
+                    0, 255).astype(np.uint8)
+    assert inter[0, 0] == 16
+    assert (out == unsharp_mask(inter)).all()
 
 
 def test_clahe_properties():
@@ -247,3 +254,24 @@ def test_preprocess_media_spark(spark):
     from docvault_ocr_service_spark.extract.images import decode_png
     img = decode_png(bytes(got["d"]["preprocessed_png"]))
     assert img.shape == (40, 40)
+
+
+def test_unsharp_mask_semantics():
+    from docvault_ocr_service_spark.extract.images import unsharp_mask
+
+    # flat field: diff 0 < threshold everywhere -> identity
+    flat = np.full((20, 20), 90, dtype=np.uint8)
+    assert (unsharp_mask(flat) == flat).all()
+
+    # a step edge gets overshoot on both sides (sharpened)
+    step = np.zeros((20, 20), dtype=np.uint8)
+    step[:, 10:] = 200
+    out = unsharp_mask(step)
+    assert out[5, 9] <= step[5, 9]          # dark side pushed darker
+    assert out[5, 10] >= step[5, 10]        # bright side pushed brighter
+    assert out[5, 0] == 0 and out[5, 19] == 200   # far field untouched
+
+    # sub-threshold ripple (|diff| < 3) passes through untouched
+    ripple = np.full((20, 20), 100, dtype=np.uint8)
+    ripple[::2] = 101
+    assert (unsharp_mask(ripple) == ripple).all()
