@@ -1330,6 +1330,74 @@ def tiff_compressed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrast", 6).alias("contrast"))
 
 
+def page_metadata_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction under the driver gate: deterministic
+    page markup per doc (title/description/og/canonical/lang keyed on
+    doc_id, with the meta attribute order flipping on doc_id%2 to
+    exercise both regex arms) goes through the real columnar extractor;
+    DuckDB recomputes every field with CASE/concat."""
+    from docvault_ocr_service_spark.functions.pagemeta import (
+        extract_page_metadata)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    desc_meta = F.when(
+        d % 2 == 0,
+        F.concat(F.lit('<meta name="description" content="About '),
+                 (d % 7).cast("string"), F.lit('.">')),
+    ).otherwise(
+        F.concat(F.lit('<meta content="About '), (d % 7).cast("string"),
+                 F.lit('." name="description">')))
+    lang = F.element_at(F.array(F.lit("en"), F.lit("pl-PL"),
+                                F.lit("de")), (d % 3 + 1).cast("int"))
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html lang="'), lang, F.lit('"><head><title> Doc '),
+            ds, F.lit(' </title>'), desc_meta,
+            F.lit('<meta property="og:title" content="OG '), ds,
+            F.lit('"><link rel="canonical" href="https://host'),
+            (d % 20).cast("string"), F.lit(".example/canon/"), ds,
+            F.lit('"></head><body>x</body></html>'),
+        ).alias("html_text"))
+    meta = extract_page_metadata(page)
+    return meta.select("doc_id", "title", "description", "og_title",
+                       "canonical_url", "html_lang")
+
+
+def feed_item_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS item extraction under the driver gate: per doc a feed with
+    doc_id%3+1 items (titles/links/dates keyed on doc_id and item index)
+    built as markup, parsed back by the real regexp path; DuckDB
+    recomputes the exploded items analytically."""
+    from docvault_ocr_service_spark.functions.pagemeta import (
+        extract_feed_items)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+
+    def item(k):
+        ks = F.lit(str(k))
+        return F.when(
+            d % 3 >= k - 1,
+            F.concat(F.lit("<item><title>T"), d.cast("string"),
+                     F.lit("-"), ks,
+                     F.lit("</title><link>https://feed"),
+                     (d % 9).cast("string"), F.lit(".example/i"),
+                     ks, F.lit("</link></item>"))).otherwise(F.lit(""))
+
+    feed = docs.select(
+        d.cast("string").alias("url"),
+        F.concat(F.lit("<rss><channel>"), item(1), item(2), item(3),
+                 F.lit("</channel></rss>")).alias("xml"))
+    items = extract_feed_items(feed)
+    return items.select(
+        F.col("feed").cast("long").alias("doc_id"),
+        "item_no", "item_title", "item_link")
+
+
 def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixing (p_i ∝ f_i^(1/2), total 100)
     over the documents table; DuckDB recomputes the quotas and the
@@ -1665,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": host_pagerank,
         "doc_substring_dedup": doc_substring_dedup,
         "doc_temperature_mix": doc_temperature_mix,
+        "page_metadata_extraction": page_metadata_extraction,
+        "feed_item_extraction": feed_item_extraction,
         "doc_pii_scrub": doc_pii_scrub,
         "wav_audio_stats": wav_audio_stats,
         "thumbnail_dims": thumbnail_dims,

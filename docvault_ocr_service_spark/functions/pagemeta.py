@@ -1,0 +1,86 @@
+"""Columnar page-metadata + feed-item extraction.
+
+A crawl-curation engine needs the page's self-description long before
+any DOM walk: titles and og: cards feed search/snippet pipelines, the
+canonical link is the dedup key the page itself declares, robots meta
+gates indexing, and RSS/Atom items are the cheapest structured source of
+fresh-document discovery.  All of it is regexp over the raw markup —
+native ``regexp_extract``/``regexp_extract_all``, whole-stage codegen,
+no Python, RE2-compatible patterns so the DuckDB gate can replay them.
+
+(The DOM block scorer in extract/htmltext.py is the *content* path; this
+module is the *metadata* path — the two are independent by design, as a
+page with broken body markup still usually carries a well-formed head.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TITLE_RE = r"(?is)<title[^>]*>\s*(.*?)\s*</title>"
+_HTML_LANG_RE = r"""(?is)<html[^>]*\slang\s*=\s*["']([A-Za-z-]+)["']"""
+_CANONICAL_RE = (r"""(?is)<link[^>]*rel\s*=\s*["']canonical["'][^>]*"""
+                 r"""href\s*=\s*["']([^"']+)["']""")
+
+
+def _meta_content(html: Column, attr: str, key: str) -> Column:
+    """<meta {attr}="{key}" content="..."> in either attribute order."""
+    a = (rf"""(?is)<meta[^>]*{attr}\s*=\s*["']{key}["'][^>]*"""
+         rf"""content\s*=\s*["']([^"']*)["']""")
+    b = (rf"""(?is)<meta[^>]*content\s*=\s*["']([^"']*)["'][^>]*"""
+         rf"""{attr}\s*=\s*["']{key}["']""")
+    first = F.regexp_extract(html, a, 1)
+    return F.when(first != "", first).otherwise(
+        F.regexp_extract(html, b, 1))
+
+
+def extract_page_metadata(df: DataFrame,
+                          html_col: str = "html_text") -> DataFrame:
+    """df + title / description / og_title / og_description / og_image /
+    canonical_url / meta_robots / html_lang columns (empty string when
+    the tag is absent — regexp_extract's convention, kept so the columns
+    stay non-null and groupable)."""
+    h = F.col(html_col)
+    return df.select(
+        "*",
+        F.regexp_extract(h, _TITLE_RE, 1).alias("title"),
+        _meta_content(h, "name", "description").alias("description"),
+        _meta_content(h, "property", "og:title").alias("og_title"),
+        _meta_content(h, "property", "og:description")
+            .alias("og_description"),
+        _meta_content(h, "property", "og:image").alias("og_image"),
+        F.regexp_extract(h, _CANONICAL_RE, 1).alias("canonical_url"),
+        _meta_content(h, "name", "robots").alias("meta_robots"),
+        F.regexp_extract(h, _HTML_LANG_RE, 1).alias("html_lang"),
+    )
+
+
+_ITEM_RE = r"(?is)<item[\s>](.*?)</item>|<entry[\s>](.*?)</entry>"
+_ITEM_TITLE_RE = r"(?is)<title[^>]*>\s*(.*?)\s*</title>"
+_RSS_LINK_RE = r"(?is)<link[^>]*>\s*([^<\s][^<]*?)\s*</link>"
+_ATOM_LINK_RE = r"""(?is)<link[^>]*href\s*=\s*["']([^"']+)["']"""
+_DATE_RE = (r"(?is)<(?:pubdate|updated|published)[^>]*>"
+            r"\s*(.*?)\s*</(?:pubdate|updated|published)>")
+
+
+def extract_feed_items(df: DataFrame, xml_col: str = "xml",
+                       id_col: str = "url") -> DataFrame:
+    """RSS ``<item>`` / Atom ``<entry>`` blocks → one row per item with
+    (item_no, item_title, item_link, item_date).  Item links accept both
+    the RSS text form and the Atom ``href`` form."""
+    x = F.col(xml_col)
+    blocks = df.select(
+        F.col(id_col).alias("feed"),
+        F.posexplode(F.regexp_extract_all(x, F.lit(_ITEM_RE), 0))
+         .alias("item_no", "block"))
+    b = F.col("block")
+    rss_link = F.regexp_extract(b, _RSS_LINK_RE, 1)
+    return blocks.select(
+        "feed", "item_no",
+        F.regexp_extract(b, _ITEM_TITLE_RE, 1).alias("item_title"),
+        F.when(rss_link != "", rss_link)
+         .otherwise(F.regexp_extract(b, _ATOM_LINK_RE, 1))
+         .alias("item_link"),
+        F.regexp_extract(b, _DATE_RE, 1).alias("item_date"),
+    )
