@@ -1398,6 +1398,29 @@ def feed_item_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_no", "item_title", "item_link")
 
 
+def bpe_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE under the driver gate: merges trained on a doc
+    slice (vocab-table iteration, deterministic top-1), every document
+    encoded with them, and decode(encode(text)) compared against the
+    whitespace-normalized source — the tokenizer identity the oracle
+    can assert corpus-wide (n_roundtrip_ok must equal n_docs; n_merges
+    is the requested 8, pinned)."""
+    from docvault_ocr_service_spark.functions.bpe import (
+        decode_bpe, encode_bpe, train_bpe)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .where(F.col("text").isNotNull()
+               & (F.length(F.trim("text")) > 0))
+    merges = train_bpe(docs.where(F.col("doc_id") < 60), n_merges=8)
+    enc = encode_bpe(docs, merges)
+    normalized = F.btrim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return enc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(decode_bpe(F.col("bpe_tokens")) == normalized, 1)
+              .otherwise(0)).cast("long").alias("n_roundtrip_ok"),
+        F.lit(len(merges)).cast("int").alias("n_merges"))
+
+
 def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixing (p_i ∝ f_i^(1/2), total 100)
     over the documents table; DuckDB recomputes the quotas and the
@@ -1735,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_mix": doc_temperature_mix,
         "page_metadata_extraction": page_metadata_extraction,
         "feed_item_extraction": feed_item_extraction,
+        "bpe_roundtrip_stats": bpe_roundtrip_stats,
         "doc_pii_scrub": doc_pii_scrub,
         "wav_audio_stats": wav_audio_stats,
         "thumbnail_dims": thumbnail_dims,
