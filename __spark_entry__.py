@@ -1398,6 +1398,23 @@ def feed_item_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_no", "item_title", "item_link")
 
 
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring under the driver gate: a char-
+    trigram model (add-one smoothing) trains on the doc_id<100 slice
+    and scores every document; DuckDB recomputes the model AND the
+    scores from scratch.  Perplexity quantized to 1e-4 so sum-order FP
+    drift can't flip the hash."""
+    from docvault_ocr_service_spark.functions.ngram_lm import (
+        score_perplexity, train_char_trigram_lm)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    c3, c2, v = train_char_trigram_lm(docs.where(F.col("doc_id") < 100))
+    out = score_perplexity(docs, c3, c2, v)
+    return out.select(
+        "doc_id", "n_trigrams",
+        F.floor(F.col("ppl") * 10000 + 0.5).cast("long").alias("ppl_q"))
+
+
 def bpe_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE under the driver gate: merges trained on a doc
     slice (vocab-table iteration, deterministic top-1), every document
@@ -1759,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata_extraction": page_metadata_extraction,
         "feed_item_extraction": feed_item_extraction,
         "bpe_roundtrip_stats": bpe_roundtrip_stats,
+        "doc_lm_perplexity": doc_lm_perplexity,
         "doc_pii_scrub": doc_pii_scrub,
         "wav_audio_stats": wav_audio_stats,
         "thumbnail_dims": thumbnail_dims,

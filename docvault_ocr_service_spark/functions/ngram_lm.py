@@ -1,0 +1,89 @@
+"""Character-trigram language model + perplexity scoring.
+
+The CCNet / RedPajama quality-filter shape: score every document's
+perplexity under a small LM trained on a trusted slice, then keep the
+low-perplexity head of the distribution.  CCNet uses a word 5-gram
+KenLM; the portable, dependency-free engine equivalent is a character
+trigram model with add-one smoothing — the *filtering mechanics*
+(train slice → broadcastable model → corpus-wide scoring join →
+threshold) are identical, and every step is native columnar SQL, so the
+driver-gate oracle recomputes the whole thing.
+
+Scale shape: the model is two count tables bounded by charset³ (a few
+hundred thousand rows for real text) — Catalyst broadcasts them into
+the scoring joins, so scoring is map-only over the corpus; the only
+corpus-wide shuffle is the per-doc average.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_for_lm(text: Column) -> Column:
+    """lowercase + whitespace collapse — the canonical LM alphabet."""
+    return F.btrim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def _char_ngrams(col: str, n: int) -> Column:
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col}) - {n - 1}, 0)),"
+        f" i -> substring({col}, i, {n}))")
+
+
+def train_char_trigram_lm(docs: DataFrame, text_col: str = "text"
+                          ) -> tuple[DataFrame, DataFrame, int]:
+    """→ (trigram counts (g3, c3), context counts (g2, c2), vocab V).
+
+    Context counts are derived from the trigram table (count of 'ab' as
+    a context ≡ Σ_c count('ab'+c)), so numerator and denominator stay
+    consistent at string boundaries.  V = distinct characters of the
+    normalized training text (the smoothing constant)."""
+    norm = docs.select(normalize_for_lm(F.col(text_col)).alias("t")) \
+        .where(F.length("t") >= 3)
+    tri = norm.select(F.explode(_char_ngrams("t", 3)).alias("g3"))
+    c3 = tri.groupBy("g3").agg(F.count("*").alias("c3"))
+    c2 = (c3.groupBy(F.substring("g3", 1, 2).alias("g2"))
+          .agg(F.sum("c3").alias("c2")))
+    vocab = (norm.select(F.explode(_char_ngrams("t", 1)).alias("ch"))
+             .select("ch").distinct().count())
+    return c3, c2, int(vocab)
+
+
+def score_perplexity(docs: DataFrame, c3: DataFrame, c2: DataFrame,
+                     vocab: int, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, n_trigrams, ppl) — per-doc perplexity exp(−mean ln P) with
+    P(c|ab) = (count(abc)+1) / (count(ab·)+V).  Docs whose normalized
+    text is shorter than 3 chars score null."""
+    norm = docs.select(F.col(id_col).alias("doc"),
+                       normalize_for_lm(F.col(text_col)).alias("t"))
+    tri = (norm.where(F.length("t") >= 3)
+           .select("doc", F.explode(_char_ngrams("t", 3)).alias("g3"))
+           .withColumn("g2", F.substring("g3", 1, 2)))
+    scored = (tri.join(c3, "g3", "left").join(c2, "g2", "left")
+              .select(
+                  "doc",
+                  F.log((F.coalesce(F.col("c3"), F.lit(0)) + 1.0)
+                        / (F.coalesce(F.col("c2"), F.lit(0))
+                           + float(vocab))).alias("lp")))
+    per_doc = (scored.groupBy("doc")
+               .agg(F.count("*").cast("long").alias("n_trigrams"),
+                    F.exp(-F.avg("lp")).alias("ppl")))
+    return (norm.select("doc").distinct()
+            .join(per_doc, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("n_trigrams", F.lit(0)).cast("long")
+                     .alias("n_trigrams"),
+                    "ppl"))
+
+
+def filter_by_perplexity(docs: DataFrame, c3: DataFrame, c2: DataFrame,
+                         vocab: int, max_ppl: float,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """The CCNet keep-the-head filter: docs scoring ≤ ``max_ppl``."""
+    scores = score_perplexity(docs, c3, c2, vocab, id_col, text_col)
+    keep = scores.where(F.col("ppl") <= max_ppl).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
