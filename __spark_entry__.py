@@ -1398,6 +1398,23 @@ def feed_item_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_no", "item_title", "item_link")
 
 
+def gopher_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher rule set (Rae et al. 2021 A1.1) over the real
+    documents table, aggregated per source; DuckDB recomputes every rule
+    with list lambdas."""
+    from docvault_ocr_service_spark.functions.textstats import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    rules = gopher_rules(docs)
+    cnt = [F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long").alias(c)
+           for c in ("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+                     "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+                     "r_stopwords", "gopher_pass")]
+    return (rules.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"), *cnt)
+            .orderBy("source"))
+
+
 def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring under the driver gate: a char-
     trigram model (add-one smoothing) trains on the doc_id<100 slice
@@ -1777,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_item_extraction": feed_item_extraction,
         "bpe_roundtrip_stats": bpe_roundtrip_stats,
         "doc_lm_perplexity": doc_lm_perplexity,
+        "gopher_filter_stats": gopher_filter_stats,
         "doc_pii_scrub": doc_pii_scrub,
         "wav_audio_stats": wav_audio_stats,
         "thumbnail_dims": thumbnail_dims,

@@ -259,6 +259,87 @@ def stratified_sample(df: DataFrame, strata_col: str, key: Column,
               .drop("__rn"))
 
 
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that",
+                             "have", "with")
+GOPHER_BULLETS = ("•", "‣", "▪", "-", "*")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, A1.1) as
+    per-rule boolean columns + ``gopher_pass`` — all native columnar:
+
+    - ``r_word_count``: 50 ≤ words ≤ 100 000
+    - ``r_mean_word_len``: mean word length in [3, 10]
+    - ``r_symbol_ratio``: (# '#' + # '...') / words ≤ 0.1
+    - ``r_bullet_lines``: < 90 % of lines start with a bullet
+    - ``r_ellipsis_lines``: ≤ 30 % of lines end with '...'
+    - ``r_alpha_words``: ≥ 80 % of words contain a letter
+    - ``r_stopwords``: ≥ 2 of the 8 required English stop words
+
+    Null/blank text fails every rule (the curation-side convention)."""
+    t = F.col(text_col)
+    words = F.when(
+        t.isNotNull() & (F.length(F.trim(t)) > 0),
+        F.split(F.trim(t), r"\s+")).otherwise(
+        F.expr("cast(array() as array<string>)"))
+    lines = F.when(
+        t.isNotNull(), F.split(t, "\n")).otherwise(
+        F.expr("cast(array() as array<string>)"))
+    d = (df.withColumn("__w", words)
+           .withColumn("__lines", lines)
+           .withColumn("__n", F.size("__w"))
+           .withColumn("__nl", F.greatest(F.size("__lines"), F.lit(1))))
+    n = F.col("__n").cast("double")
+    mean_len = F.when(
+        F.col("__n") > 0,
+        F.expr("aggregate(__w, 0L, (a, x) -> a + length(x))")
+        .cast("double") / n)
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+    n_ell = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0))
+    bullet_lines = F.size(F.filter(
+        "__lines",
+        lambda ln: F.trim(ln).substr(1, 1).isin(*GOPHER_BULLETS)))
+    ell_lines = F.size(F.filter(
+        "__lines", lambda ln: F.rtrim(ln).endswith("...")))
+    alpha_words = F.size(F.filter(
+        "__w", lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+        lambda sw: F.array_contains(
+            F.transform("__w", lambda w: F.lower(w)), sw)))
+    out = (d
+           .withColumn("r_word_count",
+                       (F.col("__n") >= 50) & (F.col("__n") <= 100_000))
+           .withColumn("r_mean_word_len",
+                       F.coalesce((mean_len >= 3.0) & (mean_len <= 10.0),
+                                  F.lit(False)))
+           .withColumn(
+               "r_symbol_ratio",
+               F.when(F.col("__n") > 0,
+                      (n_hash + n_ell).cast("double") / n <= 0.1)
+                .otherwise(F.lit(False)))
+           .withColumn("r_bullet_lines",
+                       bullet_lines.cast("double")
+                       / F.col("__nl").cast("double") < 0.9)
+           .withColumn("r_ellipsis_lines",
+                       ell_lines.cast("double")
+                       / F.col("__nl").cast("double") <= 0.3)
+           .withColumn(
+               "r_alpha_words",
+               F.when(F.col("__n") > 0,
+                      alpha_words.cast("double") / n >= 0.8)
+                .otherwise(F.lit(False)))
+           .withColumn("r_stopwords", stop_hits >= 2))
+    rules = ["r_word_count", "r_mean_word_len", "r_symbol_ratio",
+             "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+             "r_stopwords"]
+    expr = F.col(rules[0])
+    for r in rules[1:]:
+        expr = expr & F.col(r)
+    return (out.withColumn("gopher_pass", expr)
+            .drop("__w", "__lines", "__n", "__nl"))
+
+
 def temperature_sample(df: DataFrame, group_col: str, key: Column,
                        total_rows: int,
                        temperature: float = 2.0) -> DataFrame:

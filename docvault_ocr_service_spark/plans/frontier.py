@@ -1,0 +1,57 @@
+"""Crawl-frontier expansion: the next politeness-capped fetch batch.
+
+Composes the tested pieces — link extraction, URL canonicalization,
+seen-set anti-join, RFC 9309 robots filtering, host PageRank — into the
+operator a continuous crawler actually runs: "given what we just
+crawled, what do we fetch next?".
+
+Scale shape: link explode and canonicalization are map-only; the
+seen-set anti-join is the only corpus-scale shuffle (on the url key the
+checkpoint is already bucketed by); robots rules join on host; the
+politeness cap is one window per host; the final global top-N is a
+TakeOrdered (no full sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.web import canonicalize_url, filter_by_robots, url_host
+from ..operators.linkgraph import extract_links
+
+
+def build_frontier(pages: DataFrame, seen: DataFrame,
+                   robots: DataFrame | None = None,
+                   host_ranks: DataFrame | None = None,
+                   per_host_limit: int = 10,
+                   limit: int = 10_000) -> DataFrame:
+    """→ (url, host, rank) — the next fetch batch.
+
+    ``pages``: (url, html_text) rows just extracted; ``seen``: (url)
+    already-crawled set (the checkpoint's url column); ``robots``:
+    (host, agent rules) as ``functions.web.filter_by_robots`` expects,
+    or None to skip; ``host_ranks``: (host, rank) authority scores
+    (e.g. ``operators.linkgraph.pagerank`` output), unknown hosts rank
+    0.  Within a host, candidates are md5-ordered (deterministic spread,
+    no crawl-order bias); across hosts, higher-ranked hosts win the
+    global ``limit``.
+    """
+    cand = (extract_links(pages)
+            .select(canonicalize_url(F.col("dst")).alias("url"))
+            .where(F.col("url").rlike("^https?://"))
+            .distinct())
+    cand = cand.join(seen.select("url"), "url", "left_anti")
+    if robots is not None:
+        cand = filter_by_robots(cand, robots).select("url")
+    cand = cand.withColumn("host", url_host(F.col("url")))
+    if host_ranks is not None:
+        cand = (cand.join(host_ranks, "host", "left")
+                .withColumn("rank", F.coalesce("rank", F.lit(0.0))))
+    else:
+        cand = cand.withColumn("rank", F.lit(0.0))
+    w = Window.partitionBy("host").orderBy(F.md5("url"), "url")
+    capped = (cand.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= per_host_limit).drop("__rn"))
+    return (capped.orderBy(F.desc("rank"), "url").limit(limit)
+            .select("url", "host", "rank"))

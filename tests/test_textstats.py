@@ -241,3 +241,33 @@ def test_temperature_sample_quotas_and_determinism(spark):
         df, "source", F.col("doc_id").cast("string"),
         total_rows=40, temperature=2.0).collect())
     assert a == b
+
+
+def test_gopher_rules(spark):
+    from docvault_ocr_service_spark.functions.textstats import gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and that "
+            "dog went to sleep with all of the other dogs to have "
+            "a very good rest near the warm fire of the old house "
+            "and be happy about the long day that had passed with "
+            "many fine things to remember and to tell of later on") 
+    bullets = "\n".join("• item " + str(i) for i in range(10))
+    elly = "\n".join("line " + str(i) + " goes on..." for i in range(10))
+    symbols = " ".join("#tag" + str(i) for i in range(60))
+    rows = [(1, good), (2, "too short"), (3, bullets), (4, elly),
+            (5, symbols), (6, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+
+    assert got[1]["gopher_pass"]
+    assert all(got[1][c] for c in
+               ("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+                "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+                "r_stopwords"))
+    assert not got[2]["r_word_count"] and not got[2]["gopher_pass"]
+    assert not got[3]["r_bullet_lines"]       # 100% bullet lines
+    assert not got[4]["r_ellipsis_lines"]     # 100% ellipsis endings
+    assert not got[5]["r_symbol_ratio"]       # one '#' per word
+    assert not got[6]["gopher_pass"]          # null text fails all
+    assert not any(got[6][c] for c in
+                   ("r_word_count", "r_alpha_words", "r_stopwords"))
