@@ -1491,8 +1491,8 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic anchor markup per doc (host doc_id%20 links to hosts
     (doc_id*7+k)%20, k=1..3) goes through the REAL pipeline — columnar
     href extraction → weighted host multigraph (self-loops dropped) →
-    5 PageRank iterations with dangling-mass handling — while DuckDB
-    recomputes the edges analytically and unrolls the same 5 iterations
+    3 PageRank iterations with dangling-mass handling — while DuckDB
+    recomputes the edges analytically and unrolls the same 3 iterations
     in SQL.  Ranks quantized to micro-units (BIGINT) so sum-order FP
     drift can't flip the hash."""
     from docvault_ocr_service_spark.operators.linkgraph import (
@@ -1514,7 +1514,7 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://"), host_of(F.col("doc_id")),
                  F.lit("/p"), F.col("doc_id").cast("string")).alias("url"),
         F.concat(*anchors).alias("html_text"))
-    pr = pagerank(host_edges(extract_links(page)), damping=0.85, iters=5)
+    pr = pagerank(host_edges(extract_links(page)), damping=0.85, iters=3)
     return pr.select(
         "host",
         F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro"))

@@ -100,12 +100,19 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).persist()
     sources = shares.select("src").distinct()
+    # dangling NODE SET is fixed across iterations (only the mass on it
+    # changes): compute it once, and skip the per-iteration scalar agg
+    # entirely for graphs without dangling nodes (the common case)
+    dangling_nodes = (nodes.join(sources,
+                                 nodes["node"] == sources["src"],
+                                 "left_anti").persist())
+    any_dangling = dangling_nodes.limit(1).count() > 0
     for _ in range(iters):
-        dangling = (ranks.join(sources,
-                               ranks["node"] == sources["src"],
-                               "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .first()[0])
+        dangling = 0.0
+        if any_dangling:
+            dangling = (ranks.join(dangling_nodes, "node", "left_semi")
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                        .first()[0])
         contribs = (shares.join(ranks, shares["src"] == ranks["node"])
                     .groupBy("dst")
                     .agg(F.sum(F.col("rank") * F.col("share"))
@@ -126,4 +133,5 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     out = ranks.select(F.col("node").alias(node_col_out), "rank")
     shares.unpersist()
     nodes.unpersist()
+    dangling_nodes.unpersist()
     return out
