@@ -973,11 +973,16 @@ def _gaussian_blur(gray: np.ndarray, sigma: float) -> np.ndarray:
     x = np.arange(-half, half + 1, dtype=np.float64)
     k = np.exp(-(x * x) / (2.0 * sigma * sigma))
     k /= k.sum()
+    h, w = gray.shape
     p = np.pad(gray.astype(np.float64), half, mode="edge")
-    tmp = np.apply_along_axis(
-        lambda r: np.convolve(r, k, mode="valid"), 1, p)
-    out = np.apply_along_axis(
-        lambda c: np.convolve(c, k, mode="valid"), 0, tmp)
+    # separable passes as k shifted slice-adds each — fully vectorized
+    # (same pattern as bilateral_filter), no per-row Python dispatch
+    tmp = np.zeros((h + 2 * half, w), dtype=np.float64)
+    for i, kv in enumerate(k):
+        tmp += kv * p[:, i:i + w]
+    out = np.zeros((h, w), dtype=np.float64)
+    for i, kv in enumerate(k):
+        out += kv * tmp[i:i + h, :]
     return out
 
 

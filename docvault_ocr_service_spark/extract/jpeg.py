@@ -267,6 +267,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 htables[(tc, th)] = _build_decode_table(bits, values)
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                raise ImageDecodeError("truncated SOF segment")
             precision, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), \
                 seg[5]
             if precision != 8:
@@ -283,11 +285,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise UnsupportedImageError(
                 f"unsupported JPEG coding process (SOF{marker - 0xC0})")
         elif marker == 0xDD:                    # DRI
+            if len(seg) < 2:
+                raise ImageDecodeError("truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                    # SOS
             if frame is None:
                 raise ImageDecodeError("SOS before SOF")
+            if not seg:
+                raise ImageDecodeError("empty SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ImageDecodeError("truncated SOS segment")
             if not progressive:
                 scan_tables = {}
                 for i in range(ns):
@@ -326,6 +334,8 @@ def _next_marker(data: bytes, pos: int) -> int:
 def _parse_progressive_sos(seg: bytes, frame: dict) -> dict:
     """SOS payload → {comps: [(comp_index, td, ta)], ss, se, ah, al}."""
     ns = seg[0]
+    if len(seg) < 1 + 2 * ns + 3:
+        raise ImageDecodeError("truncated progressive SOS segment")
     by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
     sel = []
     for i in range(ns):
@@ -573,8 +583,12 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables,
                 pred = [0] * len(comps)
             mcu_count += 1
             for ci, c in enumerate(comps):
-                dc_t = htables.get((0, scan_tables[c["id"]][0]))
-                ac_t = htables.get((1, scan_tables[c["id"]][1]))
+                tsel = scan_tables.get(c["id"])
+                if tsel is None:
+                    raise ImageDecodeError(
+                        f"scan omits frame component {c['id']}")
+                dc_t = htables.get((0, tsel[0]))
+                ac_t = htables.get((1, tsel[1]))
                 q = qtables.get(c["tq"])
                 if dc_t is None or ac_t is None or q is None:
                     raise ImageDecodeError("missing Huffman/quant table")

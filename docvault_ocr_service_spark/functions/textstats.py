@@ -270,7 +270,8 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     - ``r_word_count``: 50 ≤ words ≤ 100 000
     - ``r_mean_word_len``: mean word length in [3, 10]
-    - ``r_symbol_ratio``: (# '#' + # '...') / words ≤ 0.1
+    - ``r_symbol_ratio``: BOTH #'#'/words ≤ 0.1 AND #'...'/words ≤ 0.1
+      (two independent per-symbol tests, as the paper specifies)
     - ``r_bullet_lines``: < 90 % of lines start with a bullet
     - ``r_ellipsis_lines``: ≤ 30 % of lines end with '...'
     - ``r_alpha_words``: ≥ 80 % of words contain a letter
@@ -316,7 +317,8 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
            .withColumn(
                "r_symbol_ratio",
                F.when(F.col("__n") > 0,
-                      (n_hash + n_ell).cast("double") / n <= 0.1)
+                      (n_hash.cast("double") / n <= 0.1)
+                      & (n_ell.cast("double") / n <= 0.1))
                 .otherwise(F.lit(False)))
            .withColumn("r_bullet_lines",
                        bullet_lines.cast("double")

@@ -73,8 +73,31 @@ class ParquetCheckpointStore:
         if not os.path.isdir(self.checkpoint_dir):
             return []
         self._recover_bucket_swaps()
+        self._migrate_flat_layout()
         return sorted(_glob.glob(os.path.join(self.checkpoint_dir,
                                               "_b=[0-9]*")))
+
+    def _migrate_flat_layout(self) -> None:
+        """One-time upgrade of a pre-bucketing checkpoint: flat
+        part-*.parquet files at the checkpoint root are rewritten into
+        the bucketed layout (every bucket 'touched'), then removed.
+        Without this, a legacy state dir would silently read as an
+        empty checkpoint and every settled url would be re-claimed."""
+        flat = _glob.glob(os.path.join(self.checkpoint_dir, "*.parquet"))
+        if not flat:
+            return
+        rows = (self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(*flat)
+                .withColumn("_b", self._bucket_col()))
+        touched = sorted(r["_b"] for r in
+                         rows.select("_b").distinct().collect())
+        if touched:
+            self._swap_buckets(rows, touched)
+        for f in flat:
+            os.remove(f)
+        for extra in ("_SUCCESS",):
+            p = os.path.join(self.checkpoint_dir, extra)
+            if os.path.isfile(p):
+                os.remove(p)
 
     def _recover_bucket_swaps(self) -> None:
         """Finish any bucket swap a crash interrupted: a ``_b=K.old``
@@ -109,6 +132,10 @@ class ParquetCheckpointStore:
             os.rename(backup, target)
 
     def read_results(self) -> DataFrame | None:
+        # a crashed compaction run may have left results at .old —
+        # finish its swap before deciding the table doesn't exist
+        from .maintenance import recover_compaction
+        recover_compaction(self.results_dir)
         if not os.path.isdir(self.results_dir):
             return None
         # mergeSchema: results files written before a schema addition

@@ -26,16 +26,20 @@ from pyspark.sql import functions as F
 
 from ..functions.web import url_host
 
-HREF_RE = r"""href\s*=\s*["']([^"'#][^"']*)["']"""
+HREF_RE = (r"""(?i)<a\s[^>]*?href\s*=\s*["']([^"'#][^"']*)["']""")
 
 
 def extract_links(df: DataFrame, url_col: str = "url",
                   html_col: str = "html_text") -> DataFrame:
-    """(page url, href) pairs from anchor tags in the page text.
+    """(page url, href) pairs from ANCHOR tags only — ``<link>`` hrefs
+    (stylesheets, canonical, favicons) are navigation metadata, not
+    outlinks, and would pollute the link graph's authority signal and
+    burn frontier politeness slots.
 
     Columnar: ``regexp_extract_all`` runs in the JVM; one output row per
-    href.  Relative links are kept verbatim (callers can resolve against
-    ``src`` if needed); fragment-only links never match.
+    href; tag name matched case-insensitively.  Relative links are kept
+    verbatim (callers can resolve against ``src`` if needed);
+    fragment-only links never match.
     """
     return df.select(
         F.col(url_col).alias("src"),

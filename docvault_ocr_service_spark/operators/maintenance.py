@@ -28,12 +28,31 @@ def _dir_stats(path: str) -> tuple[int, int]:
     return n, size
 
 
+def recover_compaction(path: str) -> None:
+    """Finish a swap a crash interrupted (same contract as the
+    checkpoint store): a ``.old`` beside a MISSING table means the crash
+    hit between the two renames — restore it; beside a live table the
+    new data already committed — drop the stale backup.  Called on
+    compaction entry AND by the results read path, so a crashed
+    compaction can never surface as an empty table."""
+    backup = path.rstrip("/") + ".old"
+    if os.path.isdir(backup):
+        if not os.path.isdir(path):
+            os.rename(backup, path)
+        else:
+            shutil.rmtree(backup)
+    staging = path.rstrip("/") + ".compacting"
+    if os.path.isdir(staging):          # incomplete staging write
+        shutil.rmtree(staging)
+
+
 def compact_parquet(spark: SparkSession, path: str,
                     target_file_bytes: int = 128 << 20) -> dict:
     """Rewrite ``path`` into ceil(total/target) files; returns
     {files_before, files_after, bytes}.  No-op (no rewrite at all) when
     the table already has the target file count — compaction must be
     safe to run on a schedule."""
+    recover_compaction(path)
     files_before, total = _dir_stats(path)
     n_target = max(1, -(-total // target_file_bytes))
     if files_before <= n_target:
@@ -42,12 +61,8 @@ def compact_parquet(spark: SparkSession, path: str,
                 "compacted": False}
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".compacting"
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)
     df.repartition(n_target).write.mode("overwrite").parquet(staging)
     backup = path.rstrip("/") + ".old"
-    if os.path.isdir(backup):
-        shutil.rmtree(backup)
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

@@ -66,3 +66,69 @@ def test_compact_parquet(spark, tmp_path):
 
     rep2 = compact_parquet(spark, path, target_file_bytes=1 << 30)
     assert not rep2["compacted"]            # idempotent no-op
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A crash between the two renames must not lose the table: entry
+    recovery and the results read path both restore the .old backup."""
+    import os
+
+    from docvault_ocr_service_spark.operators.maintenance import (
+        recover_compaction)
+
+    path = str(tmp_path / "t2")
+    spark.range(100).write.parquet(path)
+    os.rename(path, path + ".old")           # simulate mid-swap crash
+
+    recover_compaction(path)
+    assert os.path.isdir(path) and not os.path.isdir(path + ".old")
+    assert spark.read.parquet(path).count() == 100
+
+    # compact_parquet on the crashed state must recover, never delete
+    os.rename(path, path + ".old")
+    rep = compact_parquet(spark, path)
+    assert spark.read.parquet(path).count() == 100
+
+    # read_results also recovers (results_dir is a compaction target)
+    from docvault_ocr_service_spark.operators.checkpoint import (
+        ParquetCheckpointStore)
+    state = str(tmp_path / "state")
+    store = ParquetCheckpointStore(spark, state)
+    spark.range(5).selectExpr("cast(id as string) as url",
+                              "'done' as status") \
+        .write.parquet(store.results_dir)
+    os.rename(store.results_dir, store.results_dir + ".old")
+    assert store.read_results().count() == 5
+
+
+def test_checkpoint_flat_layout_migration(spark, tmp_path):
+    """A pre-bucketing (flat) checkpoint dir migrates on first read:
+    rows preserved, bucket dirs created, flat files removed."""
+    import glob
+    import os
+    from datetime import datetime, timezone
+
+    from docvault_ocr_service_spark.operators.checkpoint import (
+        ParquetCheckpointStore)
+    from docvault_ocr_service_spark.schemas import CHECKPOINT_SCHEMA
+
+    state = str(tmp_path / "legacy")
+    os.makedirs(os.path.join(state, "checkpoint"))
+    now = datetime.now(timezone.utc)
+    rows = [(f"https://x.example/{i}", "done", 1, None, None, now, "r0")
+            for i in range(30)]
+    # write the OLD flat layout directly at the checkpoint root
+    spark.createDataFrame(rows, CHECKPOINT_SCHEMA).coalesce(2) \
+        .write.mode("overwrite").parquet(os.path.join(state, "checkpoint"))
+    assert glob.glob(os.path.join(state, "checkpoint", "*.parquet"))
+
+    store = ParquetCheckpointStore(spark, state)
+    cp = store.read_checkpoint()
+    assert cp.count() == 30                       # nothing lost
+    assert not glob.glob(os.path.join(state, "checkpoint", "*.parquet"))
+    assert glob.glob(os.path.join(state, "checkpoint", "_b=*"))
+    # settled urls stay settled after migration
+    from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
+    inp = spark.createDataFrame(
+        [(u, now, None, "x", "en") for u, *_ in rows], schema=INPUT_SCHEMA)
+    assert store.claimable(inp).count() == 0

@@ -17,17 +17,20 @@ def test_extract_links_and_host_edges(spark):
          '<a href="#frag">skip</a> <a href="https://a.example/self">s</a>'),
         ("https://b.example/p2",
          '<A HREF="https://a.example/z">back</A> no links here'),
-        ("https://c.example/p3", "plain text, zero anchors"),
+        ("https://c.example/p3",
+         'plain text, zero anchors, and a head link '
+         '<link rel="stylesheet" href="https://cdn.example/site.css">'),
     ]
     df = spark.createDataFrame(rows, ["url", "html_text"])
     links = extract_links(df)
     got = {(r["src"], r["dst"]) for r in links.collect()}
-    # fragment-only href never matches; case-insensitive href= via the
-    # attribute regex is lowercase-only by design (HTML5 serializers
-    # emit lowercase; the uppercase anchor is dropped)
+    # fragment-only href never matches; tag matching is case-insensitive
     assert ("https://a.example/p1", "https://b.example/x") in got
     assert ("https://a.example/p1", "https://c.example/y?q=1") in got
     assert ("https://a.example/p1", "#frag") not in got
+    assert ("https://b.example/p2", "https://a.example/z") in got
+    # <link> hrefs are NOT outlinks (stylesheets/canonical/favicons)
+    assert all(d != "https://cdn.example/site.css" for _, d in got)
 
     edges = host_edges(links)
     e = {(r["src_host"], r["dst_host"]): r["n_links"]

@@ -152,6 +152,39 @@ def test_image_sniff_and_decode_total(payload):
             pass
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 40), st.booleans())
+def test_decode_jpeg_total(seed, n_mut, progressive):
+    """decode_jpeg is total under byte mutation/truncation of a valid
+    stream: only ImageDecodeError/UnsupportedImageError, never
+    IndexError/struct.error (the CLAUDE.md codec invariant)."""
+    import numpy as np
+
+    from docvault_ocr_service_spark.extract.images import ImageDecodeError
+    from docvault_ocr_service_spark.extract.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(16, 24), dtype=np.uint8)
+    data = bytearray(encode_jpeg_progressive(img) if progressive
+                     else encode_jpeg(img))
+    for _ in range(n_mut):
+        op = rng.randint(3)
+        if op == 0 and len(data) > 4:            # truncate
+            data = data[:rng.randint(2, len(data))]
+        elif op == 1 and len(data) > 2:          # flip a byte
+            data[rng.randint(len(data))] = rng.randint(256)
+        else:                                    # splice garbage
+            at = rng.randint(len(data) + 1)
+            data = data[:at] + bytes(rng.randint(0, 256, 4,
+                                                 dtype=np.uint8).tolist()) \
+                + data[at:]
+        try:
+            decode_jpeg(bytes(data))
+        except ImageDecodeError:
+            pass                                 # incl. UnsupportedImage
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.text(max_size=300))
 def test_parse_robots_total(text):
