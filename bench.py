@@ -94,6 +94,13 @@ HEADLINE = (
     "url_host_stats",
     "pack_windows",
     "warc_roundtrip_stats",
+    # round-3 operators
+    "doc_substring_dedup",
+    "host_pagerank",
+    "doc_pii_scrub",
+    "doc_lm_perplexity",
+    "gopher_filter_stats",
+    "doc_temperature_mix",
 )
 
 
