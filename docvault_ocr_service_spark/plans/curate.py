@@ -8,6 +8,11 @@ corpus runs after extraction.
       4. exact dedup (content-hash groupBy, keep min-url doc)
       5. near dedup (MinHash-LSH; drop the higher-id side of each pair)
 
+    Optional stages: ``gopher_gate=True`` adds the full Gopher A1.1
+    rule set to the quality gate (stage 2); ``scrub_pii=True`` redacts
+    emails/cards/IPs/phones AFTER dedup (hashes and pair sets are
+    computed on raw text) and ships the scrubbed text downstream.
+
 Everything before (5) is shuffle-free column work + one hash groupBy;
 (5) adds the banded self-join.  Returns the surviving corpus plus a
 per-stage funnel count DataFrame for lineage.
@@ -27,7 +32,9 @@ def curate_corpus(results: DataFrame, *,
                   min_quality: float = 0.35,
                   min_tokens: int = 10, max_tokens: int = 1_000_000,
                   allowed_langs: tuple[str, ...] = ("en", "pl", "de"),
-                  near_dup_jaccard: float = 0.85
+                  near_dup_jaccard: float = 0.85,
+                  gopher_gate: bool = False,
+                  scrub_pii: bool = False
                   ) -> tuple[DataFrame, DataFrame]:
     """→ (curated DataFrame, funnel counts DataFrame).
 
@@ -44,7 +51,17 @@ def curate_corpus(results: DataFrame, *,
             & (F.col("__quality") >= min_quality)
             & F.col("__tokens").between(min_tokens, max_tokens)
             & F.col("__lang").isin(*allowed_langs))
-    profiled = (results
+    base = results
+    if gopher_gate:
+        from ..functions.textstats import gopher_rules
+
+        rule_cols = ("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+                     "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+                     "r_stopwords")
+        base = gopher_rules(base, text_col)
+        keep = keep & F.col("gopher_pass")
+        base = base.drop(*rule_cols)
+    profiled = (base
                 .withColumn("__tokens", token_count(F.col(text_col)))
                 .withColumn("__quality", quality_score(F.col(text_col)))
                 .withColumn("__lang", detect_lang(F.col(text_col)))
@@ -69,8 +86,23 @@ def curate_corpus(results: DataFrame, *,
                               min_jaccard=near_dup_jaccard)
     drop_side = pairs.select(F.col("b").alias("__k")).distinct()
     curated = with_key.join(drop_side, "__k", "left_anti") \
-        .drop("__k", "__h", "__tokens", "__quality", "__lang", "__keep") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .drop("__k", "__h", "__tokens", "__quality", "__lang", "__keep")
+    drop_cols = []
+    if scrub_pii:
+        # redact AFTER dedup (hashes/pair sets computed on raw text) and
+        # replace the text column with the scrubbed form downstream
+        from ..functions.pii import scrub_text
+
+        curated = (curated
+                   .withColumn("__clean", scrub_text(F.col(text_col)))
+                   .withColumn(text_col, F.col("__clean")))
+        drop_cols = ["__clean", "gopher_pass"] if gopher_gate \
+            else ["__clean"]
+    elif gopher_gate:
+        drop_cols = ["gopher_pass"]
+    if drop_cols:
+        curated = curated.drop(*drop_cols)
+    curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
 
     # funnel: the first three stages are ONE aggregation over the cached
     # profile; the last two are counts of already-persisted frames

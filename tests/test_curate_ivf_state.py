@@ -98,3 +98,26 @@ def test_stream_user_totals_stateful(spark, tmp_path):
     for u in t:
         assert f[u][0] == t[u][0]
         assert abs(f[u][1] - t[u][1]) < 1e-6
+
+
+def test_curation_gopher_and_pii_stages(spark):
+    long_good = ("the quick brown fox jumps over the lazy dog and that "
+                 "dog went to sleep with all of the other dogs to have "
+                 "a very long rest near the warm fire of the old house "
+                 "and be happy about the day that had passed with many "
+                 "fine things to remember and to tell of later on "
+                 "write to me at jan@firma.pl or call +48 22 123 45 67")
+    bullets = "\n".join("• item " + str(i) + " of the list of things"
+                        for i in range(12))
+    rows = [("u://good", long_good), ("u://bullets", bullets)]
+    df = spark.createDataFrame(rows, ["url", "text"])
+
+    curated, funnel = curate_corpus(
+        df, min_quality=0.2, min_tokens=5,
+        gopher_gate=True, scrub_pii=True)
+    got = {r["url"]: r["text"] for r in curated.collect()}
+    assert "u://bullets" not in got          # gopher bullet rule
+    assert "u://good" in got
+    assert "<EMAIL>" in got["u://good"] and "<PHONE>" in got["u://good"]
+    assert "jan@firma.pl" not in got["u://good"]
+    assert "gopher_pass" not in curated.columns
