@@ -1455,6 +1455,45 @@ def bpe_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(merges)).cast("int").alias("n_merges"))
 
 
+def frontier_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier expansion under the driver gate: anchor markup per
+    doc links to 3 formula-derived urls; the REAL pipeline (link extract
+    → canonicalize → seen anti-join → host-rank join → per-host
+    politeness window → global top-30) picks the next fetch batch, and
+    DuckDB recomputes the whole batch analytically."""
+    from docvault_ocr_service_spark.plans.frontier import build_frontier
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+
+    def target(k):
+        return F.concat(F.lit("https://host"),
+                        ((d * 7 + k) % 20).cast("string"),
+                        F.lit(".example/x"),
+                        ((d + k) % 50).cast("string"))
+
+    anchors = [F.concat(F.lit('<a href="'), target(k), F.lit('">l</a>'))
+               for k in (1, 2, 3)]
+    pages = docs.select(
+        F.concat(F.lit("https://host"), (d % 20).cast("string"),
+                 F.lit(".example/p"), d.cast("string")).alias("url"),
+        F.concat(*anchors).alias("html_text"))
+    seen = (spark.range(20).crossJoin(
+                spark.range(10).withColumnRenamed("id", "j"))
+            .select(F.concat(F.lit("https://host"),
+                             F.col("id").cast("string"),
+                             F.lit(".example/x"),
+                             F.col("j").cast("string")).alias("url")))
+    ranks = spark.range(20).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        ((F.col("id") % 5) / 10.0).alias("rank"))
+    out = build_frontier(pages, seen, None, ranks,
+                         per_host_limit=2, limit=30)
+    return out.select("url", "host", F.round("rank", 6).alias("rank"))
+
+
 def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixing (p_i ∝ f_i^(1/2), total 100)
     over the documents table; DuckDB recomputes the quotas and the
@@ -1795,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_roundtrip_stats": bpe_roundtrip_stats,
         "doc_lm_perplexity": doc_lm_perplexity,
         "gopher_filter_stats": gopher_filter_stats,
+        "frontier_batch": frontier_batch,
         "doc_pii_scrub": doc_pii_scrub,
         "wav_audio_stats": wav_audio_stats,
         "thumbnail_dims": thumbnail_dims,
