@@ -1044,6 +1044,22 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", "rank")
 
 
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search, oracle-checked: each query's
+    top-3 among corpus vectors sharing its label (the predicate joins
+    BEFORE the distance math); DuckDB recomputes with
+    list_cosine_similarity + QUALIFY under the same label equality."""
+    from docvault_ocr_service_spark.operators.similarity import (
+        filtered_topk)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return filtered_topk(corpus, queries, k=3, filter_col="label") \
+        .select("query_id", "vec_id", "label", "rank")
+
+
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docvault_ocr_service_spark.operators.similarity import lsh_topk
 
@@ -1813,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": dup_components,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "knn_bruteforce": knn_bruteforce,
+        "knn_filtered": knn_filtered,
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
         "knn_lsh_recall": knn_lsh_recall,

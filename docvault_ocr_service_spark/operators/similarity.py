@@ -68,6 +68,40 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                   .select(query_id_col, id_col, "score", "rank"))
 
 
+def filtered_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                  filter_col: str,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  query_id_col: str = "query_id") -> DataFrame:
+    """Metadata-filtered exact top-k (the 'filtered vector search' every
+    retrieval stack needs): each query carries a ``filter_col`` value
+    and only corpus rows with the SAME value compete for its top-k.
+
+    Scale shape: the equality predicate joins BEFORE any distance math —
+    on a selective filter this prunes the distance computations to the
+    matching partition of the corpus (with Catalyst free to broadcast
+    the small query side), instead of scoring everything and discarding.
+    Ties broken by id ascending, as in ``brute_force_topk``.
+    """
+    q = queries.select(F.col(query_id_col),
+                       F.col(filter_col).alias("__fv"),
+                       F.col(vec_col).alias("__qvec"))
+    scored = (
+        corpus.select(F.col(id_col), F.col(filter_col),
+                      F.col(vec_col).alias("__cvec"))
+        .join(F.broadcast(q), F.col(filter_col) == F.col("__fv"))
+        .withColumn("score",
+                    cosine(F.col("__qvec").cast("array<double>"),
+                           F.col("__cvec").cast("array<double>")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, id_col, filter_col, "score",
+                          "rank"))
+
+
 def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(dim, n_planes)).astype(np.float64)

@@ -239,3 +239,34 @@ def test_dedup_paragraphs_variant(spark):
            dedup_lines(docs, "doc_id", "text", sep="\n\n").collect()}
     assert out[1] == "unique alpha paragraph"
     assert out[2] == "unique beta paragraph"
+
+
+def test_filtered_topk_respects_predicate(spark):
+    import numpy as np
+
+    from docvault_ocr_service_spark.operators.similarity import (
+        brute_force_topk, filtered_topk)
+
+    rng = np.random.RandomState(9)
+    rows = [(i, "even" if i % 2 == 0 else "odd",
+             rng.normal(size=8).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    queries = df.where("vec_id < 2").selectExpr(
+        "vec_id as query_id", "label", "embedding")
+    corpus = df.where("vec_id >= 2")
+    got = filtered_topk(corpus, queries, k=4, filter_col="label").collect()
+    # every neighbor shares the query's parity
+    for r in got:
+        assert (r["vec_id"] % 2 == 0) == (r["query_id"] % 2 == 0)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 4 for v in by_q.values())
+    # within the filtered subset the ranking equals brute force on it
+    even_corpus = corpus.where("label = 'even'")
+    want = {(r["query_id"], r["vec_id"], r["rank"])
+            for r in brute_force_topk(
+                even_corpus, queries.where("label = 'even'"), k=4).collect()}
+    have = {(r["query_id"], r["vec_id"], r["rank"])
+            for r in got if r["label"] == "even"}
+    assert have == want
