@@ -1779,57 +1779,24 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the driver's CORRECTNESS gate checks the
+    # FIRST 50 entries.  Block 1 = queries that had no driver row through
+    # round 3 (r3 operators + media/codec/ANN stacks) and new round-4
+    # queries; block 2 = representative previously-driver-green core;
+    # block 3 (>50) = remainder, all still covered by
+    # tools/check_oracles.py locally.
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_segment_revenue": q3_segment_revenue,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q4_order_priority": q4_order_priority,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q14_promo_share": q14_promo_share,
-        "q19_bracket_revenue": q19_bracket_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q18_large_orders": q18_large_orders,
-        "q_rollup_priority": q_rollup_priority,
-        "q_pivot_segment": q_pivot_segment,
-        "q_customers_without_orders": q_customers_without_orders,
-        "q_top_suppliers_window": q_top_suppliers_window,
-        "q_distinct_part_types": q_distinct_part_types,
-        "events_hourly": events_hourly,
-        "events_sessions": events_sessions,
-        "events_asof_purchase": events_asof_purchase,
-        "events_value_quantiles": events_value_quantiles,
-        "doc_token_stats": doc_token_stats,
-        "doc_stopword_punct": doc_stopword_punct,
-        "source_quality_stats": source_quality_stats,
-        "url_host_stats": url_host_stats,
-        "doc_nfc_stats": doc_nfc_stats,
-        "robots_filter_stats": robots_filter_stats,
-        "doc_token_budget_mix": doc_token_budget_mix,
-        "sitemap_url_extraction": sitemap_url_extraction,
-        "pack_windows": pack_windows,
-        "doc_langid": doc_langid,
-        "doc_exact_dups": doc_exact_dups,
-        "line_dedup_clean": line_dedup_clean,
-        "doc_fingerprints": doc_fingerprints,
-        "doc_categories": doc_categories,
-        "doc_sample_tenth": doc_sample_tenth,
-        "doc_stratified_sample": doc_stratified_sample,
-        "invoice_metadata_from_orders": invoice_metadata_from_orders,
-        "categorize_orders_docs": categorize_orders_docs,
-        "minhash_dup_pairs": minhash_dup_pairs,
-        "simhash_dup_pairs": simhash_dup_pairs,
-        "minhash_recall": minhash_recall,
-        "simhash_recall": simhash_recall,
-        "minhash_incremental_recall": minhash_incremental_recall,
-        "benchmark_contamination": benchmark_contamination,
-        "doc_repetition_stats": doc_repetition_stats,
-        "image_near_dup_recall": image_near_dup_recall,
-        "dup_components": dup_components,
-        "ngram_jaccard_dups": ngram_jaccard_dups,
-        "knn_bruteforce": knn_bruteforce,
-        "knn_filtered": knn_filtered,
+        # -- block 1: first driver exposure (27 r3/never-checked) --------
+        "host_pagerank": host_pagerank,
+        "doc_substring_dedup": doc_substring_dedup,
+        "doc_temperature_mix": doc_temperature_mix,
+        "page_metadata_extraction": page_metadata_extraction,
+        "feed_item_extraction": feed_item_extraction,
+        "bpe_roundtrip_stats": bpe_roundtrip_stats,
+        "doc_lm_perplexity": doc_lm_perplexity,
+        "gopher_filter_stats": gopher_filter_stats,
+        "frontier_batch": frontier_batch,
+        "doc_pii_scrub": doc_pii_scrub,
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
         "knn_lsh_recall": knn_lsh_recall,
@@ -1843,20 +1810,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive_stats": jpeg_progressive_stats,
         "tiff_compressed_stats": tiff_compressed_stats,
         "media_preprocess_decisions": media_preprocess_decisions,
-        "host_pagerank": host_pagerank,
-        "doc_substring_dedup": doc_substring_dedup,
-        "doc_temperature_mix": doc_temperature_mix,
-        "page_metadata_extraction": page_metadata_extraction,
-        "feed_item_extraction": feed_item_extraction,
-        "bpe_roundtrip_stats": bpe_roundtrip_stats,
-        "doc_lm_perplexity": doc_lm_perplexity,
-        "gopher_filter_stats": gopher_filter_stats,
-        "frontier_batch": frontier_batch,
-        "doc_pii_scrub": doc_pii_scrub,
         "wav_audio_stats": wav_audio_stats,
         "thumbnail_dims": thumbnail_dims,
         "warc_roundtrip_stats": warc_roundtrip_stats,
         "media_feature_stats": media_feature_stats,
+        # -- block 2: representative driver-green core (fills to 50) -----
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_segment_revenue": q3_segment_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q_rollup_priority": q_rollup_priority,
+        "q_pivot_segment": q_pivot_segment,
+        "q_top_suppliers_window": q_top_suppliers_window,
+        "events_hourly": events_hourly,
+        "events_sessions": events_sessions,
+        "events_asof_purchase": events_asof_purchase,
+        "events_value_quantiles": events_value_quantiles,
+        "doc_token_stats": doc_token_stats,
+        "source_quality_stats": source_quality_stats,
+        "doc_langid": doc_langid,
+        "doc_exact_dups": doc_exact_dups,
+        "line_dedup_clean": line_dedup_clean,
+        "doc_categories": doc_categories,
+        "minhash_dup_pairs": minhash_dup_pairs,
+        "minhash_recall": minhash_recall,
+        "dup_components": dup_components,
+        "invoice_metadata_from_orders": invoice_metadata_from_orders,
+        "robots_filter_stats": robots_filter_stats,
+        # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q14_promo_share": q14_promo_share,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q_customers_without_orders": q_customers_without_orders,
+        "q_distinct_part_types": q_distinct_part_types,
+        "doc_stopword_punct": doc_stopword_punct,
+        "url_host_stats": url_host_stats,
+        "doc_nfc_stats": doc_nfc_stats,
+        "doc_token_budget_mix": doc_token_budget_mix,
+        "sitemap_url_extraction": sitemap_url_extraction,
+        "pack_windows": pack_windows,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_sample_tenth": doc_sample_tenth,
+        "doc_stratified_sample": doc_stratified_sample,
+        "categorize_orders_docs": categorize_orders_docs,
+        "simhash_dup_pairs": simhash_dup_pairs,
+        "simhash_recall": simhash_recall,
+        "minhash_incremental_recall": minhash_incremental_recall,
+        "benchmark_contamination": benchmark_contamination,
+        "doc_repetition_stats": doc_repetition_stats,
+        "image_near_dup_recall": image_near_dup_recall,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "knn_bruteforce": knn_bruteforce,
+        "knn_filtered": knn_filtered,
     }
 
 
