@@ -4,12 +4,19 @@ Sennrich et al. (2016) BPE, restated for Spark:
 
 - **Training iterates over the WORD-FREQUENCY table, not the corpus.**
   The (word, freq) table is bounded by vocabulary size (≈10⁷ rows for a
-  web corpus), so 30-50 merge iterations of shuffle + top-1 on it are
-  cheap regardless of corpus bytes — the corpus is scanned exactly once
-  to build it.  Each iteration: columnar adjacent-pair explode →
-  freq-weighted groupBy → deterministic top-1 (count desc, then
-  lexicographic — reruns pick identical merges) → apply the merge to
-  the symbol arrays (one Arrow-batched kernel over the vocab table).
+  web corpus), so merge rounds of shuffle + top-K on it are cheap
+  regardless of corpus bytes — the corpus is scanned exactly once to
+  build it.  Training is ROUND-GREEDY BPE (the standard batched
+  tokenizer-trainer scheme): each round ranks adjacent pairs by
+  (count desc, then lexicographic — reruns pick identical merges),
+  accepts every pair in rank order whose symbols AND concatenation are
+  disjoint from the pairs already accepted this round, and applies the
+  whole batch in one Arrow pass.  Disjointness means occurrences cannot
+  overlap and no in-batch merge feeds another, so the batch equals
+  applying its merges one at a time in any order; conflicting pairs
+  just wait a round (their counts re-rank against the newly derived
+  pairs).  Rounds, not merges, bound the Spark job count — a 32k-merge
+  train is ~a few hundred jobs, not 32k.
 - **Encoding** broadcasts the merge list and runs one mapInPandas-style
   kernel over documents, memoizing per-word segmentations per batch
   (Zipf makes the word cache hit rate ~99%).
@@ -49,79 +56,153 @@ def _word_symbols(df: DataFrame, text_col: str) -> DataFrame:
                  F.array(F.lit(EOW))).alias("s"))
 
 
-def _merge_expr(a: str, b: str):
-    """Columnar left-to-right pair merge: fold the symbol array with an
-    accumulator, replacing the tail symbol when (last, current) == (a, b).
-    Equivalent to the lookahead-skip scan because a merged token a+b can
-    never equal a (b is nonempty), so a merge can't re-trigger itself.
-    Pure JVM (no Python worker round-trip per iteration); literals go in
-    as Columns, so symbols containing quotes can't inject."""
-    return F.aggregate(
-        F.col("s"),
-        F.expr("cast(array() as array<string>)"),
-        lambda r, x: F.when(
-            (F.size(r) > 0)
-            & (F.element_at(r, -1) == F.lit(a))
-            & (x == F.lit(b)),
-            F.concat(F.slice(r, 1, F.size(r) - 1),
-                     F.array(F.lit(a + b))),
-        ).otherwise(F.concat(r, F.array(x))),
-    )
+def _merge_word(s: list, a: str, b: str) -> list:
+    """One left-to-right merge pass of (a, b) -> a+b over a symbol list."""
+    r: list[str] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        if i + 1 < n and s[i] == a and s[i + 1] == b:
+            r.append(a + b)
+            i += 2
+        else:
+            r.append(s[i])
+            i += 1
+    return r
 
 
-def _train_local(rows: list, n_merges: int,
-                 min_count: int) -> list[tuple[str, str]]:
-    """In-memory trainer for bounded vocabularies — byte-identical
-    merge choices to the distributed loop (same count-desc then
-    lexicographic tie-break)."""
+def _accept_batch(ranked: list[tuple[str, str]],
+                  budget: int) -> list[tuple[str, str]]:
+    """The round-greedy acceptance rule, shared verbatim by the local
+    and distributed trainers (that sharing is what makes the two paths
+    byte-identical): walk the round's ranked pair page in order,
+    accepting every pair whose two symbols AND concatenation are
+    disjoint from the symbols/concatenations accepted earlier this
+    round; conflicting pairs are skipped and re-rank next round."""
+    accepted: list[tuple[str, str]] = []
+    syms: set[str] = set()
+    for a, b in ranked:
+        if a in syms or b in syms or (a + b) in syms:
+            continue
+        accepted.append((a, b))
+        syms.update((a, b, a + b))
+        if len(accepted) >= budget:
+            break
+    return accepted
+
+
+def _train_local(rows: list, n_merges: int, min_count: int,
+                 topk_per_round: int) -> list[tuple[str, str]]:
+    """In-memory round-greedy trainer for bounded vocabularies —
+    byte-identical to the distributed loop: same per-round ranked page
+    (top ``topk_per_round`` by count desc, then lexicographic), same
+    ``_accept_batch`` rule.
+
+    Incremental: a pair -> {word index} inverted index means each merge
+    only re-counts the words that actually contain it (Zipf: a shrinking
+    handful after the first few hundred merges), instead of re-scanning
+    the whole vocab table per merge."""
     vocab = [(int(freq), list(s)) for freq, s in rows]
+    counts: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set] = {}
+    for k, (freq, s) in enumerate(vocab):
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            counts[p] = counts.get(p, 0) + freq
+            index.setdefault(p, set()).add(k)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for freq, s in vocab:
-            for i in range(len(s) - 1):
-                p = (s[i], s[i + 1])
-                counts[p] = counts.get(p, 0) + freq
-        if not counts:
+    while len(merges) < n_merges:
+        eligible = [kv for kv in counts.items() if kv[1] >= min_count]
+        if not eligible:
             break
-        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < min_count:
+        eligible.sort(key=lambda kv: (-kv[1], kv[0]))
+        page = [p for p, _ in eligible[:topk_per_round]]
+        batch = _accept_batch(page, n_merges - len(merges))
+        if not batch:
             break
-        a, b = best[0]
-        merges.append((a, b))
-        for k, (freq, s) in enumerate(vocab):
+        merges.extend(batch)
+        for a, b in batch:
+            touched = index.pop((a, b), set())
+            counts.pop((a, b), None)
+            for k in touched:
+                freq, s = vocab[k]
+                for i in range(len(s) - 1):
+                    p = (s[i], s[i + 1])
+                    c = counts.get(p)
+                    if c is not None:
+                        if c - freq <= 0:
+                            counts.pop(p)
+                        else:
+                            counts[p] = c - freq
+                    ix = index.get(p)
+                    if ix is not None:
+                        ix.discard(k)
+                r = _merge_word(s, a, b)
+                vocab[k] = (freq, r)
+                for i in range(len(r) - 1):
+                    p = (r[i], r[i + 1])
+                    counts[p] = counts.get(p, 0) + freq
+                    index.setdefault(p, set()).add(k)
+    return merges
+
+
+def _apply_merges_kernel(df: DataFrame,
+                         batch: list[tuple[str, str]]) -> DataFrame:
+    """Apply a disjoint merge batch in one Arrow pass over the vocab
+    table.  Disjointness (symbols + concatenations) means occurrences
+    cannot overlap and no merge output feeds another in-batch merge, so
+    a single left-to-right scan with a combined lookup equals applying
+    the merges one at a time in any order."""
+    lookup = {(a, b): a + b for a, b in batch}
+
+    @F.pandas_udf("array<string>")
+    def apply_all(ss: pd.Series) -> pd.Series:
+        out = []
+        for s in ss:
+            s = list(s)
             r: list[str] = []
             i = 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    r.append(a + b)
-                    i += 2
-                else:
-                    r.append(s[i])
-                    i += 1
-            vocab[k] = (freq, r)
-    return merges
+            n = len(s)
+            while i < n:
+                if i + 1 < n:
+                    m = lookup.get((s[i], s[i + 1]))
+                    if m is not None:
+                        r.append(m)
+                        i += 2
+                        continue
+                r.append(s[i])
+                i += 1
+            out.append(r)
+        return pd.Series(out)
+
+    return df.select("freq", apply_all(F.col("s")).alias("s"))
 
 
 def train_bpe(df: DataFrame, text_col: str = "text",
               n_merges: int = 30, min_count: int = 2,
-              checkpoint_every: int = 4,
-              driver_vocab_limit: int = 200_000) -> list[tuple[str, str]]:
-    """Learn up to ``n_merges`` merges; stops early when no adjacent
-    pair reaches ``min_count`` weighted occurrences.
-
-    One top-1 job per iteration; the merged symbol arrays stay a lazy
-    column expression and are eagerly ``localCheckpoint``-ed every
-    ``checkpoint_every`` merges — the compromise between plan-nesting
-    (one aggregate per un-checkpointed merge; analysis cost grows with
-    depth) and job count (each checkpoint is an extra materialization of
-    the vocab table).
+              checkpoint_every: int = 1,
+              driver_vocab_limit: int = 2_000_000,
+              topk_per_round: int = 256) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` merges (round-greedy BPE; see module
+    docstring); stops early when no adjacent pair reaches ``min_count``
+    weighted occurrences.
 
     Small vocabularies (<= ``driver_vocab_limit`` distinct words) train
-    on the driver instead — the same bounded-collect hybrid the IVF
-    index uses for k-means: the distributed loop's per-iteration job
-    latency only pays off once the vocab table stops fitting in driver
-    memory.  Both paths pick byte-identical merges."""
+    on the driver — the same bounded-collect hybrid the IVF index uses
+    for k-means.  The word-FREQUENCY table is vocab-bounded (~10⁷
+    distinct words for a web corpus, ≈1 GB as (freq, symbols) rows), so
+    even a 100 TB corpus usually fits the driver path; the corpus
+    itself is scanned exactly once to build the table.
+
+    The distributed loop runs the SAME round-greedy algorithm: one
+    count job per round fetches the top ``topk_per_round`` eligible
+    pairs (count desc, then lexicographic), ``_accept_batch`` — the
+    function the local path also calls — picks the disjoint subset,
+    and one Arrow pass applies the whole batch.  Driver round-trips
+    scale with rounds (tens), not merges (thousands).  Both paths pick
+    byte-identical merges (fuzzed in tests/test_bpe.py);
+    ``topk_per_round`` is part of the training semantics, so use the
+    same value when comparing runs."""
     base = _word_symbols(df, text_col)
     if driver_vocab_limit > 0:
         # one probe job: limit+1 rows decide the path AND deliver the
@@ -129,25 +210,28 @@ def train_bpe(df: DataFrame, text_col: str = "text",
         probe = base.limit(driver_vocab_limit + 1).collect()
         if len(probe) <= driver_vocab_limit:
             return _train_local([(r["freq"], r["s"]) for r in probe],
-                                n_merges, min_count)
+                                n_merges, min_count, topk_per_round)
     cur = base.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    since_ckpt = 0
-    for _ in range(n_merges):
+    rounds_since_ckpt = 0
+    while len(merges) < n_merges:
         pairs = (cur.select("freq", F.explode(F.expr(_PAIRS_EXPR))
                             .alias("p"))
                  .select("freq", "p.a", "p.b")
-                 .groupBy("a", "b").agg(F.sum("freq").alias("c")))
-        top = (pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect())
-        if not top or top[0]["c"] < min_count:
+                 .groupBy("a", "b").agg(F.sum("freq").alias("c"))
+                 .where(F.col("c") >= min_count))
+        top = (pairs.orderBy(F.desc("c"), "a", "b")
+               .limit(topk_per_round).collect())
+        batch = _accept_batch([(r["a"], r["b"]) for r in top],
+                              n_merges - len(merges))
+        if not batch:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        cur = cur.select("freq", _merge_expr(a, b).alias("s"))
-        since_ckpt += 1
-        if since_ckpt >= checkpoint_every:
+        merges.extend(batch)
+        cur = _apply_merges_kernel(cur, batch)
+        rounds_since_ckpt += 1
+        if rounds_since_ckpt >= checkpoint_every:
             cur = cur.localCheckpoint(eager=True)
-            since_ckpt = 0
+            rounds_since_ckpt = 0
     return merges
 
 

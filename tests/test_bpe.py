@@ -59,3 +59,93 @@ def test_early_stop_when_pairs_exhaust(spark):
     merges = train_bpe(df, n_merges=50)
     # 'ab' + eow: only 2 mergeable pairs exist -> early stop well below 50
     assert 0 < len(merges) <= 3
+
+
+def _train_roundgreedy_quadratic(rows, n_merges, min_count, topk):
+    """Straight-line reference of the round-greedy algorithm (full
+    recount per round, independent accept-rule re-implementation) —
+    the byte-identity oracle for both production trainers."""
+    vocab = [(int(f), list(s)) for f, s in rows]
+    merges = []
+    while len(merges) < n_merges:
+        counts = {}
+        for f, s in vocab:
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        elig = sorted((kv for kv in counts.items() if kv[1] >= min_count),
+                      key=lambda kv: (-kv[1], kv[0]))
+        page = [p for p, _ in elig[:topk]]
+        acc, syms = [], set()
+        for a, b in page:
+            if a in syms or b in syms or a + b in syms:
+                continue
+            acc.append((a, b))
+            syms.update((a, b, a + b))
+            if len(acc) >= n_merges - len(merges):
+                break
+        if not acc:
+            break
+        merges.extend(acc)
+        lookup = {p: p[0] + p[1] for p in acc}
+        for k, (f, s) in enumerate(vocab):
+            r, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) in lookup:
+                    r.append(lookup[(s[i], s[i + 1])])
+                    i += 2
+                else:
+                    r.append(s[i])
+                    i += 1
+            vocab[k] = (f, r)
+    return merges
+
+
+def _fuzz_corpora():
+    import random
+    rng = random.Random(20260817)
+    corpora = [
+        ["low low low lower lower lowest", "low slow glow lower flow"],
+        ["aaaa aaa aa a aab aab abab abab abab"],
+        ["banana bandana cabana banana banana bandana"] * 3,
+    ]
+    for _ in range(6):
+        words = ["".join(rng.choice("abcde")
+                         for _ in range(rng.randint(1, 7)))
+                 for _ in range(rng.randint(5, 40))]
+        docs = [" ".join(rng.choice(words)
+                         for _ in range(rng.randint(3, 30)))
+                for _ in range(rng.randint(1, 6))]
+        corpora.append(docs)
+    return corpora
+
+
+def test_incremental_local_matches_quadratic(spark):
+    from docvault_ocr_service_spark.functions.bpe import (
+        _train_local, _word_symbols)
+    for docs in _fuzz_corpora():
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                                   ["doc_id", "text"])
+        rows = [(r["freq"], r["s"])
+                for r in _word_symbols(df, "text").collect()]
+        for mc in (1, 2):
+            for topk in (3, 256):
+                got = _train_local(list(rows), 60, mc, topk)
+                want = _train_roundgreedy_quadratic(list(rows), 60, mc,
+                                                    topk)
+                assert got == want, (docs, mc, topk)
+
+
+def test_batched_distributed_matches_local(spark):
+    """Force the distributed path (driver_vocab_limit=0) and require
+    byte-identical merges vs the driver path at the same page size
+    (topk_per_round is part of the training semantics)."""
+    for docs in _fuzz_corpora()[:5]:
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                                   ["doc_id", "text"])
+        for topk in (2, 7, 256):
+            want = train_bpe(df, n_merges=25, min_count=1,
+                             topk_per_round=topk)
+            got = train_bpe(df, n_merges=25, min_count=1,
+                            driver_vocab_limit=0, topk_per_round=topk)
+            assert got == want, (docs, topk)
