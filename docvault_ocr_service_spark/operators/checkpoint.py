@@ -200,6 +200,12 @@ class ParquetCheckpointStore:
         """
         now = datetime.now(timezone.utc)
 
+        # a null url has no bucket (null crc32 -> null _b): it could
+        # never be claimed, fetched, or cleaned up, and None poisons the
+        # sorted() over collected bucket ids below — drop such rows here
+        # rather than letting one bad row fail the whole merge
+        results = results.where(F.col("url").isNotNull())
+
         done = (results.where(F.col("status") == "done")
                 .withColumn("run_id", F.lit(run_id))
                 .withColumn("merged_at", F.lit(now).cast("timestamp")))

@@ -72,24 +72,31 @@ def filtered_topk(corpus: DataFrame, queries: DataFrame, k: int,
                   filter_col: str,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding",
-                  query_id_col: str = "query_id") -> DataFrame:
+                  query_id_col: str = "query_id",
+                  broadcast_queries: bool = False) -> DataFrame:
     """Metadata-filtered exact top-k (the 'filtered vector search' every
     retrieval stack needs): each query carries a ``filter_col`` value
     and only corpus rows with the SAME value compete for its top-k.
 
     Scale shape: the equality predicate joins BEFORE any distance math —
     on a selective filter this prunes the distance computations to the
-    matching partition of the corpus (with Catalyst free to broadcast
-    the small query side), instead of scoring everything and discarding.
+    matching partition of the corpus, instead of scoring everything and
+    discarding.  By default Catalyst/AQE picks the join strategy from
+    the query side's measured size (it broadcasts small frames on its
+    own); pass ``broadcast_queries=True`` only when the caller KNOWS the
+    query set is driver-small — a forced broadcast of a large query set
+    would OOM instead of degrading to a shuffled join.
     Ties broken by id ascending, as in ``brute_force_topk``.
     """
     q = queries.select(F.col(query_id_col),
                        F.col(filter_col).alias("__fv"),
                        F.col(vec_col).alias("__qvec"))
+    if broadcast_queries:
+        q = F.broadcast(q)
     scored = (
         corpus.select(F.col(id_col), F.col(filter_col),
                       F.col(vec_col).alias("__cvec"))
-        .join(F.broadcast(q), F.col(filter_col) == F.col("__fv"))
+        .join(q, F.col(filter_col) == F.col("__fv"))
         .withColumn("score",
                     cosine(F.col("__qvec").cast("array<double>"),
                            F.col("__cvec").cast("array<double>")))

@@ -152,9 +152,16 @@ class _GzipMemberStream:
         while True:
             sep = self._find_newline()
             if sep >= 0:
+                if sep > _MAX_LINE:
+                    raise WarcFormatError("header line exceeds 64 KB")
                 return self._take(sep + 1)
-            if self._avail > _MAX_LINE or not self._step():
-                return self._take(min(self._avail, _MAX_LINE + 1))
+            if self._avail > _MAX_LINE:
+                # a silent truncation here would mis-frame the record
+                # walk and surface later as a confusing Content-Length
+                # error — name the real problem instead
+                raise WarcFormatError("header line exceeds 64 KB")
+            if not self._step():
+                return self._take(self._avail)    # final unterminated line
 
 
 class _PlainStream:
@@ -175,7 +182,10 @@ class _PlainStream:
         return target - here
 
     def readline(self) -> bytes:
-        return self._io.readline(_MAX_LINE + 1)
+        line = self._io.readline(_MAX_LINE + 1)
+        if len(line) > _MAX_LINE and not line.endswith(b"\n"):
+            raise WarcFormatError("header line exceeds 64 KB")
+        return line
 
 
 def _parse_header_block(block: bytes) -> dict[str, str]:

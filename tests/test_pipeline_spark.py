@@ -230,3 +230,29 @@ def test_incremental_merge_leaves_untouched_buckets_byte_identical(
         spark.createDataFrame(
             [(u, datetime.now(timezone.utc), None, "x", "en")
              for u in set_a + set_b], schema=INPUT_SCHEMA)).count() == 0
+
+
+def test_null_url_rows_dropped_not_fatal(spark, tmp_path):
+    """A null url has no bucket (null crc32): it must be dropped at
+    merge time instead of poisoning the sorted() over bucket ids and
+    failing the whole run."""
+    state = str(tmp_path / "nullurl")
+    store = ParquetCheckpointStore(spark, state)
+    schema = ("url string, status string, error_kind string, "
+              "error_msg string, text string, confidence double, "
+              "page_count int, pages array<struct<page:int,text:string,"
+              "confidence:double,source:string>>, "
+              "spans array<struct<seq:int,tag:string,start:int,"
+              "end:int,link_density:double>>, "
+              "metadata struct<confidence:double>, category string, "
+              "category_confidence double, "
+              "detected_languages array<string>, lang string, "
+              "source string, processing_time double, partition_id int")
+    rows = [(u, "done", None, None, "t", 95.0, 1, [], [], None, None,
+             None, [], "en", "native", 0.0, 0)
+            for u in ("ok1", None, "ok2")]
+    store.merge_results(spark.createDataFrame(rows, schema=schema), "r1")
+    cp = store.read_checkpoint()
+    assert {r["url"] for r in cp.collect()} == {"ok1", "ok2"}
+    res = store.read_results_current()
+    assert {r["url"] for r in res.collect()} == {"ok1", "ok2"}

@@ -150,3 +150,22 @@ def test_truncated_gzip_body_keeps_raw_bytes():
     raw = b"HTTP/1.1 200 OK\r\ncontent-encoding: gzip\r\n\r\n" + gz
     _, body = split_http_response(raw)
     assert body == gz                            # raw bytes kept
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_oversized_header_line_names_the_problem(gz):
+    """A 64 KB+ header line must raise a WarcFormatError naming the
+    limit — not silently truncate and mis-frame the record walk."""
+    monster = (b"WARC/1.0\r\nWARC-Target-URI: https://e.example/"
+               + b"a" * (70 * 1024) + b"\r\n"
+               + b"Content-Length: 0\r\n\r\n\r\n\r\n")
+    data = gzip.compress(monster) if gz else monster
+    with pytest.raises(WarcFormatError, match="64 KB"):
+        list(parse_warc(data))
+
+
+def test_final_unterminated_line_is_not_an_error():
+    data = encode_warc(RECS[:1], gzip_members=False)
+    # strip the trailing record separator newlines: parse must still
+    # terminate cleanly on EOF
+    assert len(list(parse_warc(data.rstrip(b"\r\n")))) == 1
