@@ -1594,6 +1594,44 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def hocr_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hOCR serialization (reference output_format='hocr',
+    app/ocr_service.py:321,382-384,414): serialize each document as an
+    hOCR page and parse word/line structure back OUT of the emitted
+    XML, so the oracle validates the serializer end-to-end — DuckDB
+    recomputes token counts, non-blank-line counts and total token
+    chars (== sum of word bbox extents) directly from the source
+    text."""
+    from docvault_ocr_service_spark.extract.hocr import to_hocr
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    @F.pandas_udf("string")
+    def mk(doc_id: pd.Series, text: pd.Series,
+           lang: pd.Series) -> pd.Series:
+        return pd.Series([
+            to_hocr(f"doc://{d}", [t or ""], 95.0, lg)
+            for d, t, lg in zip(doc_id, text, lang)])
+
+    h = docs.withColumn("hocr", mk(F.col("doc_id"), F.col("text"),
+                                   F.col("lang")))
+    starts = F.expr(
+        r"regexp_extract_all(hocr, 'bbox (\\d+) 0 (\\d+) 1; x_wconf', 1)")
+    ends = F.expr(
+        r"regexp_extract_all(hocr, 'bbox (\\d+) 0 (\\d+) 1; x_wconf', 2)")
+    return h.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(starts).cast("long").alias("n_words"),
+        F.expr("size(regexp_extract_all(hocr, '(class=\"ocr_line\")', 1))")
+         .cast("long").alias("n_lines"),
+        F.aggregate(
+            F.zip_with(ends, starts,
+                       lambda e, s: e.cast("long") - s.cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+         .alias("span_chars"),
+    ).orderBy("doc_id")
+
+
 def media_preprocess_decisions(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """The full adaptive OCR preprocessing (O2: CLAHE → brightness →
@@ -1797,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter_stats": gopher_filter_stats,
         "frontier_batch": frontier_batch,
         "doc_pii_scrub": doc_pii_scrub,
+        "hocr_word_stats": hocr_word_stats,
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
         "knn_lsh_recall": knn_lsh_recall,
@@ -1837,8 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": minhash_recall,
         "dup_components": dup_components,
         "invoice_metadata_from_orders": invoice_metadata_from_orders,
-        "robots_filter_stats": robots_filter_stats,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "robots_filter_stats": robots_filter_stats,
         "q5_nation_revenue": q5_nation_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,

@@ -74,3 +74,31 @@ def with_category(df, text_col: str = "text"):
               .withColumn("category_confidence",
                           F.col("_c.category_confidence"))
               .drop("_c"))
+
+
+def with_hocr(df, out_col: str = "hocr"):
+    """Append an hOCR column serialized from already-extracted result
+    rows (url, pages, confidence, lang) — the reference's
+    ``output_format="hocr"`` surface (app/ocr_service.py:321,382-384)
+    as a derived column instead of a per-request branch.  Error rows
+    (no pages) get null.  Pure map stage: no shuffle, no extra scan."""
+    from ..extract.hocr import to_hocr
+
+    @F.pandas_udf("string")
+    def hocr_udf(url: pd.Series, pages: pd.Series, confidence: pd.Series,
+                 lang: pd.Series) -> pd.Series:
+        out = []
+        for u, pg, conf, lg in zip(url, pages, confidence, lang,
+                                   strict=True):
+            if pg is None or len(pg) == 0:
+                out.append(None)
+                continue
+            texts = [(p["text"] if isinstance(p, dict) else p.text) or ""
+                     for p in pg]
+            out.append(to_hocr(u or "", texts,
+                               float(conf) if conf is not None else 0.0,
+                               lg))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, hocr_udf(
+        F.col("url"), F.col("pages"), F.col("confidence"), F.col("lang")))
