@@ -1718,6 +1718,82 @@ def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("brightness", 9).alias("mean_amplitude"))
 
 
+def thumbnail_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail JPEG output arm (app/thumbnail_generator.py:26-65:
+    output_format + quality ladder): deterministic gray PNG fixtures →
+    generate_thumbnails(output_format='jpeg', quality cycling
+    high/medium/low) → decode our own JPEG bytes back and report the
+    DECODED pixel dimensions plus a brightness-roundtrip bound
+    (|mean(decoded) - mean(box-downsampled source)| < 3 gray levels).
+    The oracle recomputes the dims from the reference size formula and
+    pins the bound as an invariant."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.extract.images import encode_png
+    from docvault_ocr_service_spark.functions.multimodal import (
+        generate_thumbnails)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 100)
+
+    def fixture(d: int):
+        import numpy as np
+
+        w = 16 + (d % 50) * 7
+        h = 16 + ((d * 3) % 40) * 5
+        return np.fromfunction(
+            lambda y, x: (x + y + d) % 256, (h, w)).astype("uint8")
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_png(ids: pd.Series) -> pd.Series:
+        return pd.Series([encode_png(fixture(int(d))) for d in ids])
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("decoded_width", T.IntegerType()),
+        T.StructField("decoded_height", T.IntegerType()),
+        T.StructField("mean_close", T.BooleanType()),
+    ])
+
+    def verify(batches):
+        import numpy as np
+
+        from docvault_ocr_service_spark.extract.images import resize_box
+        from docvault_ocr_service_spark.extract.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for mid, status, fmt, thumb in zip(
+                    pdf["media_id"], pdf["status"], pdf["format"],
+                    pdf["thumb"]):
+                d = int(mid)
+                img = decode_jpeg(bytes(thumb))
+                src = fixture(d)
+                th, tw = img.shape[:2]
+                want = (src if src.shape == (th, tw)
+                        else resize_box(src, tw, th))
+                close = abs(float(img.mean()) - float(want.mean())) < 3.0
+                rows.append((d, status, fmt, tw, th, bool(close)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields])
+
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        mk_png(F.col("doc_id")).alias("payload"))
+    # quality ladder exercised: doc_id%3 picks high/medium/low batches
+    parts = []
+    for r, q in enumerate(("high", "medium", "low")):
+        parts.append(generate_thumbnails(
+            media.where(F.col("media_id").cast("long") % 3 == r),
+            max_size=128, output_format="jpeg", quality=q))
+    thumbs = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (thumbs.select("media_id", "status", "format", "thumb")
+            .mapInPandas(verify, schema=out_schema)
+            .orderBy("doc_id"))
+
+
 def thumbnail_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail sink (S8), oracle-checked: deterministic gray PNGs of
     varying sizes are decoded, thumbnailed through the reference's exact
@@ -1851,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_preprocess_decisions": media_preprocess_decisions,
         "wav_audio_stats": wav_audio_stats,
         "thumbnail_dims": thumbnail_dims,
+        "thumbnail_jpeg_stats": thumbnail_jpeg_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
         "media_feature_stats": media_feature_stats,
         # -- block 2: representative driver-green core (fills to 50) -----
@@ -1875,8 +1952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": minhash_dup_pairs,
         "minhash_recall": minhash_recall,
         "dup_components": dup_components,
-        "invoice_metadata_from_orders": invoice_metadata_from_orders,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "invoice_metadata_from_orders": invoice_metadata_from_orders,
         "robots_filter_stats": robots_filter_stats,
         "q5_nation_revenue": q5_nation_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,

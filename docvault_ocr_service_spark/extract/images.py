@@ -61,7 +61,8 @@ _CHANNELS_BY_COLOR_TYPE = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
-    """8-bit gray (H,W) or RGB (H,W,3) array → PNG bytes (filter 0).
+    """8-bit gray (H,W), LA (H,W,2), RGB (H,W,3) or RGBA (H,W,4)
+    array → PNG bytes (filter 0).
 
     Deterministic fixture/writer path — the encoder the tests and the
     synthetic corpus use; also the proof the decoder round-trips.
@@ -70,11 +71,13 @@ def encode_png(pixels: np.ndarray) -> bytes:
     if arr.ndim == 2:
         color_type, h, w = 0, *arr.shape
         raw = arr
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        color_type, h, w = 2, arr.shape[0], arr.shape[1]
-        raw = arr.reshape(h, w * 3)
+    elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
+        color_type = {2: 4, 3: 2, 4: 6}[arr.shape[2]]
+        h, w = arr.shape[0], arr.shape[1]
+        raw = arr.reshape(h, w * arr.shape[2])
     else:
-        raise ValueError("encode_png supports (H,W) gray or (H,W,3) RGB")
+        raise ValueError("encode_png supports (H,W) gray, (H,W,2) LA, "
+                         "(H,W,3) RGB or (H,W,4) RGBA")
 
     def chunk(kind: bytes, payload: bytes) -> bytes:
         return (struct.pack(">I", len(payload)) + kind + payload

@@ -26,6 +26,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -252,24 +253,60 @@ THUMBNAIL_SCHEMA = T.StructType([
     T.StructField("original_height", T.IntegerType(), True),
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
-    T.StructField("thumb_png", T.BinaryType(), True),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("thumb", T.BinaryType(), True),
     T.StructField("n_bytes", T.LongType(), True),
 ])
 
+# app/thumbnail_generator.py:48-53 — quality label → JPEG quality value
+_QUALITY_MAP = {"high": 95, "medium": 85, "low": 70}
 
-def generate_thumbnails(df: DataFrame, max_size: int = 128) -> DataFrame:
+
+def _flatten_on_white(img):
+    """Alpha-composite LA/RGBA pixels over a white background — the
+    reference's JPEG transparency handling (app/thumbnail_generator.py:
+    39-45: paste-with-mask onto a white RGB canvas)."""
+    a = img[..., -1:].astype(np.float64) / 255.0
+    rgb = img[..., :-1].astype(np.float64)
+    out = np.rint(rgb * a + 255.0 * (1.0 - a)).astype(np.uint8)
+    return out[..., 0] if out.shape[2] == 1 else out
+
+
+def generate_thumbnails(df: DataFrame, max_size: int = 128,
+                        output_format: str = "png",
+                        quality: str = "medium") -> DataFrame:
     """The thumbnail sink (app/thumbnail_generator.py:82-188) as a map
-    stage: decode (PNG / uncompressed TIFF) → aspect-preserving
+    stage: decode (PNG/TIFF/GIF/JPEG) → aspect-preserving
     ``thumbnail_size`` (value-identical to the reference's formula) →
-    box downsample → PNG bytes out.  Undecodable payloads come back with
-    an honest status, never a task failure.  RGBA thumbnails drop alpha
-    (the reference's JPEG path flattens too)."""
+    box downsample → encoded bytes out.
+
+    ``output_format`` mirrors the reference parameter ('PNG'/'JPEG'/
+    'WEBP', app/thumbnail_generator.py:82-113): 'png' and 'jpeg' encode
+    with the real codecs; 'webp' raises ValueError (no WEBP codec in
+    this environment — an honest error beats silently re-labelled
+    bytes); anything else falls back to 'jpeg' exactly like the
+    reference's invalid-format fallback.  ``quality`` is the
+    reference's high/medium/low ladder (95/85/70, invalid → medium),
+    honored by the JPEG encoder and ignored by PNG as in the reference.
+    For JPEG, alpha flattens onto a white background
+    (reference to_bytes); the PNG path keeps the round-2-pinned
+    alpha-drop behavior.  Undecodable payloads come back with an honest
+    status, never a task failure."""
     from ..extract.images import (
         decode_tiff,
         encode_png,
         resize_box,
         thumbnail_size,
     )
+    from ..extract.jpeg import encode_jpeg
+
+    output_format = output_format.lower()
+    if output_format == "webp":
+        raise ValueError("webp thumbnail encoding is not supported in "
+                         "this environment (no WEBP codec)")
+    if output_format not in ("png", "jpeg"):
+        output_format = "jpeg"      # reference invalid-format fallback
+    q_value = _QUALITY_MAP.get(quality, _QUALITY_MAP["medium"])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in THUMBNAIL_SCHEMA.fields]
@@ -294,20 +331,26 @@ def generate_thumbnails(df: DataFrame, max_size: int = 128) -> DataFrame:
                         row["status"] = f"no_codec:{fmt}"
                         rows.append(row)
                         continue
-                    if img.ndim == 3 and img.shape[2] == 4:
-                        img = img[..., :3]
-                    elif img.ndim == 3 and img.shape[2] == 2:
-                        img = img[..., 0]
+                    if img.ndim == 3 and img.shape[2] in (2, 4):
+                        if output_format == "jpeg":
+                            img = _flatten_on_white(img)
+                        elif img.shape[2] == 4:
+                            img = img[..., :3]
+                        else:
+                            img = img[..., 0]
                     oh, ow = img.shape[:2]
                     tw, th = thumbnail_size(ow, oh, max_size)
                     thumb = (img if (tw, th) == (ow, oh)
                              else resize_box(img, tw, th))
-                    png = encode_png(thumb)
+                    data = (encode_jpeg(thumb, quality=q_value)
+                            if output_format == "jpeg"
+                            else encode_png(thumb))
                     row.update({
                         "status": "ok",
                         "original_width": ow, "original_height": oh,
                         "width": tw, "height": th,
-                        "thumb_png": png, "n_bytes": len(png),
+                        "format": output_format,
+                        "thumb": data, "n_bytes": len(data),
                     })
                 except UnsupportedImageError as e:
                     row["status"] = f"unsupported:{e}"

@@ -388,7 +388,7 @@ def test_generate_thumbnails_spark(spark):
         assert r["status"] == "ok"
         assert (r["original_width"], r["original_height"]) == (400, 200)
         assert (r["width"], r["height"]) == (128, 64)
-        thumb = decode_png(bytes(r["thumb_png"]))
+        thumb = decode_png(bytes(r["thumb"]))
         assert thumb.shape == (64, 128)
         assert abs(float(thumb.mean()) - float(big.mean())) < 3.0
     assert (got["s"]["width"], got["s"]["height"]) == (12, 10)  # no upscale
@@ -638,3 +638,51 @@ def test_read_media_latest_dedups_crash_retries(spark, tmp_path):
     got = {r["media_id"]: r["brightness"]
            for r in read_media_latest(spark, base).collect()}
     assert got == {"u1": 9.0, "u2": 2.0}
+
+
+def test_generate_thumbnails_jpeg_arm(spark):
+    """output_format/quality parity (app/thumbnail_generator.py:26-65):
+    JPEG bytes decode to the same dims, the quality ladder orders file
+    sizes, and alpha flattens onto white like the reference's
+    paste-on-white."""
+    import numpy as np
+
+    from docvault_ocr_service_spark.extract.images import encode_png
+    from docvault_ocr_service_spark.extract.jpeg import decode_jpeg
+    from docvault_ocr_service_spark.functions.multimodal import (
+        generate_thumbnails)
+    import pytest
+
+    big = np.fromfunction(lambda y, x: (x * 2 + y) % 256,
+                          (200, 400)).astype(np.uint8)
+    # RGBA: opaque dark-left, fully transparent right half
+    rgba = np.zeros((64, 64, 4), dtype=np.uint8)
+    rgba[:, :32, :3] = 10
+    rgba[:, :32, 3] = 255
+    media = spark.createDataFrame(
+        [("g", encode_png(big)), ("a", encode_png(rgba))],
+        ["media_id", "payload"])
+
+    sizes = {}
+    for q in ("high", "medium", "low"):
+        got = {r["media_id"]: r for r in generate_thumbnails(
+            media, max_size=128, output_format="jpeg",
+            quality=q).collect()}
+        r = got["g"]
+        assert r["status"] == "ok" and r["format"] == "jpeg"
+        img = decode_jpeg(bytes(r["thumb"]))
+        assert img.shape == (r["height"], r["width"]) == (64, 128)
+        assert abs(float(img.mean()) - float(big.mean())) < 3.0
+        sizes[q] = r["n_bytes"]
+        # transparent half flattens to white, opaque half stays dark
+        a = decode_jpeg(bytes(got["a"]["thumb"]))
+        assert float(a[:, 40:].mean()) > 240
+        assert float(a[:, :24].mean()) < 30
+    assert sizes["low"] < sizes["medium"] < sizes["high"]
+
+    # invalid quality falls back to medium; webp is an honest error
+    r = generate_thumbnails(media, output_format="jpeg",
+                            quality="bogus").collect()
+    assert all(x["status"] == "ok" for x in r)
+    with pytest.raises(ValueError, match="webp"):
+        generate_thumbnails(media, output_format="webp")
