@@ -1303,9 +1303,10 @@ def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tiff_compressed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-TIFF codecs under the driver gate: per doc, a
-    deterministic 16×16 gradient is written as LZW, PackBits, or
-    LZW+horizontal-predictor TIFF (compression keyed on doc_id) and
-    decoded through extract_media_features.  All three are lossless, so
+    deterministic 16×16 gradient is written as LZW, PackBits,
+    LZW+horizontal-predictor or Adobe-deflate TIFF (compression keyed
+    on doc_id) and decoded through extract_media_features.  All four
+    are lossless, so
     DuckDB recomputes brightness/contrast analytically from the pixel
     formula v = (doc_id*11 + 3k) % 256 — parity with the reference's
     PIL-backed compressed multi-frame TIFF handling
@@ -1330,7 +1331,8 @@ def tiff_compressed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             pix = ((d * 11 + 3 * k) % 256).astype("uint8").reshape(16, 16)
             kw = ({"compression": "lzw"},
                   {"compression": "packbits"},
-                  {"compression": "lzw", "predictor": True})[d % 3]
+                  {"compression": "lzw", "predictor": True},
+                  {"compression": "deflate"})[d % 4]
             out.append(encode_tiff_gray([pix], **kw))
         return pd.Series(out)
 

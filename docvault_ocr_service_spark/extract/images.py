@@ -448,7 +448,8 @@ def encode_tiff_rgb(frames: list[np.ndarray], *,
                         predictor=predictor)
 
 
-_TIFF_COMPRESSION_IDS = {"none": 1, "lzw": 5, "packbits": 32773}
+_TIFF_COMPRESSION_IDS = {"none": 1, "lzw": 5, "deflate": 8,
+                         "packbits": 32773}
 
 
 def _encode_tiff(arrs: list[np.ndarray], spp: int, compression: str,
@@ -457,8 +458,8 @@ def _encode_tiff(arrs: list[np.ndarray], spp: int, compression: str,
         raise ValueError("need at least one frame")
     if compression not in _TIFF_COMPRESSION_IDS:
         raise ValueError(f"unknown compression {compression!r}")
-    if predictor and compression != "lzw":
-        raise ValueError("predictor requires lzw compression")
+    if predictor and compression not in ("lzw", "deflate"):
+        raise ValueError("predictor requires lzw or deflate compression")
     out = bytearray(b"II*\x00")
     # pixel strips first, IFD chain after
     pix_offsets, pix_counts = [], []
@@ -475,6 +476,8 @@ def _encode_tiff(arrs: list[np.ndarray], spp: int, compression: str,
             flat = (d % 256).astype(np.uint8).reshape(h, w * spp)
         if compression == "lzw":
             strip = _tiff_lzw_encode(flat.tobytes())
+        elif compression == "deflate":
+            strip = zlib.compress(flat.tobytes())
         elif compression == "packbits":
             strip = b"".join(_packbits_encode_row(flat[r].tobytes())
                              for r in range(h))
@@ -552,10 +555,10 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
     """8-bit gray/RGB TIFF frame → uint8 array.
 
     Compression: none (1), LZW (5, incl. the horizontal predictor
-    tag 317=2), and PackBits (32773) — the formats PIL covers for the
-    reference's multi-frame TIFFs (tests/test_document_processor.py:
-    157-176).  Anything else (JPEG-in-TIFF, deflate, CCITT fax) raises
-    ``UnsupportedImageError``; truncated IFD chains surface as
+    tag 317=2), Adobe deflate (8, legacy 32946) and PackBits (32773) —
+    the formats PIL covers for the reference's multi-frame TIFFs
+    (tests/test_document_processor.py:157-176).  Anything else
+    (JPEG-in-TIFF, CCITT fax) raises ``UnsupportedImageError``; truncated IFD chains surface as
     ImageDecodeError, never struct.error."""
     if data[:4] == b"II*\x00":
         end = "<"
@@ -584,7 +587,7 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
     except KeyError as e:
         raise ImageDecodeError(f"missing required TIFF tag {e}") from e
     compression = v.get(259, [1])[0]
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32946, 32773):
         raise UnsupportedImageError(
             f"unsupported TIFF compression {compression}")
     spp = v.get(277, [1])[0]
@@ -604,6 +607,14 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
             break
         if compression == 5:
             chunk = _tiff_lzw_decode(chunk, rows_here * w * spp)
+        elif compression in (8, 32946):
+            try:
+                chunk = zlib.decompress(chunk)
+            except zlib.error as e:
+                raise ImageDecodeError(
+                    f"bad deflate TIFF strip: {e}") from e
+            if len(chunk) != rows_here * w * spp:
+                raise ImageDecodeError("deflate strip size mismatch")
         elif compression == 32773:
             chunk = _packbits_decode(chunk, rows_here * w * spp)
         raw += chunk

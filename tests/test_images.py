@@ -686,3 +686,41 @@ def test_generate_thumbnails_jpeg_arm(spark):
     assert all(x["status"] == "ok" for x in r)
     with pytest.raises(ValueError, match="webp"):
         generate_thumbnails(media, output_format="webp")
+
+
+def test_tiff_deflate_roundtrip():
+    """Adobe deflate (Compression=8): lossless roundtrip gray + RGB,
+    with and without the horizontal predictor; legacy id 32946 decodes;
+    corrupt deflate strips surface as ImageDecodeError."""
+    import numpy as np
+    import struct
+
+    from docvault_ocr_service_spark.extract.images import (
+        ImageDecodeError, decode_tiff, encode_tiff_gray, encode_tiff_rgb)
+    import pytest
+
+    g = np.fromfunction(lambda y, x: (x * 3 + y) % 256,
+                        (40, 60)).astype(np.uint8)
+    rgb = np.dstack([g, g[::-1], 255 - g])
+    for pred in (False, True):
+        t = encode_tiff_gray([g], compression="deflate", predictor=pred)
+        assert (decode_tiff(t) == g).all()
+        t = encode_tiff_rgb([rgb], compression="deflate", predictor=pred)
+        assert (decode_tiff(t) == rgb).all()
+
+    t = bytearray(encode_tiff_gray([g], compression="deflate"))
+    # rewrite compression tag 8 -> 32946 (legacy deflate id)
+    i = bytes(t).find(struct.pack("<HHI", 259, 3, 1))
+    assert i > 0
+    t[i + 8:i + 10] = struct.pack("<H", 32946)
+    assert (decode_tiff(bytes(t)) == g).all()
+
+    bad = encode_tiff_gray([g], compression="deflate")
+    bad = bad.replace(zlib_head(bad), b"\x00\x00", 1)
+    with pytest.raises(ImageDecodeError):
+        decode_tiff(bad)
+
+
+def zlib_head(tiff_bytes: bytes) -> bytes:
+    # first strip starts at offset 8 in our writer layout
+    return tiff_bytes[8:10]
