@@ -1720,6 +1720,48 @@ def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("brightness", 9).alias("mean_amplitude"))
 
 
+def mp3_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-header metadata under the driver gate: structurally
+    valid Layer-III fixtures (rate/bitrate/channel-mode/ID3-prefix
+    keyed on doc_id) parsed by the frame walker; DuckDB recomputes
+    frame counts, exact durations and channel counts from the same
+    keying formulas."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.extract.audio import encode_mp3_frames
+    from docvault_ocr_service_spark.functions.multimodal import (
+        extract_media_features)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_mp3(ids: pd.Series) -> pd.Series:
+        out = []
+        for d in ids:
+            d = int(d)
+            out.append(encode_mp3_frames(
+                n_frames=10 + d % 20,
+                bitrate_kbps=(32, 128)[d % 2],
+                sample_rate=(44100, 22050, 8000)[d % 3],
+                mono=(d % 5 == 0),
+                id3_bytes=(d % 7) * 9))
+        return pd.Series(out)
+
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        mk_mp3(F.col("doc_id")).alias("payload"))
+    feats = extract_media_features(media, fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "decode_status",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.round(F.element_at("features", 1), 6).alias("duration_ms"),
+        F.element_at("features", 2).cast("long").alias("sample_rate"),
+        F.element_at("features", 3).cast("long").alias("channels"))
+
+
 def thumbnail_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail JPEG output arm (app/thumbnail_generator.py:26-65:
     output_format + quality ladder): deterministic gray PNG fixtures →
@@ -1928,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_compressed_stats": tiff_compressed_stats,
         "media_preprocess_decisions": media_preprocess_decisions,
         "wav_audio_stats": wav_audio_stats,
+        "mp3_audio_stats": mp3_audio_stats,
         "thumbnail_dims": thumbnail_dims,
         "thumbnail_jpeg_stats": thumbnail_jpeg_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
@@ -1953,8 +1996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_categories": doc_categories,
         "minhash_dup_pairs": minhash_dup_pairs,
         "minhash_recall": minhash_recall,
-        "dup_components": dup_components,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "dup_components": dup_components,
         "invoice_metadata_from_orders": invoice_metadata_from_orders,
         "robots_filter_stats": robots_filter_stats,
         "q5_nation_revenue": q5_nation_revenue,

@@ -23,7 +23,9 @@ class AudioDecodeError(ImageDecodeError):
 def sniff_audio_format(head: bytes) -> str | None:
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"
-    if head[:3] == b"ID3" or head[:2] in (b"\xff\xfb", b"\xff\xf3"):
+    if head[:3] == b"ID3" or (
+            len(head) > 1 and head[0] == 0xFF
+            and (head[1] & 0xE0) == 0xE0):    # 11-bit MPEG frame sync
         return "mp3"
     if head[:4] == b"OggS":
         return "ogg"
@@ -95,3 +97,128 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
                                    sample_rate * 2, 2, 16)
            + b"data" + struct.pack("<I", len(pcm)))
     return hdr + pcm
+
+
+# -- MP3 (MPEG audio) frame headers ------------------------------------------
+#
+# No PCM decode here (that needs a DCT synthesis filterbank à la ffmpeg)
+# — but the frame HEADERS are pure bit-twiddling and give real metadata:
+# bitrate / sample rate / channel mode / exact frame-walk duration, the
+# audio analogue of compressed-TIFF's metadata-only row.
+
+_MP3_RATES = {1: (44100, 48000, 32000),
+              2: (22050, 24000, 16000),
+              25: (11025, 12000, 8000)}
+# kbps by (version-group, layer); index 1..14 of the 4-bit bitrate field
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_BITRATES[(2, 3)] = _MP3_BITRATES[(2, 2)]
+
+
+def _mp3_frame_at(data: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos``; returns
+    (frame_len, version, layer, bitrate_kbps, rate, channels,
+    samples_per_frame) or None if the bytes there are not a valid
+    header."""
+    if pos + 4 > len(data) or data[pos] != 0xFF or \
+            (data[pos + 1] & 0xE0) != 0xE0:
+        return None
+    b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+    version = {0: 25, 2: 2, 3: 1}.get((b1 >> 3) & 0x3)
+    layer = {1: 3, 2: 2, 3: 1}.get((b1 >> 1) & 0x3)
+    if version is None or layer is None:
+        return None
+    br_idx, sr_idx = (b2 >> 4) & 0xF, (b2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None                     # free-format / bad indices
+    group = 1 if version == 1 else 2
+    bitrate = _MP3_BITRATES[(group, layer)][br_idx - 1]
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (b2 >> 1) & 0x1
+    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+    if layer == 1:
+        spf = 384
+        frame_len = (12 * bitrate * 1000 // rate + padding) * 4
+    else:
+        spf = 576 if (layer == 3 and version != 1) else 1152
+        frame_len = spf // 8 * bitrate * 1000 // rate + padding
+    return frame_len, version, layer, bitrate, rate, channels, spf
+
+
+def parse_mp3(data: bytes, max_resync: int = 4096) -> dict:
+    """MP3 bytes → dict(version, layer, bitrate_kbps, sample_rate,
+    channels, n_frames, duration_ms, vbr).
+
+    Skips an ID3v2 tag, finds the first frame sync within
+    ``max_resync`` bytes, then WALKS the frame chain using each
+    header's own length — duration is the exact sum of frame sample
+    counts, and ``vbr`` reports whether bitrates varied.  Stops at the
+    first non-frame byte (trailing tags/garbage tolerated).  Raises
+    ``AudioDecodeError`` when no frame sync is found."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + size
+    first = None
+    limit = min(len(data), pos + max_resync)
+    while pos < limit:
+        first = _mp3_frame_at(data, pos)
+        if first is not None:
+            break
+        pos += 1
+    if first is None:
+        raise AudioDecodeError("no MPEG audio frame sync found")
+    _, version, layer, bitrate0, rate, channels, spf = first
+    n_frames, samples = 0, 0
+    bitrates = set()
+    while True:
+        f = _mp3_frame_at(data, pos)
+        if f is None or pos + f[0] > len(data):
+            break
+        n_frames += 1
+        samples += f[6]
+        bitrates.add(f[3])
+        pos += f[0]
+    return {
+        "version": version, "layer": layer,
+        "bitrate_kbps": bitrate0, "sample_rate": rate,
+        "channels": channels, "n_frames": n_frames,
+        "duration_ms": samples * 1000.0 / rate,
+        "vbr": len(bitrates) > 1,
+    }
+
+
+def encode_mp3_frames(n_frames: int, bitrate_kbps: int = 128,
+                      sample_rate: int = 44100, mono: bool = False,
+                      id3_bytes: int = 0) -> bytes:
+    """Deterministic MPEG1/2-Layer-III fixture writer: structurally
+    valid frame headers with zeroed payloads (+ optional ID3v2 stub) —
+    proof the parser round-trips; not playable audio."""
+    version = 1 if sample_rate in _MP3_RATES[1] else \
+        (2 if sample_rate in _MP3_RATES[2] else 25)
+    group = 1 if version == 1 else 2
+    br_idx = _MP3_BITRATES[(group, 3)].index(bitrate_kbps) + 1
+    sr_idx = _MP3_RATES[version].index(sample_rate)
+    vbits = {1: 3, 2: 2, 25: 0}[version]
+    b1 = 0xE0 | (vbits << 3) | (1 << 1) | 1      # sync+layer III, no CRC
+    b2 = (br_idx << 4) | (sr_idx << 2)
+    b3 = (0xC0 if mono else 0x00)
+    spf = 1152 if version == 1 else 576
+    frame_len = spf // 8 * bitrate_kbps * 1000 // sample_rate
+    frame = bytes((0xFF, b1, b2, b3)) + b"\x00" * (frame_len - 4)
+    head = b""
+    if id3_bytes:
+        head = b"ID3\x04\x00\x00" + bytes(
+            (id3_bytes >> s) & 0x7F for s in (21, 14, 7, 0)) \
+            + b"\x00" * id3_bytes
+    return head + frame * n_frames

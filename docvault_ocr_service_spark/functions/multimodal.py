@@ -187,18 +187,33 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
 
 
 def _decode_audio_row(row: dict, payload: bytes) -> dict:
-    """WAV/PCM: real duration + amplitude stats (extract/audio.py);
-    compressed audio (mp3/ogg/flac) honestly labeled — no ffmpeg here.
-    Field mapping: n_frames=samples, brightness=mean |amplitude|,
-    contrast=RMS amplitude, features=[duration_ms, sample_rate,
-    channels]."""
-    from ..extract.audio import AudioDecodeError, parse_wav, \
+    """WAV/PCM: real duration + amplitude stats; MP3: frame-header
+    metadata (exact frame-walk duration/bitrate/rate/channels, no PCM
+    decode — that needs ffmpeg) as a ``metadata_only`` row like
+    compressed TIFF; ogg/flac honestly ``no_codec`` (extract/audio.py).
+    Field mapping: n_frames=samples (WAV) or frames (MP3),
+    brightness=mean |amplitude|, contrast=RMS amplitude,
+    features=[duration_ms, sample_rate, channels]."""
+    from ..extract.audio import AudioDecodeError, parse_mp3, parse_wav, \
         sniff_audio_format
 
     fmt = sniff_audio_format(payload[:12])
     row["format"] = fmt
     if fmt is None:
         row["decode_status"] = "unknown_format"
+        return row
+    if fmt == "mp3":
+        try:
+            meta = parse_mp3(payload)
+            row.update({
+                "decode_status": "metadata_only:mp3",
+                "n_frames": min(meta["n_frames"], 2**31 - 1),
+                "features": [float(meta["duration_ms"]),
+                             float(meta["sample_rate"]),
+                             float(meta["channels"])],
+            })
+        except AudioDecodeError as e:
+            row["decode_status"] = f"corrupted:{e}"
         return row
     if fmt != "wav":
         row["decode_status"] = f"no_codec:{fmt}"

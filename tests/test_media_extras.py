@@ -41,7 +41,7 @@ def test_audio_media_features(spark):
     assert w["n_frames"] == 4000
     assert abs(w["brightness"] - 0.25) < 0.01         # mean |amplitude|
     assert w["features"][0] == 500.0                  # duration_ms
-    assert got["m"]["decode_status"] == "no_codec:mp3"
+    assert got["m"]["decode_status"].startswith("corrupted:no MPEG")
     assert got["u"]["decode_status"] == "unknown_format"
 
 
@@ -69,3 +69,53 @@ def test_sample_frames(spark):
     assert [r["frame_idx"] for r in by_id["tif2"]] == [0, 1]
     assert len(by_id["png1"]) == 1 and by_id["png1"][0]["n_frames"] == 1
     assert by_id["bad"][0]["status"].startswith("undecodable")
+
+
+def test_mp3_header_metadata():
+    """MP3 frame-walk metadata: rates/bitrates/channel modes round-trip
+    the fixture writer, ID3v2 tags skip, truncated tails stop the walk,
+    and garbage raises."""
+    import pytest
+
+    from docvault_ocr_service_spark.extract.audio import (
+        AudioDecodeError, encode_mp3_frames, parse_mp3,
+        sniff_audio_format)
+
+    for rate, spf in ((44100, 1152), (22050, 576), (8000, 576)):
+        for br in (32, 128):
+            for mono in (False, True):
+                d = encode_mp3_frames(12, br, rate, mono, id3_bytes=33)
+                assert sniff_audio_format(d[:12]) == "mp3"
+                m = parse_mp3(d)
+                assert (m["sample_rate"], m["bitrate_kbps"]) == (rate, br)
+                assert m["channels"] == (1 if mono else 2)
+                assert m["n_frames"] == 12
+                assert m["duration_ms"] == 12 * spf * 1000 / rate
+                assert m["vbr"] is False
+
+    # truncated final frame: walk stops, earlier frames still counted
+    d = encode_mp3_frames(5, 128, 44100)
+    assert parse_mp3(d[:-10])["n_frames"] == 4
+    with pytest.raises(AudioDecodeError):
+        parse_mp3(b"\x00" * 5000)
+
+
+def test_mp3_media_row(spark):
+    from docvault_ocr_service_spark.extract.audio import (
+        encode_mp3_frames, encode_wav)
+    from docvault_ocr_service_spark.functions.multimodal import (
+        extract_media_features)
+    import numpy as np
+
+    rows = [("m", "audio", encode_mp3_frames(8, 64, 22050, mono=True)),
+            ("w", "audio", encode_wav(np.full(800, 0.25), 8000)),
+            ("o", "audio", b"OggS garbage here")]
+    media = spark.createDataFrame(rows, ["media_id", "kind", "payload"])
+    got = {r["media_id"]: r for r in
+           extract_media_features(media, fake=False).collect()}
+    m = got["m"]
+    assert m["decode_status"] == "metadata_only:mp3"
+    assert m["n_frames"] == 8
+    assert list(m["features"]) == [8 * 576 * 1000 / 22050, 22050.0, 1.0]
+    assert got["w"]["decode_status"] == "ok"
+    assert got["o"]["decode_status"] == "no_codec:ogg"
