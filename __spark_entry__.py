@@ -1876,6 +1876,83 @@ def thumbnail_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         "original_width", "original_height", "width", "height")
 
 
+def stream_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once, oracle-checked: the same document slice
+    runs through ``stream_extract_merge`` (file-source micro-batches →
+    foreachBatch MERGE) and through the batch ``run_extract_job``, and
+    the two result/checkpoint states must agree row-for-row — url set,
+    status, extracted text, confidence.  The oracle recomputes the url
+    count from the slice; any streaming duplicate, loss, or divergence
+    drops a *_match count below n_urls and fails the value compare."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.operators.checkpoint import (
+        ParquetCheckpointStore)
+    from docvault_ocr_service_spark.plans.extract_job import run_extract_job
+    from docvault_ocr_service_spark.streaming.stream import (
+        stream_extract_merge)
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    inp = docs.select(
+        F.concat(F.lit("https://corpus.local/"), F.col("doc_id"))
+         .alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text", "lang",
+        (F.col("doc_id") % 2).alias("__f"))
+
+    work = tempfile.mkdtemp(prefix="stream_eq_")
+    try:
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        # two source files → two micro-batches (maxFilesPerTrigger=1)
+        for part in range(2):
+            inp.where(F.col("__f") == part).drop("__f").coalesce(1) \
+                .write.mode("append").parquet(src)
+        q = stream_extract_merge(
+            spark, src, os.path.join(work, "state_s"),
+            os.path.join(work, "ckpt"), max_files_per_trigger=1)
+        q.awaitTermination()
+        run_extract_job(spark, inp.drop("__f"),
+                        os.path.join(work, "state_b"))
+
+        s = ParquetCheckpointStore(spark, os.path.join(work, "state_s")) \
+            .read_results_current() \
+            .select("url", F.col("status").alias("s_status"),
+                    F.col("text").alias("s_text"),
+                    F.col("confidence").alias("s_conf"))
+        b = ParquetCheckpointStore(spark, os.path.join(work, "state_b")) \
+            .read_results_current() \
+            .select("url", F.col("status").alias("b_status"),
+                    F.col("text").alias("b_text"),
+                    F.col("confidence").alias("b_conf"))
+        row = (s.join(b, "url", "full")
+               .agg(F.count("*").alias("n_urls"),
+                    F.sum(F.when(F.col("s_status") == F.col("b_status"),
+                                 1).otherwise(0)).alias("status_match"),
+                    F.sum(F.when(F.col("s_text").eqNullSafe(
+                        F.col("b_text")), 1).otherwise(0))
+                     .alias("text_match"),
+                    F.sum(F.when(F.col("s_conf") == F.col("b_conf"),
+                                 1).otherwise(0)).alias("conf_match"))
+               .first())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out_schema = T.StructType([
+        T.StructField("n_urls", T.LongType()),
+        T.StructField("status_match", T.LongType()),
+        T.StructField("text_match", T.LongType()),
+        T.StructField("conf_match", T.LongType()),
+    ])
+    return spark.createDataFrame([(row["n_urls"], row["status_match"],
+                                   row["text_match"], row["conf_match"])],
+                                 schema=out_schema)
+
+
 def warc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC codec invariant, oracle-checked: document texts are encoded
     into per-shard .warc.gz archives (per-record gzip members + HTTP
@@ -1974,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thumbnail_dims": thumbnail_dims,
         "thumbnail_jpeg_stats": thumbnail_jpeg_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
+        "stream_batch_equivalence": stream_batch_equivalence,
         "media_feature_stats": media_feature_stats,
         # -- block 2: representative driver-green core (fills to 50) -----
         "q1_pricing_summary": q1_pricing_summary,
@@ -1995,8 +2073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_clean": line_dedup_clean,
         "doc_categories": doc_categories,
         "minhash_dup_pairs": minhash_dup_pairs,
-        "minhash_recall": minhash_recall,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "minhash_recall": minhash_recall,
         "dup_components": dup_components,
         "invoice_metadata_from_orders": invoice_metadata_from_orders,
         "robots_filter_stats": robots_filter_stats,

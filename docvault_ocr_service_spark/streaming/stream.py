@@ -48,7 +48,8 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
 
 
 def stream_extract_merge(spark: SparkSession, input_dir: str,
-                         state_dir: str, checkpoint_dir: str):
+                         state_dir: str, checkpoint_dir: str, *,
+                         max_files_per_trigger: int | None = None):
     """Streaming extraction with the batch MERGE state as the sink.
 
     ``foreachBatch`` gives each micro-batch a normal DataFrame, which is
@@ -61,7 +62,11 @@ def stream_extract_merge(spark: SparkSession, input_dir: str,
     from ..operators.checkpoint import ParquetCheckpointStore
     from ..operators.lineage import append_observability
 
-    pages = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+    reader = spark.readStream.schema(INPUT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    pages = reader.parquet(input_dir)
     results = pages.mapInPandas(extract_batches, schema=RESULT_SCHEMA)
 
     def merge_batch(batch_df, batch_id: int) -> None:
