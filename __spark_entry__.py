@@ -1512,6 +1512,53 @@ def frontier_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "host", F.round("rank", 6).alias("rank"))
 
 
+def frontier_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay-weighted politeness caps in the frontier: hosts
+    declare robots Crawl-delay 120/45/25/none (keyed h%4), the batch
+    window is 60 s, so per-host budgets become 0/1/2/flat-cap-3; DuckDB
+    recomputes the capped batch analytically."""
+    from docvault_ocr_service_spark.plans.frontier import build_frontier
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+
+    def target(k):
+        return F.concat(F.lit("https://host"),
+                        ((d * 7 + k) % 20).cast("string"),
+                        F.lit(".example/x"),
+                        ((d + k) % 50).cast("string"))
+
+    anchors = [F.concat(F.lit('<a href="'), target(k), F.lit('">l</a>'))
+               for k in (1, 2, 3)]
+    pages = docs.select(
+        F.concat(F.lit("https://host"), (d % 20).cast("string"),
+                 F.lit(".example/p"), d.cast("string")).alias("url"),
+        F.concat(*anchors).alias("html_text"))
+    seen = (spark.range(20).crossJoin(
+                spark.range(10).withColumnRenamed("id", "j"))
+            .select(F.concat(F.lit("https://host"),
+                             F.col("id").cast("string"),
+                             F.lit(".example/x"),
+                             F.col("j").cast("string")).alias("url")))
+    ranks = spark.range(20).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        ((F.col("id") % 5) / 10.0).alias("rank"))
+    robots = spark.range(20).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.when(F.col("id") % 4 == 0, F.lit("Crawl-delay: 120\n"))
+             .when(F.col("id") % 4 == 1, F.lit("Crawl-delay: 45\n"))
+             .when(F.col("id") % 4 == 2, F.lit("Crawl-delay: 25\n"))
+             .otherwise(F.lit(""))).alias("robots_txt"))
+    out = build_frontier(pages, seen, robots, ranks,
+                         per_host_limit=3, limit=30, batch_window_s=60)
+    return out.select("url", "host", F.round("rank", 6).alias("rank"))
+
+
 def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixing (p_i ∝ f_i^(1/2), total 100)
     over the documents table; DuckDB recomputes the quotas and the
@@ -2031,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_perplexity": doc_lm_perplexity,
         "gopher_filter_stats": gopher_filter_stats,
         "frontier_batch": frontier_batch,
+        "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
         "hocr_word_stats": hocr_word_stats,
         "knn_lsh": knn_lsh,
@@ -2070,10 +2118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_stats": source_quality_stats,
         "doc_langid": doc_langid,
         "doc_exact_dups": doc_exact_dups,
-        "line_dedup_clean": line_dedup_clean,
         "doc_categories": doc_categories,
         "minhash_dup_pairs": minhash_dup_pairs,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "line_dedup_clean": line_dedup_clean,
         "minhash_recall": minhash_recall,
         "dup_components": dup_components,
         "invoice_metadata_from_orders": invoice_metadata_from_orders,

@@ -76,6 +76,10 @@ def parse_robots(content: str, agent: str = "spark-extract") -> list[dict]:
             current.append(value.lower())
             for a in current:
                 groups.setdefault(a, groups.get(a, []))
+        elif key == "crawl-delay":
+            # not a rule we return here (see parse_crawl_delay), but any
+            # non-UA directive ends the agent-line run per RFC 9309 §2.1
+            seen_rule = True
         elif key in ("allow", "disallow"):
             seen_rule = True
             if ("*" in value or "$" in value):
@@ -97,6 +101,63 @@ def parse_robots(content: str, agent: str = "spark-extract") -> list[dict]:
             if best is None or len(a) > len(best):
                 best = a
     return list(groups.get(best if best is not None else "*", []))
+
+
+def parse_crawl_delay(content: str,
+                      agent: str = "spark-extract") -> float | None:
+    """``Crawl-delay`` seconds for the most specific matching
+    user-agent group (same group selection as ``parse_robots``:
+    longest substring-matching agent token, ``*`` fallback), or None
+    when the group declares none.  Non-numeric / negative values are
+    ignored (treated as absent) — the de-facto big-crawler behavior
+    for the non-standard directive."""
+    delays: dict[str, float] = {}
+    current: list[str] = []
+    seen_rule = False
+    groups_seen: set[str] = set()
+    for raw in (content or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key, value = key.strip().lower(), value.strip()
+        if key == "user-agent":
+            if seen_rule:
+                current = []
+                seen_rule = False
+            current.append(value.lower())
+            groups_seen.update(current)
+        elif key in ("allow", "disallow"):
+            seen_rule = True
+        elif key == "crawl-delay":
+            seen_rule = True
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            if d >= 0:
+                for a in (current or ["*"]):
+                    delays[a] = d
+                    groups_seen.add(a)
+    agent_l = agent.lower()
+    best = None
+    for a in groups_seen:
+        if a != "*" and a in agent_l:
+            if best is None or len(a) > len(best):
+                best = a
+    return delays.get(best if best is not None else "*")
+
+
+def crawl_delay_seconds(robots_df, *, agent: str = "spark-extract"):
+    """(host, robots_txt) → (host, crawl_delay_s double, nullable) —
+    the columnar binding of ``parse_crawl_delay`` the frontier joins
+    on host."""
+    @F.pandas_udf("double")
+    def _delay(contents: pd.Series) -> pd.Series:
+        return contents.map(lambda c: parse_crawl_delay(c, agent))
+
+    return robots_df.select(
+        "host", _delay(F.col("robots_txt")).alias("crawl_delay_s"))
 
 
 def filter_by_robots(urls_df, robots_df, *, url_col: str = "url",

@@ -25,7 +25,8 @@ def build_frontier(pages: DataFrame, seen: DataFrame,
                    robots: DataFrame | None = None,
                    host_ranks: DataFrame | None = None,
                    per_host_limit: int = 10,
-                   limit: int = 10_000) -> DataFrame:
+                   limit: int = 10_000,
+                   batch_window_s: float | None = None) -> DataFrame:
     """→ (url, host, rank) — the next fetch batch.
 
     ``pages``: (url, html_text) rows just extracted; ``seen``: (url)
@@ -36,6 +37,14 @@ def build_frontier(pages: DataFrame, seen: DataFrame,
     0.  Within a host, candidates are md5-ordered (deterministic spread,
     no crawl-order bias); across hosts, higher-ranked hosts win the
     global ``limit``.
+
+    ``batch_window_s`` (with ``robots``) turns robots ``Crawl-delay``
+    into a per-host budget: a host declaring delay d gets at most
+    ``floor(batch_window_s / d)`` URLs this batch (0 when d exceeds the
+    window — the host waits; callers rotating batches faster than their
+    largest delay should carry such hosts across batches), still capped
+    by ``per_host_limit``.  Hosts with no delay keep the flat cap.
+    Scale shape unchanged: the delay table is host-keyed and tiny.
     """
     cand = (extract_links(pages)
             .select(canonicalize_url(F.col("dst")).alias("url"))
@@ -50,8 +59,20 @@ def build_frontier(pages: DataFrame, seen: DataFrame,
                 .withColumn("rank", F.coalesce("rank", F.lit(0.0))))
     else:
         cand = cand.withColumn("rank", F.lit(0.0))
+    cap = F.lit(per_host_limit)
+    if robots is not None and batch_window_s is not None:
+        from ..functions.web import crawl_delay_seconds
+
+        delays = crawl_delay_seconds(robots)
+        cand = cand.join(delays, "host", "left")
+        cap = F.when(
+            F.col("crawl_delay_s") > 0,
+            F.least(F.lit(per_host_limit),
+                    F.floor(F.lit(float(batch_window_s))
+                            / F.col("crawl_delay_s")).cast("int")),
+        ).otherwise(F.lit(per_host_limit))
     w = Window.partitionBy("host").orderBy(F.md5("url"), "url")
     capped = (cand.withColumn("__rn", F.row_number().over(w))
-              .where(F.col("__rn") <= per_host_limit).drop("__rn"))
+              .where(F.col("__rn") <= cap).drop("__rn"))
     return (capped.orderBy(F.desc("rank"), "url").limit(limit)
             .select("url", "host", "rank"))

@@ -111,3 +111,50 @@ def test_robots_preserves_caller_host_column(spark):
     out = filter_by_robots(urls, robots)
     assert set(out.columns) == {"url", "host", "priority"}
     assert out.first()["host"] == "a.example"
+
+
+def test_parse_crawl_delay_groups():
+    from docvault_ocr_service_spark.functions.web import parse_crawl_delay
+
+    txt = ("User-agent: *\nCrawl-delay: 7\nDisallow: /x\n\n"
+           "User-agent: spark\nCrawl-delay: 2.5\n")
+    assert parse_crawl_delay(txt, agent="spark-extract") == 2.5
+    assert parse_crawl_delay(txt, agent="otherbot") == 7.0
+    assert parse_crawl_delay("User-agent: *\nDisallow: /a\n") is None
+    # junk values ignored; negative ignored
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: -3\n") is None
+    # crawl-delay terminates the agent-line run (RFC 9309 group split)
+    txt2 = ("User-agent: a\nCrawl-delay: 5\n"
+            "User-agent: b\nCrawl-delay: 9\n")
+    assert parse_crawl_delay(txt2, agent="a") == 5.0
+    assert parse_crawl_delay(txt2, agent="b") == 9.0
+
+
+def test_frontier_crawl_delay_budgets(spark):
+    """delay=120 (over the 60s window) -> 0 URLs, 45 -> 1, 25 -> 2,
+    none -> flat cap."""
+    from docvault_ocr_service_spark.plans.frontier import build_frontier
+
+    hosts = ["h0.example", "h1.example", "h2.example", "h3.example"]
+    delays = {0: "Crawl-delay: 120\n", 1: "Crawl-delay: 45\n",
+              2: "Crawl-delay: 25\n", 3: ""}
+    pages = spark.createDataFrame(
+        [("https://seed.example/", "".join(
+            f'<a href="https://{h}/p{i}">l</a>'
+            for h in hosts for i in range(5)))],
+        ["url", "html_text"])
+    seen = spark.createDataFrame([("https://none.example/",)], ["url"])
+    robots = spark.createDataFrame(
+        [(h, "User-agent: *\n" + delays[i])
+         for i, h in enumerate(hosts)], ["host", "robots_txt"])
+    out = build_frontier(pages, seen, robots, None,
+                         per_host_limit=3, limit=100,
+                         batch_window_s=60).collect()
+    by_host = {}
+    for r in out:
+        by_host[r["host"]] = by_host.get(r["host"], 0) + 1
+    assert by_host.get("h0.example", 0) == 0
+    assert by_host["h1.example"] == 1
+    assert by_host["h2.example"] == 2
+    assert by_host["h3.example"] == 3
