@@ -101,6 +101,11 @@ HEADLINE = (
     "doc_lm_perplexity",
     "gopher_filter_stats",
     "doc_temperature_mix",
+    # round-4 operators
+    "hocr_word_stats",
+    "bpe_roundtrip_stats",
+    "frontier_crawl_delay",
+    "mp3_audio_stats",
 )
 
 
@@ -239,13 +244,13 @@ def run_headline(spark) -> dict[str, float]:
     spark.range(256).mapInPandas(lambda it: it, schema="id long").count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = None
-        for _ in range(2):      # best-of-2: shared-host noise is ±40 %
-            t0 = time.monotonic()
-            qs[name](spark, SF_DIR).count()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        reps = []
+        for _ in range(3):      # median-of-3: shared-host noise is ±40 %,
+            t0 = time.monotonic()   # and a median (unlike best-of) is
+            qs[name](spark, SF_DIR).count()  # robust on BOTH tails, so
+            dt = time.monotonic() - t0       # regressions are real, not
+            reps.append(dt)                  # one noisy shot
+        timings[name] = round(sorted(reps)[1], 3)
     return timings
 
 

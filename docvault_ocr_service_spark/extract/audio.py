@@ -222,3 +222,93 @@ def encode_mp3_frames(n_frames: int, bitrate_kbps: int = 128,
             (id3_bytes >> s) & 0x7F for s in (21, 14, 7, 0)) \
             + b"\x00" * id3_bytes
     return head + frame * n_frames
+
+
+# -- FLAC / Ogg-Vorbis headers -----------------------------------------------
+
+def parse_flac(data: bytes) -> dict:
+    """FLAC STREAMINFO (the mandatory first metadata block) →
+    dict(sample_rate, channels, bits, n_samples, duration_ms).  No PCM
+    decode.  Raises ``AudioDecodeError`` on anything malformed."""
+    if data[:4] != b"fLaC" or len(data) < 4 + 4 + 34:
+        raise AudioDecodeError("not a FLAC stream")
+    if data[4] & 0x7F != 0:
+        raise AudioDecodeError("first FLAC block is not STREAMINFO")
+    si = data[8:8 + 34]
+    sample_rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+    channels = ((si[12] >> 1) & 0x7) + 1
+    bits = (((si[12] & 0x1) << 4) | (si[13] >> 4)) + 1
+    n_samples = ((si[13] & 0xF) << 32) | int.from_bytes(si[14:18], "big")
+    if sample_rate == 0:
+        raise AudioDecodeError("FLAC STREAMINFO declares rate 0")
+    return {
+        "sample_rate": sample_rate, "channels": channels, "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000.0 / sample_rate,
+    }
+
+
+def parse_ogg_vorbis(data: bytes) -> dict:
+    """Ogg-encapsulated Vorbis → dict(sample_rate, channels, n_samples,
+    duration_ms).  Reads the identification header from the first page
+    and the granule position from the LAST page (total PCM samples —
+    how every tag reader computes Ogg duration).  Raises
+    ``AudioDecodeError`` when the stream is not Ogg/Vorbis."""
+    if data[:4] != b"OggS" or len(data) < 58:
+        raise AudioDecodeError("not an Ogg stream")
+    n_segs = data[26]
+    body = 27 + n_segs
+    ident = data[body:body + 30]
+    if ident[:7] != b"\x01vorbis":
+        raise AudioDecodeError("first Ogg packet is not a Vorbis "
+                               "identification header")
+    channels = ident[11]
+    sample_rate = int.from_bytes(ident[12:16], "little")
+    if sample_rate == 0 or channels == 0:
+        raise AudioDecodeError("Vorbis header declares zero rate/channels")
+    last = data.rfind(b"OggS")
+    granule = int.from_bytes(data[last + 6:last + 14], "little",
+                             signed=True)
+    n_samples = max(granule, 0)
+    return {
+        "sample_rate": sample_rate, "channels": channels,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000.0 / sample_rate,
+    }
+
+
+def encode_flac_header(sample_rate: int = 44100, channels: int = 2,
+                       bits: int = 16, n_samples: int = 44100) -> bytes:
+    """Deterministic STREAMINFO-only FLAC fixture (no audio frames)."""
+    si = bytearray(34)
+    si[0:2] = (4096).to_bytes(2, "big")
+    si[2:4] = (4096).to_bytes(2, "big")
+    si[10] = (sample_rate >> 12) & 0xFF
+    si[11] = (sample_rate >> 4) & 0xFF
+    si[12] = ((sample_rate & 0xF) << 4) | ((channels - 1) << 1) \
+        | ((bits - 1) >> 4)
+    si[13] = (((bits - 1) & 0xF) << 4) | ((n_samples >> 32) & 0xF)
+    si[14:18] = (n_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si)
+
+
+def encode_ogg_vorbis_header(sample_rate: int = 44100, channels: int = 2,
+                             n_samples: int = 44100) -> bytes:
+    """Deterministic two-page Ogg/Vorbis fixture: an identification
+    page and a final page carrying the total-samples granule."""
+    ident = (b"\x01vorbis" + (0).to_bytes(4, "little")
+             + bytes([channels]) + sample_rate.to_bytes(4, "little")
+             + b"\x00" * 13)
+
+    def page(granule: int, seq: int, payload: bytes,
+             header_type: int) -> bytes:
+        head = (b"OggS\x00" + bytes([header_type])
+                + granule.to_bytes(8, "little", signed=True)
+                + (1).to_bytes(4, "little")       # serial
+                + seq.to_bytes(4, "little")
+                + b"\x00\x00\x00\x00"             # crc (readers we feed
+                + bytes([1, len(payload)]))       # don't verify it)
+        return head + payload
+
+    return (page(0, 0, ident, 0x02)
+            + page(n_samples, 1, b"\x00", 0x04))

@@ -448,7 +448,7 @@ def encode_tiff_rgb(frames: list[np.ndarray], *,
                         predictor=predictor)
 
 
-_TIFF_COMPRESSION_IDS = {"none": 1, "lzw": 5, "deflate": 8,
+_TIFF_COMPRESSION_IDS = {"none": 1, "lzw": 5, "jpeg": 7, "deflate": 8,
                          "packbits": 32773}
 
 
@@ -476,6 +476,10 @@ def _encode_tiff(arrs: list[np.ndarray], spp: int, compression: str,
             flat = (d % 256).astype(np.uint8).reshape(h, w * spp)
         if compression == "lzw":
             strip = _tiff_lzw_encode(flat.tobytes())
+        elif compression == "jpeg":
+            from .jpeg import encode_jpeg
+
+            strip = encode_jpeg(a, quality=95)
         elif compression == "deflate":
             strip = zlib.compress(flat.tobytes())
         elif compression == "packbits":
@@ -518,7 +522,7 @@ def _encode_tiff(arrs: list[np.ndarray], spp: int, compression: str,
     return bytes(out)
 
 
-_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}   # BYTE, SHORT, LONG
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 7: 1}   # BYTE, SHORT, LONG, UNDEFINED
 
 
 def _tiff_ifd_values(data: bytes, offset: int,
@@ -545,7 +549,7 @@ def _tiff_ifd_values_unsafe(data: bytes, offset: int,
             (src,) = struct.unpack_from(end + "I", data, at + 8)
             if src + size > len(data):
                 raise ImageDecodeError("IFD value offset out of bounds")
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         values[tag] = list(struct.unpack_from(end + str(cnt) + fmt,
                                               data, src))
     return values
@@ -555,10 +559,12 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
     """8-bit gray/RGB TIFF frame → uint8 array.
 
     Compression: none (1), LZW (5, incl. the horizontal predictor
-    tag 317=2), Adobe deflate (8, legacy 32946) and PackBits (32773) —
-    the formats PIL covers for the reference's multi-frame TIFFs
-    (tests/test_document_processor.py:157-176).  Anything else
-    (JPEG-in-TIFF, CCITT fax) raises ``UnsupportedImageError``; truncated IFD chains surface as
+    tag 317=2), new-style JPEG (7, per-strip JPEG streams spliced with
+    the shared JPEGTables tag 347 when present), Adobe deflate (8,
+    legacy 32946) and PackBits (32773) — the formats PIL covers for the
+    reference's multi-frame TIFFs (tests/test_document_processor.py:
+    157-176).  Anything else (old-style JPEG 6, CCITT fax) raises
+    ``UnsupportedImageError``; truncated IFD chains surface as
     ImageDecodeError, never struct.error."""
     if data[:4] == b"II*\x00":
         end = "<"
@@ -587,9 +593,10 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
     except KeyError as e:
         raise ImageDecodeError(f"missing required TIFF tag {e}") from e
     compression = v.get(259, [1])[0]
-    if compression not in (1, 5, 8, 32946, 32773):
+    if compression not in (1, 5, 7, 8, 32946, 32773):
         raise UnsupportedImageError(
             f"unsupported TIFF compression {compression}")
+    jpeg_tables = bytes(v[347]) if compression == 7 and 347 in v else None
     spp = v.get(277, [1])[0]
     bits = v.get(258, [8])
     if spp not in (1, 3) or any(b != 8 for b in bits):
@@ -607,6 +614,21 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
             break
         if compression == 5:
             chunk = _tiff_lzw_decode(chunk, rows_here * w * spp)
+        elif compression == 7:
+            from .jpeg import decode_jpeg
+
+            if jpeg_tables is not None and len(jpeg_tables) > 4:
+                # splice: SOI + shared tables (sans SOI/EOI) + strip
+                # stream (sans its SOI) — TIFF6 TechNote 2
+                stream = b"\xff\xd8" + jpeg_tables[2:-2] + chunk[2:]
+            else:
+                stream = bytes(chunk)
+            strip_arr = decode_jpeg(stream)
+            if strip_arr.shape[:2] != (rows_here, w) or \
+                    (strip_arr.ndim == 3) != (spp == 3):
+                raise ImageDecodeError(
+                    "JPEG strip dimensions disagree with IFD")
+            chunk = strip_arr.tobytes()
         elif compression in (8, 32946):
             try:
                 chunk = zlib.decompress(chunk)

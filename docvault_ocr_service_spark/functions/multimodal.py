@@ -154,8 +154,8 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
                                  stats["sharpness"]],
                 })
             except ImageDecodeError:
-                # compressed/odd-layout TIFF: no TIFF-LZW/JPEG codec
-                # here — keep the honest metadata-only row
+                # outside the TIFF codec envelope (old-style JPEG 6,
+                # CCITT fax, odd layouts) — honest metadata-only row
                 row["decode_status"] = "metadata_only:tiff_compression"
         elif fmt == "gif":
             row["n_frames"] = count_gif_frames(payload)
@@ -187,10 +187,11 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
 
 
 def _decode_audio_row(row: dict, payload: bytes) -> dict:
-    """WAV/PCM: real duration + amplitude stats; MP3: frame-header
-    metadata (exact frame-walk duration/bitrate/rate/channels, no PCM
-    decode — that needs ffmpeg) as a ``metadata_only`` row like
-    compressed TIFF; ogg/flac honestly ``no_codec`` (extract/audio.py).
+    """WAV/PCM: real duration + amplitude stats; MP3 (frame walk),
+    FLAC (STREAMINFO) and Ogg-Vorbis (ident header + last-page granule)
+    give duration/rate/channel metadata as ``metadata_only`` rows like
+    compressed TIFF — PCM decode for those needs ffmpeg
+    (extract/audio.py).
     Field mapping: n_frames=samples (WAV) or frames (MP3),
     brightness=mean |amplitude|, contrast=RMS amplitude,
     features=[duration_ms, sample_rate, channels]."""
@@ -202,12 +203,18 @@ def _decode_audio_row(row: dict, payload: bytes) -> dict:
     if fmt is None:
         row["decode_status"] = "unknown_format"
         return row
-    if fmt == "mp3":
+    if fmt in ("mp3", "flac", "ogg"):
+        from ..extract.audio import parse_flac, parse_ogg_vorbis
+
+        parser = {"mp3": parse_mp3, "flac": parse_flac,
+                  "ogg": parse_ogg_vorbis}[fmt]
         try:
-            meta = parse_mp3(payload)
+            meta = parser(payload)
             row.update({
-                "decode_status": "metadata_only:mp3",
-                "n_frames": min(meta["n_frames"], 2**31 - 1),
+                "decode_status": f"metadata_only:{fmt}",
+                "n_frames": min(meta.get("n_frames",
+                                         meta.get("n_samples", 0)),
+                                2**31 - 1),
                 "features": [float(meta["duration_ms"]),
                              float(meta["sample_rate"]),
                              float(meta["channels"])],

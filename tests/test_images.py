@@ -239,7 +239,7 @@ def test_tiff_decode_envelope():
     assert count_tiff_frames(meta) == 3
     with pytest.raises(ImageDecodeError):
         decode_tiff(meta)
-    # compression we genuinely lack a codec for (JPEG-in-TIFF) ->
+    # compression we genuinely lack a codec for (old-style JPEG 6) ->
     # honest UnsupportedImageError refusal
     from docvault_ocr_service_spark.extract.images import (
         UnsupportedImageError)
@@ -248,9 +248,18 @@ def test_tiff_decode_envelope():
     for i in range(struct.unpack_from("<H", jpg, ifd_off)[0]):
         at = ifd_off + 2 + 12 * i
         if struct.unpack_from("<H", jpg, at)[0] == 259:
-            struct.pack_into("<HH", jpg, at + 8, 7, 0)   # compression=7
+            struct.pack_into("<HH", jpg, at + 8, 6, 0)   # old-style JPEG
     with pytest.raises(UnsupportedImageError):
         decode_tiff(bytes(jpg))
+    # new-style JPEG (7) over raw non-JPEG strip bytes -> decode error,
+    # never a crash
+    j7 = bytearray(encode_tiff_gray([f]))
+    for i in range(struct.unpack_from("<H", j7, ifd_off)[0]):
+        at = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", j7, at)[0] == 259:
+            struct.pack_into("<HH", j7, at + 8, 7, 0)
+    with pytest.raises(ImageDecodeError):
+        decode_tiff(bytes(j7))
     # declared-LZW over raw (non-LZW) strip bytes -> decode error,
     # never a crash
     lzw = bytearray(encode_tiff_gray([f]))
@@ -724,3 +733,67 @@ def test_tiff_deflate_roundtrip():
 def zlib_head(tiff_bytes: bytes) -> bytes:
     # first strip starts at offset 8 in our writer layout
     return tiff_bytes[8:10]
+
+
+def test_tiff_jpeg_compression7():
+    """New-style JPEG-in-TIFF: per-strip JPEG streams decode through the
+    pure-Python JPEG codec; the shared-JPEGTables (tag 347) layout
+    splices tables per TIFF6 TechNote 2."""
+    import struct
+
+    import numpy as np
+
+    from docvault_ocr_service_spark.extract.images import (
+        decode_tiff, encode_tiff_gray)
+    from docvault_ocr_service_spark.extract.jpeg import encode_jpeg
+
+    g = (np.fromfunction(lambda y, x: x + y, (48, 64)) % 40 + 100) \
+        .astype(np.uint8)
+    t = encode_tiff_gray([g], compression="jpeg")
+    assert np.abs(decode_tiff(t).astype(int) - g.astype(int)).max() <= 8
+
+    # split-tables layout: DQT/DHT move to tag 347, the strip keeps the
+    # rest of the stream
+    full = encode_jpeg(g, quality=95)
+    i, tables, strip = 2, b"", b"\xff\xd8"
+    while i < len(full):
+        m = full[i + 1]
+        if m == 0xDA:
+            strip += full[i:]
+            break
+        ln = int.from_bytes(full[i + 2:i + 4], "big") + 2
+        seg = full[i:i + ln]
+        if m in (0xDB, 0xC4):
+            tables += seg
+        else:
+            strip += seg
+        i += ln
+    tables = b"\xff\xd8" + tables + b"\xff\xd9"
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack("<HHI4s", tag, typ, cnt, val)
+
+    h, w = g.shape
+    # layout: header(8) + strip + tables + IFD
+    strip_off = 8
+    tab_off = strip_off + len(strip)
+    ifd_off = tab_off + len(tables)
+    ents = [
+        entry(256, 3, 1, struct.pack("<HH", w, 0)),
+        entry(257, 3, 1, struct.pack("<HH", h, 0)),
+        entry(258, 3, 1, struct.pack("<HH", 8, 0)),
+        entry(259, 3, 1, struct.pack("<HH", 7, 0)),
+        entry(262, 3, 1, struct.pack("<HH", 1, 0)),
+        entry(273, 4, 1, struct.pack("<I", strip_off)),
+        entry(277, 3, 1, struct.pack("<HH", 1, 0)),
+        entry(278, 3, 1, struct.pack("<HH", h, 0)),
+        entry(279, 4, 1, struct.pack("<I", len(strip))),
+        entry(347, 7, len(tables), struct.pack("<I", tab_off)),
+    ]
+    ifd = struct.pack("<H", len(ents)) + b"".join(ents) \
+        + struct.pack("<I", 0)
+    tif = (b"II*\x00" + struct.pack("<I", ifd_off)
+           + strip + tables + ifd)
+    got = decode_tiff(tif)
+    assert got.shape == (h, w)
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 8

@@ -118,4 +118,24 @@ def test_mp3_media_row(spark):
     assert m["n_frames"] == 8
     assert list(m["features"]) == [8 * 576 * 1000 / 22050, 22050.0, 1.0]
     assert got["w"]["decode_status"] == "ok"
-    assert got["o"]["decode_status"] == "no_codec:ogg"
+    # Ogg magic but no Vorbis ident header -> honest corruption error
+    assert got["o"]["decode_status"].startswith("corrupted:")
+
+
+def test_flac_ogg_media_rows(spark):
+    from docvault_ocr_service_spark.extract.audio import (
+        encode_flac_header, encode_ogg_vorbis_header)
+    from docvault_ocr_service_spark.functions.multimodal import (
+        extract_media_features)
+
+    rows = [("f", "audio", encode_flac_header(48000, 2, 16, 96000)),
+            ("v", "audio", encode_ogg_vorbis_header(22050, 1, 44100))]
+    media = spark.createDataFrame(rows, ["media_id", "kind", "payload"])
+    got = {r["media_id"]: r for r in
+           extract_media_features(media, fake=False).collect()}
+    f = got["f"]
+    assert f["decode_status"] == "metadata_only:flac"
+    assert list(f["features"]) == [2000.0, 48000.0, 2.0]
+    v = got["v"]
+    assert v["decode_status"] == "metadata_only:ogg"
+    assert list(v["features"]) == [2000.0, 22050.0, 1.0]
