@@ -1979,13 +1979,15 @@ def stream_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("confidence").alias("b_conf"))
         row = (s.join(b, "url", "full")
                .agg(F.count("*").alias("n_urls"),
-                    F.sum(F.when(F.col("s_status") == F.col("b_status"),
-                                 1).otherwise(0)).alias("status_match"),
+                    F.sum(F.when(F.col("s_status").eqNullSafe(
+                        F.col("b_status")), 1).otherwise(0))
+                     .alias("status_match"),
                     F.sum(F.when(F.col("s_text").eqNullSafe(
                         F.col("b_text")), 1).otherwise(0))
                      .alias("text_match"),
-                    F.sum(F.when(F.col("s_conf") == F.col("b_conf"),
-                                 1).otherwise(0)).alias("conf_match"))
+                    F.sum(F.when(F.col("s_conf").eqNullSafe(
+                        F.col("b_conf")), 1).otherwise(0))
+                     .alias("conf_match"))
                .first())
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -2063,8 +2065,9 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries.  Block 1 = queries that had no driver row through
-    # round 3 (r3 operators + media/codec/ANN stacks) and new round-4
-    # queries; block 2 = representative previously-driver-green core;
+    # round 3 (r3 operators + media/codec/ANN stacks) plus the new
+    # round-4 queries; block 2 = representative previously-driver-green
+    # core (shrinks as block 1 grows);
     # block 3 (>50) = remainder, all still covered by
     # tools/check_oracles.py locally.
     return {

@@ -259,16 +259,26 @@ def parse_ogg_vorbis(data: bytes) -> dict:
     n_segs = data[26]
     body = 27 + n_segs
     ident = data[body:body + 30]
-    if ident[:7] != b"\x01vorbis":
+    if ident[:7] != b"\x01vorbis" or len(ident) < 16:
         raise AudioDecodeError("first Ogg packet is not a Vorbis "
                                "identification header")
     channels = ident[11]
     sample_rate = int.from_bytes(ident[12:16], "little")
     if sample_rate == 0 or channels == 0:
         raise AudioDecodeError("Vorbis header declares zero rate/channels")
-    last = data.rfind(b"OggS")
-    granule = int.from_bytes(data[last + 6:last + 14], "little",
-                             signed=True)
+    # walk the page chain for the final granule — rfind(b"OggS") would
+    # match the 4 magic bytes INSIDE compressed packet payloads and read
+    # garbage; page lengths are exact (27 + n_segs + sum(lacing))
+    granule, pos = 0, 0
+    while pos + 27 <= len(data) and data[pos:pos + 4] == b"OggS":
+        segs = data[pos + 26]
+        table = data[pos + 27:pos + 27 + segs]
+        if len(table) < segs:
+            break                       # truncated final page header
+        g = int.from_bytes(data[pos + 6:pos + 14], "little", signed=True)
+        if g > granule:
+            granule = g
+        pos += 27 + segs + sum(table)
     n_samples = max(granule, 0)
     return {
         "sample_rate": sample_rate, "channels": channels,

@@ -22,6 +22,7 @@ kernel.
 
 from __future__ import annotations
 
+import math
 from xml.sax.saxutils import escape, quoteattr
 
 _HEAD = (
@@ -42,16 +43,33 @@ _HEAD = (
 _FOOT = " </body>\n</html>\n"
 
 
+def _xml_safe(s: str) -> str:
+    """Length-preserving map of XML-1.0-illegal chars (C0 controls
+    except tab/newline/CR) to U+FFFD — bbox offsets stay valid, the
+    document stays well-formed."""
+    if all(c >= " " or c in "\t\n\r" for c in s):
+        return s
+    return "".join(c if (c >= " " or c in "\t\n\r") else "\ufffd"
+                   for c in s)
+
+
+# RE2 \s exactly ([ \t\n\r\f] — note NO vertical tab), so SQL twins
+# recomputing token counts with \s agree for ANY input — same rationale
+# as the BPE encoder's ASCII split; NBSP, \x0b and unicode spaces are
+# word characters on both sides
+_ASCII_WS = " \t\r\f"
+
+
 def _words(line: str, line_start: int) -> list[tuple[int, int, str]]:
-    """(start, end, token) per whitespace-separated token, offsets into
-    the page text."""
+    """(start, end, token) per ASCII-whitespace-separated token,
+    offsets into the page text."""
     out = []
     i, n = 0, len(line)
     while i < n:
-        while i < n and line[i].isspace():
+        while i < n and line[i] in _ASCII_WS:
             i += 1
         j = i
-        while j < n and not line[j].isspace():
+        while j < n and line[j] not in _ASCII_WS:
             j += 1
         if j > i:
             out.append((line_start + i, line_start + j, line[i:j]))
@@ -68,14 +86,16 @@ def to_hocr(url: str, pages: list[str], confidence: float,
     bboxes are char-offset ranges ``bbox start 0 end 1`` into that
     page's text.
     """
-    conf = int(round(confidence or 0.0))
+    conf = (int(round(confidence))
+            if confidence is not None and math.isfinite(confidence)
+            else 0)
     lang_attr = quoteattr(lang or "unknown")
     parts = [_HEAD]
     for p, text in enumerate(pages, start=1):
         text = text or ""
         parts.append(
             f"  <div class=\"ocr_page\" id=\"page_{p}\" "
-            f"title={quoteattr(f'image {url}; bbox 0 0 {len(text)} 1; ppageno {p - 1}')}>\n")
+            f"title={quoteattr(f'image {_xml_safe(url)}; bbox 0 0 {len(text)} 1; ppageno {p - 1}')}>\n")
         parts.append(
             f"   <div class=\"ocr_carea\" id=\"block_{p}_1\" "
             f"title=\"bbox 0 0 {len(text)} 1\">\n"
@@ -87,7 +107,7 @@ def to_hocr(url: str, pages: list[str], confidence: float,
         for line in text.split("\n"):
             start, end = off, off + len(line)
             off = end + 1
-            if line.strip():
+            if line.strip(_ASCII_WS):
                 line_no += 1
                 parts.append(
                     f"     <span class=\"ocr_line\" "
@@ -100,7 +120,7 @@ def to_hocr(url: str, pages: list[str], confidence: float,
                         f"<span class=\"ocrx_word\" "
                         f"id=\"word_{p}_{word_no}\" "
                         f"title=\"bbox {ws} 0 {we} 1; x_wconf {conf}\">"
-                        f"{escape(w)}</span>")
+                        f"{escape(_xml_safe(w))}</span>")
                 parts.append(" ".join(toks))
                 parts.append("</span>\n")
         parts.append("    </p>\n   </div>\n  </div>\n")

@@ -95,8 +95,9 @@ def with_hocr(df, out_col: str = "hocr"):
                 continue
             texts = [(p["text"] if isinstance(p, dict) else p.text) or ""
                      for p in pg]
+            c = float(conf) if conf is not None else 0.0
             out.append(to_hocr(u or "", texts,
-                               float(conf) if conf is not None else 0.0,
+                               c if c == c else 0.0,   # NaN-null from Arrow
                                lg))
         return pd.Series(out)
 

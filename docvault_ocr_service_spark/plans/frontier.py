@@ -67,10 +67,12 @@ def build_frontier(pages: DataFrame, seen: DataFrame,
         cand = cand.join(delays, "host", "left")
         cap = F.when(
             F.col("crawl_delay_s") > 0,
-            F.least(F.lit(per_host_limit),
+            # stay in long: a cast to int wraps negative for tiny
+            # delays (60/1e-9 > INT_MAX) and would starve the host
+            F.least(F.lit(per_host_limit).cast("long"),
                     F.floor(F.lit(float(batch_window_s))
-                            / F.col("crawl_delay_s")).cast("int")),
-        ).otherwise(F.lit(per_host_limit))
+                            / F.col("crawl_delay_s"))),
+        ).otherwise(F.lit(per_host_limit).cast("long"))
     w = Window.partitionBy("host").orderBy(F.md5("url"), "url")
     capped = (cand.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") <= cap).drop("__rn"))

@@ -27,7 +27,9 @@ def _assert_invariants(hocr: str, pages: list[str]):
                 continue
             m = BBOX.search(w.get("title"))
             s, e = int(m.group(1)), int(m.group(2))
-            assert text[s:e] == w.text, (s, e, w.text)
+            want = "".join(c if (c >= " " or c in "\t\n\r")
+                           else "\ufffd" for c in text[s:e])
+            assert want == w.text, (s, e, w.text)
         for ln in div.iter(f"{NS}span"):
             if ln.get("class") != "ocr_line":
                 continue
@@ -100,3 +102,22 @@ def test_golden_pin():
         got = to_hocr(row["url"], [p["text"] for p in res["pages"]],
                       res["confidence"], res["lang"])
         assert got == want, f"hOCR drift for corpus row {i}"
+
+
+def test_nan_confidence_is_total():
+    h = to_hocr("u", ["hello world"], float("nan"), None)
+    assert "x_wconf 0" in h
+    _assert_invariants(h, ["hello world"])
+    assert to_hocr("u", ["x"], None, "en")
+
+
+def test_ascii_whitespace_model():
+    """Tokenization is RE2 \\s ([ \\t\\n\\r\\f]): NBSP and vertical tab
+    are word characters, so SQL twins using \\s agree."""
+    pages = ["a\tb\rc\fd", "nb\xa0sp v\x0bt"]
+    h = to_hocr("u", pages, 50.0, "en")
+    _assert_invariants(h, pages)
+    root = ET.fromstring(h)
+    words = [w.text for w in root.iter(f"{NS}span")
+             if w.get("class") == "ocrx_word"]
+    assert words == ["a", "b", "c", "d", "nb\xa0sp", "v\ufffdt"]

@@ -139,3 +139,24 @@ def test_flac_ogg_media_rows(spark):
     v = got["v"]
     assert v["decode_status"] == "metadata_only:ogg"
     assert list(v["features"]) == [2000.0, 22050.0, 1.0]
+
+
+def test_ogg_truncated_ident_and_payload_magic():
+    """Truncated Vorbis ident -> AudioDecodeError (not IndexError);
+    'OggS' bytes inside packet payloads must not corrupt the duration."""
+    import pytest
+
+    from docvault_ocr_service_spark.extract.audio import (
+        AudioDecodeError, encode_ogg_vorbis_header, parse_ogg_vorbis)
+
+    trunc = (b"OggS" + b"\x00" * 22 + bytes([30]) + b"\x00" * 30
+             + b"\x01vorbis")
+    with pytest.raises(AudioDecodeError):
+        parse_ogg_vorbis(trunc)
+
+    # append a fake final 'page' whose magic sits INSIDE a payload: the
+    # page walk must ignore it (granule comes from real page headers)
+    good = encode_ogg_vorbis_header(22050, 2, 44100)
+    poisoned = good[:-1] + b"OggS" + (10**12).to_bytes(8, "little") + b"x"
+    m = parse_ogg_vorbis(poisoned)
+    assert m["n_samples"] == 44100

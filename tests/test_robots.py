@@ -158,3 +158,21 @@ def test_frontier_crawl_delay_budgets(spark):
     assert by_host["h1.example"] == 1
     assert by_host["h2.example"] == 2
     assert by_host["h3.example"] == 3
+
+
+def test_crawl_delay_tiny_value_keeps_flat_cap(spark):
+    """delay=1e-9 -> floor(window/delay) is a huge long; it must clamp
+    to per_host_limit, not wrap negative through an int cast."""
+    from docvault_ocr_service_spark.plans.frontier import build_frontier
+
+    pages = spark.createDataFrame(
+        [("https://seed.example/", "".join(
+            f'<a href="https://h.example/p{i}">l</a>' for i in range(6)))],
+        ["url", "html_text"])
+    seen = spark.createDataFrame([("https://none.example/",)], ["url"])
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\nCrawl-delay: 0.000000001\n")],
+        ["host", "robots_txt"])
+    out = build_frontier(pages, seen, robots, None, per_host_limit=4,
+                         limit=100, batch_window_s=60).collect()
+    assert len(out) == 4
