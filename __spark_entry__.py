@@ -498,6 +498,38 @@ def pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "first_win", "last_win", "n_windows_spanned")
 
 
+def url_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 grouping (functions/web.py::registrable_domain): hosts
+    with flat TLDs, multi-label public suffixes (co.uk / com.au /
+    github.io), subdomain prefixes, raw IPs and single labels roll up
+    to their registrable domain; DuckDB recomputes the domain from the
+    same keying formulas."""
+    from docvault_ocr_service_spark.functions.web import (
+        registrable_domain)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    suffix = (F.when(d % 6 == 0, F.lit("com"))
+              .when(d % 6 == 1, F.lit("co.uk"))
+              .when(d % 6 == 2, F.lit("github.io"))
+              .when(d % 6 == 3, F.lit("org"))
+              .when(d % 6 == 4, F.lit("com.au"))
+              .otherwise(F.lit("de")))
+    prefix = (F.when(d % 3 == 0, F.lit(""))
+              .when(d % 3 == 1, F.lit("www."))
+              .otherwise(F.lit("a.b.")))
+    host = (F.when(d % 11 == 0,
+                   F.concat(F.lit("192.168.0."), (d % 5).cast("string")))
+            .when(d % 13 == 0, F.lit("localhost"))
+            .otherwise(F.concat(prefix, F.lit("site"),
+                                (d % 7).cast("string"), F.lit("."),
+                                suffix)))
+    return (docs.select(registrable_domain(host).alias("domain"))
+            .groupBy("domain")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("domain"))
+
+
 def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + host rollup (functions/web.py): synthetic
     crawl URLs with mixed-case authorities, default ports, fragments and
@@ -2099,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_preprocess_decisions": media_preprocess_decisions,
         "wav_audio_stats": wav_audio_stats,
         "mp3_audio_stats": mp3_audio_stats,
+        "url_registrable_domains": url_registrable_domains,
         "thumbnail_dims": thumbnail_dims,
         "thumbnail_jpeg_stats": thumbnail_jpeg_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,

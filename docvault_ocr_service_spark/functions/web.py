@@ -48,6 +48,64 @@ def url_path(url: Column) -> Column:
     return F.parse_url(url, F.lit("PATH"))
 
 
+# Compact multi-label public-suffix subset (the high-traffic entries of
+# the Mozilla PSL — cc-TLD second levels + the big shared-hosting
+# suffixes).  NOT the full PSL: unknown multi-label suffixes degrade to
+# the naive last-two-labels rule, which is the right conservative
+# default for grouping politeness/stats by site owner.
+_MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "com.au", "net.au", "org.au", "edu.au",
+    "gov.au", "id.au", "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "ad.jp", "ed.jp", "gr.jp", "lg.jp", "com.br", "org.br", "net.br",
+    "gov.br", "edu.br", "com.cn", "org.cn", "net.cn", "gov.cn",
+    "edu.cn", "ac.cn", "com.mx", "org.mx", "gob.mx", "edu.mx",
+    "co.in", "org.in", "net.in", "ac.in", "gov.in", "edu.in", "co.nz",
+    "org.nz", "net.nz", "govt.nz", "ac.nz", "co.kr", "or.kr", "ne.kr",
+    "go.kr", "ac.kr", "re.kr", "com.tw", "org.tw", "edu.tw", "gov.tw",
+    "com.hk", "org.hk", "edu.hk", "gov.hk", "com.sg", "org.sg",
+    "edu.sg", "gov.sg", "com.my", "org.my", "edu.my", "gov.my",
+    "co.th", "or.th", "ac.th", "go.th", "com.vn", "org.vn", "edu.vn",
+    "gov.vn", "com.ua", "org.ua", "net.ua", "gov.ua", "edu.ua",
+    "co.za", "org.za", "ac.za", "gov.za", "web.za", "com.ar",
+    "org.ar", "net.ar", "edu.ar", "gob.ar", "com.tr", "org.tr",
+    "net.tr", "edu.tr", "gov.tr", "com.co", "org.co", "edu.co",
+    "gov.co", "com.pl", "org.pl", "net.pl", "edu.pl", "gov.pl",
+    "waw.pl", "com.ru", "org.ru", "net.ru", "com.eg", "org.eg",
+    "com.sa", "org.sa", "edu.sa", "com.pk", "org.pk", "edu.pk",
+    "com.bd", "org.bd", "com.ng", "org.ng", "gov.ng", "co.id",
+    "or.id", "ac.id", "go.id", "web.id", "com.ph", "org.ph",
+    "gov.ph", "edu.ph", "co.il", "org.il", "ac.il", "gov.il",
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "appspot.com", "herokuapp.com", "cloudfront.net", "web.app",
+    "pages.dev", "netlify.app", "vercel.app",
+)
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 (the PSL 'registrable domain') from a hostname column —
+    the key politeness budgets, per-site quality stats, and host-level
+    dedup should group by ('a.co.uk' and 'b.a.co.uk' are the same
+    site; 'a.co.uk' and 'b.co.uk' are not).
+
+    Columnar: split on '.', take the last THREE labels when the last
+    two form a known multi-label public suffix (``_MULTI_SUFFIXES``),
+    else the last two.  Hosts with a single label (or raw IPs — dots
+    but all-numeric labels) pass through unchanged."""
+    parts = F.split(F.lower(host), r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2),
+                        F.element_at(parts, -1))
+    last3 = F.concat_ws(".", F.element_at(parts, -3),
+                        F.element_at(parts, -2), F.element_at(parts, -1))
+    is_ip = ~F.lower(host).rlike("[^0-9.]")
+    return (
+        F.when(host.isNull() | (n <= 1) | is_ip, F.lower(host))
+        .when((n >= 3) & last2.isin(*_MULTI_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
 def url_query(url: Column) -> Column:
     return F.parse_url(url, F.lit("QUERY"))
 

@@ -52,7 +52,8 @@ def is_image_payload(col: Column) -> Column:
 def run_extract_job(spark: SparkSession, input_df: DataFrame,
                     state_dir: str, *, n_partitions: int | None = None,
                     size_threshold: int = 256 * 1024,
-                    media_dir: str | None = None) -> RunReport:
+                    media_dir: str | None = None,
+                    hocr_dir: str | None = None) -> RunReport:
     """One resumable run over ``input_df`` (INPUT_SCHEMA shape).
 
     With ``media_dir`` set, image payloads additionally flow through the
@@ -64,7 +65,13 @@ def run_extract_job(spark: SparkSession, input_df: DataFrame,
     newest run — the same crash-dup discipline as
     ``read_results_current``.  The text-results taxonomy is unchanged:
     image rows still land as ``unsupported_format:image/*`` in the
-    checkpoint (no OCR runtime turns pixels into text)."""
+    checkpoint (no OCR runtime turns pixels into text).
+
+    With ``hocr_dir`` set, done rows additionally serialize as hOCR
+    (the reference's ``output_format="hocr"`` surface) to
+    ``hocr_dir/run=<id>`` as (url, hocr) parquet — a separate
+    run-partitioned sink like media, so the MERGE'd results table keeps
+    its fixed schema."""
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism
 
@@ -126,6 +133,14 @@ def run_extract_job(spark: SparkSession, input_df: DataFrame,
     run_dir = os.path.join(state_dir, "runs", run_id)
     extracted.write.mode("overwrite").parquet(run_dir)
     staged = spark.read.parquet(run_dir)
+
+    if hocr_dir is not None:
+        from ..functions.udfs import with_hocr
+
+        (with_hocr(staged.where(F.col("status") == "done"))
+         .select("url", "hocr")
+         .write.mode("overwrite")
+         .parquet(os.path.join(hocr_dir, f"run={run_id}")))
 
     store.merge_results(staged, run_id)
     checkpoint = store.read_checkpoint()

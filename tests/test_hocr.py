@@ -121,3 +121,18 @@ def test_ascii_whitespace_model():
     words = [w.text for w in root.iter(f"{NS}span")
              if w.get("class") == "ocrx_word"]
     assert words == ["a", "b", "c", "d", "nb\xa0sp", "v\ufffdt"]
+
+
+def test_job_hocr_sink(spark, tmp_path):
+    from docvault_ocr_service_spark.plans.extract_job import (
+        run_extract_job)
+    from docvault_ocr_service_spark.schemas import INPUT_SCHEMA
+
+    df = spark.createDataFrame(corpus.corpus_pdf(40), schema=INPUT_SCHEMA)
+    rep = run_extract_job(spark, df, str(tmp_path / "state"),
+                          hocr_dir=str(tmp_path / "hocr"))
+    out = spark.read.parquet(str(tmp_path / "hocr" / f"run={rep.run_id}"))
+    rows = out.collect()
+    assert len(rows) == rep.completed
+    for r in rows[:5]:
+        ET.fromstring(r["hocr"])

@@ -176,3 +176,28 @@ def test_crawl_delay_tiny_value_keeps_flat_cap(spark):
     out = build_frontier(pages, seen, robots, None, per_host_limit=4,
                          limit=100, batch_window_s=60).collect()
     assert len(out) == 4
+
+
+def test_registrable_domain(spark):
+    from docvault_ocr_service_spark.functions.web import (
+        registrable_domain)
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("www.Example.COM", "example.com"),
+        ("deep.sub.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("co.uk", "co.uk"),                 # bare suffix: nothing above
+        ("user.github.io", "user.github.io"),
+        ("a.b.user.github.io", "user.github.io"),
+        ("example.de", "example.de"),
+        ("x.example.de", "example.de"),
+        ("localhost", "localhost"),
+        ("192.168.0.1", "192.168.0.1"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["host"])
+    got = [r["d"] for r in
+           df.select(registrable_domain(F.col("host")).alias("d"))
+           .collect()]
+    assert got == [w for _, w in cases]

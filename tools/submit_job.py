@@ -59,6 +59,9 @@ def main() -> None:
     ap.add_argument("--benchmark", metavar="PARQUET",
                     help="(text) table for decontamination; WITHOUT it "
                          "no benchmark screening runs")
+    ap.add_argument("--hocr", action="store_true",
+                    help="additionally write hOCR serializations of "
+                         "done rows to <out>/hocr/run=<id>")
     args = ap.parse_args()
 
     if args.make_zip:
@@ -111,7 +114,9 @@ def main() -> None:
 
     report = run_extract_job(
         spark, pages, args.state,
-        media_dir=(os.path.join(args.out, "media") if args.out else None))
+        media_dir=(os.path.join(args.out, "media") if args.out else None),
+        hocr_dir=(os.path.join(args.out, "hocr")
+                  if (args.out and args.hocr) else None))
     print(report)
 
 
