@@ -1380,6 +1380,45 @@ def tiff_compressed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrast", 6).alias("contrast"))
 
 
+def tiff_g4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCITT Group 4 fax TIFF under the driver gate: per doc a 16×16
+    bilevel page (black iff x < doc_id%17, MinIsWhite) encodes through
+    the pure-Python T.6 coder and decodes via extract_media_features;
+    brightness/contrast are exact binomial formulas DuckDB recomputes
+    (p = black fraction: brightness 255(1-p), contrast 255·sqrt(p(1-p)))."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.extract.images import encode_tiff_g4
+    from docvault_ocr_service_spark.functions.multimodal import (
+        extract_media_features)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 240)
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_g4(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in ids:
+            k = int(d) % 17
+            img = (np.arange(16)[None, :] < k).astype("uint8") \
+                * np.ones((16, 1), dtype="uint8")
+            out.append(encode_tiff_g4([img]))
+        return pd.Series(out)
+
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        mk_g4(F.col("doc_id")).alias("payload"))
+    feats = extract_media_features(media, fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "decode_status", "width", "height",
+        F.round("brightness", 6).alias("brightness"),
+        F.round("contrast", 6).alias("contrast")).orderBy("doc_id")
+
+
 def page_metadata_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head-metadata extraction under the driver gate: deterministic
     page markup per doc (title/description/og/canonical/lang keyed on
@@ -2128,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
         "jpeg_progressive_stats": jpeg_progressive_stats,
         "tiff_compressed_stats": tiff_compressed_stats,
+        "tiff_g4_stats": tiff_g4_stats,
         "media_preprocess_decisions": media_preprocess_decisions,
         "wav_audio_stats": wav_audio_stats,
         "mp3_audio_stats": mp3_audio_stats,
@@ -2155,8 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": doc_langid,
         "doc_exact_dups": doc_exact_dups,
         "doc_categories": doc_categories,
-        "minhash_dup_pairs": minhash_dup_pairs,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "minhash_dup_pairs": minhash_dup_pairs,
         "line_dedup_clean": line_dedup_clean,
         "minhash_recall": minhash_recall,
         "dup_components": dup_components,

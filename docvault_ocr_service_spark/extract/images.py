@@ -558,14 +558,16 @@ def _tiff_ifd_values_unsafe(data: bytes, offset: int,
 def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
     """8-bit gray/RGB TIFF frame → uint8 array.
 
-    Compression: none (1), LZW (5, incl. the horizontal predictor
-    tag 317=2), new-style JPEG (7, per-strip JPEG streams spliced with
-    the shared JPEGTables tag 347 when present), Adobe deflate (8,
-    legacy 32946) and PackBits (32773) — the formats PIL covers for the
-    reference's multi-frame TIFFs (tests/test_document_processor.py:
-    157-176).  Anything else (old-style JPEG 6, CCITT fax) raises
-    ``UnsupportedImageError``; truncated IFD chains surface as
-    ImageDecodeError, never struct.error."""
+    Compression: none (1), CCITT Group 4 fax (4 — bilevel T.6 via
+    extract/ccitt.py, honoring MinIsWhite), LZW (5, incl. the
+    horizontal predictor tag 317=2), new-style JPEG (7, per-strip JPEG
+    streams spliced with the shared JPEGTables tag 347 when present),
+    Adobe deflate (8, legacy 32946) and PackBits (32773) — the formats
+    PIL covers for the reference's multi-frame TIFFs
+    (tests/test_document_processor.py:157-176).  Anything else
+    (old-style JPEG 6, Group 3) raises ``UnsupportedImageError``;
+    truncated IFD chains surface as ImageDecodeError, never
+    struct.error."""
     if data[:4] == b"II*\x00":
         end = "<"
     elif data[:4] == b"MM\x00*":
@@ -593,13 +595,17 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
     except KeyError as e:
         raise ImageDecodeError(f"missing required TIFF tag {e}") from e
     compression = v.get(259, [1])[0]
-    if compression not in (1, 5, 7, 8, 32946, 32773):
+    if compression not in (1, 4, 5, 7, 8, 32946, 32773):
         raise UnsupportedImageError(
             f"unsupported TIFF compression {compression}")
     jpeg_tables = bytes(v[347]) if compression == 7 and 347 in v else None
     spp = v.get(277, [1])[0]
     bits = v.get(258, [8])
-    if spp not in (1, 3) or any(b != 8 for b in bits):
+    if compression == 4:
+        if spp != 1 or bits != [1]:
+            raise ImageDecodeError(
+                f"G4 TIFF must be bilevel, got spp={spp} bits={bits}")
+    elif spp not in (1, 3) or any(b != 8 for b in bits):
         raise ImageDecodeError(f"unsupported TIFF spp={spp} bits={bits}")
     if len(strip_offs) != len(strip_cnts):
         raise ImageDecodeError("strip offset/count mismatch")
@@ -612,7 +618,14 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
         rows_here = min(rows_per_strip, h - si * rows_per_strip)
         if rows_here <= 0:
             break
-        if compression == 5:
+        if compression == 4:
+            from .ccitt import decode_g4
+
+            # emit black=255/white=0; the generic MinIsWhite invert
+            # below (262==0, the fax default) flips to display-normal
+            chunk = (decode_g4(bytes(chunk), w, rows_here)
+                     * np.uint8(255)).tobytes()
+        elif compression == 5:
             chunk = _tiff_lzw_decode(chunk, rows_here * w * spp)
         elif compression == 7:
             from .jpeg import decode_jpeg
@@ -1305,3 +1318,49 @@ def preprocess_image(img: np.ndarray,
     elif level == "medium":
         out = _sharpen(out)
     return out, decisions
+
+
+def encode_tiff_g4(frames: list[np.ndarray]) -> bytes:
+    """Bilevel frames (0=white, nonzero=black) → CCITT Group 4 TIFF
+    (Compression=4, BitsPerSample=1, PhotometricInterpretation=0
+    MinIsWhite — the fax-standard layout).  Fixture writer proving
+    decode_tiff's G4 branch round-trips."""
+    from .ccitt import encode_g4
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    out = bytearray(b"II*\x00")
+    strips = [encode_g4(np.asarray(a)) for a in frames]
+    body = bytearray()
+    offs = []
+    base = 8
+    for s in strips:
+        offs.append(base + len(body))
+        body += s
+    ifd_start = base + len(body)
+    n_entries = 10
+    ifd_size = 2 + 12 * n_entries + 4
+    out += struct.pack("<I", ifd_start)
+    out += body
+    for k, a in enumerate(frames):
+        h, w = np.asarray(a).shape
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 1),
+            (259, 3, 1, 4),                       # CCITT Group 4
+            (262, 3, 1, 0),                       # MinIsWhite
+            (273, 4, 1, offs[k]),
+            (277, 3, 1, 1),
+            (278, 3, 1, h),
+            (279, 4, 1, len(strips[k])),
+            (284, 3, 1, 1),
+        ]
+        ifd = struct.pack("<H", n_entries)
+        for tag, typ, cnt, val in entries:
+            packed = (struct.pack("<HH", val, 0) if typ == 3
+                      else struct.pack("<I", val))
+            ifd += struct.pack("<HHI4s", tag, typ, cnt, packed)
+        nxt = (ifd_start + (k + 1) * ifd_size
+               if k + 1 < len(frames) else 0)
+        ifd += struct.pack("<I", nxt)
+        out += ifd
+    return bytes(out)

@@ -1,0 +1,76 @@
+"""CCITT Group 4 (T.6) codec: table structure, roundtrip fuzz, TIFF
+integration, corruption totality."""
+
+import numpy as np
+import pytest
+
+from docvault_ocr_service_spark.extract.ccitt import (
+    _BLACK_DECODE, _WHITE_DECODE, decode_g4, encode_g4)
+from docvault_ocr_service_spark.extract.images import (
+    ImageDecodeError, decode_tiff, encode_tiff_g4)
+
+
+def test_known_codewords():
+    """Spot-check canonical T.4 codewords (the famous ones every fax
+    implementation quotes)."""
+    assert _WHITE_DECODE["00110101"] == 0
+    assert _WHITE_DECODE["000111"] == 1
+    assert _WHITE_DECODE["0111"] == 2
+    assert _WHITE_DECODE["11011"] == 64
+    assert _WHITE_DECODE["011000"] == 1664
+    assert _BLACK_DECODE["0000110111"] == 0
+    assert _BLACK_DECODE["010"] == 1
+    assert _BLACK_DECODE["11"] == 2
+    assert _BLACK_DECODE["0000001111"] == 64
+    assert _WHITE_DECODE["00000001000"] == 1792  # shared ext makeup
+    assert _BLACK_DECODE["000000011111"] == 2560
+
+
+def test_roundtrip_fuzz():
+    rng = np.random.RandomState(20260817)
+    for trial in range(40):
+        h, w = rng.randint(1, 40), rng.randint(1, 120)
+        p = rng.rand()
+        img = (rng.rand(h, w) < p).astype(np.uint8)
+        assert (decode_g4(encode_g4(img), w, h) == img).all(), \
+            (trial, h, w)
+
+
+def test_structured_and_long_runs():
+    # text-like: horizontal rules, vertical strokes, >2560 runs
+    img = np.zeros((10, 3000), np.uint8)
+    img[2] = 1
+    img[:, 100:103] = 1
+    img[7, 2900:] = 1
+    assert (decode_g4(encode_g4(img), 3000, 10) == img).all()
+    for pattern in (np.eye(16, dtype=np.uint8),
+                    np.tri(12, 30, dtype=np.uint8)):
+        h, w = pattern.shape
+        assert (decode_g4(encode_g4(pattern), w, h) == pattern).all()
+
+
+def test_corruption_is_total():
+    img = (np.arange(400).reshape(20, 20) % 3 == 0).astype(np.uint8)
+    enc = encode_g4(img)
+    with pytest.raises(ImageDecodeError):
+        decode_g4(enc[: len(enc) // 2], 20, 20)      # truncated
+    with pytest.raises(ImageDecodeError):
+        decode_g4(b"\x00" * 40, 20, 20)              # invalid codes
+
+
+def test_g4_tiff_media_row(spark):
+    from docvault_ocr_service_spark.functions.multimodal import (
+        extract_media_features)
+
+    img = np.zeros((24, 40), np.uint8)
+    img[5:12, 8:30] = 1
+    media = spark.createDataFrame(
+        [("g4", "image", encode_tiff_g4([img, 1 - img]))],
+        ["media_id", "kind", "payload"])
+    r = extract_media_features(media, fake=False).first()
+    assert r["decode_status"] == "ok"
+    assert r["n_frames"] == 2
+    assert (r["width"], r["height"]) == (40, 24)
+    # MinIsWhite: black rectangle is 7*22 of 960 pixels
+    want = 255.0 * (1 - 7 * 22 / 960)
+    assert abs(r["brightness"] - want) < 1e-6
