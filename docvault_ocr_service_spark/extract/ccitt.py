@@ -289,3 +289,114 @@ def encode_g4(img: np.ndarray) -> bytes:
     s = "".join(bits)
     s += "0" * (-len(s) % 8)
     return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+
+
+# -- T.4 one-dimensional variants (TIFF Compression 2 and 3) -----------------
+
+def _decode_runs_line(rd: _BitReader, width: int, row) -> None:
+    """One 1-D MH line: alternating white/black runs to exactly
+    ``width`` pixels."""
+    pos = 0
+    white = True
+    while pos < width:
+        n = _read_run(rd, white)
+        if pos + n > width:
+            raise ImageDecodeError("MH run overruns the line")
+        if not white:
+            row[pos:pos + n] = 1
+        pos += n
+        white = not white
+
+
+def decode_mh(data: bytes, width: int, height: int) -> np.ndarray:
+    """TIFF Compression=2 (Modified Huffman): 1-D runs, every row
+    starts on a byte boundary, no EOL codes.  0=white, 1=black."""
+    if width <= 0 or height <= 0:
+        raise ImageDecodeError("degenerate MH dimensions")
+    rd = _BitReader(data)
+    out = np.zeros((height, width), dtype=np.uint8)
+    for y in range(height):
+        rd.pos = (rd.pos + 7) & ~7          # byte-align each row
+        _decode_runs_line(rd, width, out[y])
+    return out
+
+
+_EOL = "000000000001"
+
+
+def decode_g3_1d(data: bytes, width: int, height: int) -> np.ndarray:
+    """TIFF Compression=3 with 1-D coding (T4Options bit 0 clear):
+    each line is EOL (with optional fill zeros) + MH runs."""
+    if width <= 0 or height <= 0:
+        raise ImageDecodeError("degenerate G3 dimensions")
+    rd = _BitReader(data)
+    out = np.zeros((height, width), dtype=np.uint8)
+
+    def expect_eol() -> None:
+        # EOL = 11 zeros + 1; tolerate leading fill zeros
+        zeros = 0
+        while True:
+            if rd.pos >= len(rd.bits):
+                raise ImageDecodeError("G3 stream ended looking for EOL")
+            bit = rd.bits[rd.pos]
+            rd.pos += 1
+            if bit:
+                if zeros >= 11:
+                    return
+                raise ImageDecodeError("G3: expected EOL")
+            zeros += 1
+
+    for y in range(height):
+        expect_eol()
+        _decode_runs_line(rd, width, out[y])
+    return out
+
+
+def _emit_runs_line(bits: list, row) -> None:
+    runs = []
+    pos = 0
+    w = len(row)
+    while pos < w:
+        color = row[pos]
+        end = pos
+        while end < w and row[end] == color:
+            end += 1
+        runs.append((end - pos, color == 0))
+        pos = end
+    if not runs or not runs[0][1]:
+        runs.insert(0, (0, True))           # lines start with a white run
+    for n, white in runs:
+        table_term = _WHITE_TERM if white else _BLACK_TERM
+        table_makeup = {**(_WHITE_MAKEUP if white else _BLACK_MAKEUP),
+                        **_EXT_MAKEUP}
+        while n >= 64:
+            m = 2560 if n > 2560 + 63 else n - n % 64
+            bits.append(table_makeup[m])
+            n -= m
+        bits.append(table_term[n])
+
+
+def encode_mh(img: np.ndarray) -> bytes:
+    """(H, W) 0=white/nonzero=black → Compression=2 bitstream
+    (byte-aligned rows, no EOL)."""
+    arr = (np.asarray(img) != 0).astype(np.uint8)
+    out: list[str] = []
+    for y in range(arr.shape[0]):
+        bits: list[str] = []
+        _emit_runs_line(bits, arr[y])
+        s = "".join(bits)
+        out.append(s + "0" * (-len(s) % 8))
+    s = "".join(out)
+    return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+
+
+def encode_g3_1d(img: np.ndarray) -> bytes:
+    """(H, W) → Compression=3 1-D bitstream (EOL before every line)."""
+    arr = (np.asarray(img) != 0).astype(np.uint8)
+    bits: list[str] = []
+    for y in range(arr.shape[0]):
+        bits.append(_EOL)
+        _emit_runs_line(bits, arr[y])
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))

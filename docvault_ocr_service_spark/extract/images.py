@@ -558,14 +558,15 @@ def _tiff_ifd_values_unsafe(data: bytes, offset: int,
 def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
     """8-bit gray/RGB TIFF frame → uint8 array.
 
-    Compression: none (1), CCITT Group 4 fax (4 — bilevel T.6 via
-    extract/ccitt.py, honoring MinIsWhite), LZW (5, incl. the
+    Compression: none (1), CCITT fax — Modified Huffman (2), Group 3
+    1-D (3) and Group 4 (4) bilevel via extract/ccitt.py, honoring
+    MinIsWhite — LZW (5, incl. the
     horizontal predictor tag 317=2), new-style JPEG (7, per-strip JPEG
     streams spliced with the shared JPEGTables tag 347 when present),
     Adobe deflate (8, legacy 32946) and PackBits (32773) — the formats
     PIL covers for the reference's multi-frame TIFFs
     (tests/test_document_processor.py:157-176).  Anything else
-    (old-style JPEG 6, Group 3) raises ``UnsupportedImageError``;
+    (old-style JPEG 6, G3 2-D) raises ``UnsupportedImageError``;
     truncated IFD chains surface as ImageDecodeError, never
     struct.error."""
     if data[:4] == b"II*\x00":
@@ -595,16 +596,18 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
     except KeyError as e:
         raise ImageDecodeError(f"missing required TIFF tag {e}") from e
     compression = v.get(259, [1])[0]
-    if compression not in (1, 4, 5, 7, 8, 32946, 32773):
+    if compression not in (1, 2, 3, 4, 5, 7, 8, 32946, 32773):
         raise UnsupportedImageError(
             f"unsupported TIFF compression {compression}")
+    if compression == 3 and (v.get(292, [0])[0] & 1):
+        raise UnsupportedImageError("G3 2-D (T4Options bit 0) TIFF")
     jpeg_tables = bytes(v[347]) if compression == 7 and 347 in v else None
     spp = v.get(277, [1])[0]
     bits = v.get(258, [8])
-    if compression == 4:
+    if compression in (2, 3, 4):
         if spp != 1 or bits != [1]:
             raise ImageDecodeError(
-                f"G4 TIFF must be bilevel, got spp={spp} bits={bits}")
+                f"fax TIFF must be bilevel, got spp={spp} bits={bits}")
     elif spp not in (1, 3) or any(b != 8 for b in bits):
         raise ImageDecodeError(f"unsupported TIFF spp={spp} bits={bits}")
     if len(strip_offs) != len(strip_cnts):
@@ -618,12 +621,13 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
         rows_here = min(rows_per_strip, h - si * rows_per_strip)
         if rows_here <= 0:
             break
-        if compression == 4:
-            from .ccitt import decode_g4
+        if compression in (2, 3, 4):
+            from .ccitt import decode_g3_1d, decode_g4, decode_mh
 
+            fax = {2: decode_mh, 3: decode_g3_1d, 4: decode_g4}
             # emit black=255/white=0; the generic MinIsWhite invert
             # below (262==0, the fax default) flips to display-normal
-            chunk = (decode_g4(bytes(chunk), w, rows_here)
+            chunk = (fax[compression](bytes(chunk), w, rows_here)
                      * np.uint8(255)).tobytes()
         elif compression == 5:
             chunk = _tiff_lzw_decode(chunk, rows_here * w * spp)

@@ -74,3 +74,60 @@ def test_g4_tiff_media_row(spark):
     # MinIsWhite: black rectangle is 7*22 of 960 pixels
     want = 255.0 * (1 - 7 * 22 / 960)
     assert abs(r["brightness"] - want) < 1e-6
+
+
+def test_mh_and_g3_roundtrip_fuzz():
+    from docvault_ocr_service_spark.extract.ccitt import (
+        decode_g3_1d, decode_mh, encode_g3_1d, encode_mh)
+
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        h, w = rng.randint(1, 30), rng.randint(1, 90)
+        img = (rng.rand(h, w) < rng.rand()).astype(np.uint8)
+        assert (decode_mh(encode_mh(img), w, h) == img).all()
+        assert (decode_g3_1d(encode_g3_1d(img), w, h) == img).all()
+    with pytest.raises(ImageDecodeError):
+        decode_g3_1d(b"\xff" * 20, 8, 2)     # no EOL where required
+
+
+def test_mh_g3_tiff_branches(spark):
+    """Compression 2/3 TIFFs decode through the fax branch; a G3 2-D
+    flag is an honest unsupported."""
+    import struct
+
+    from docvault_ocr_service_spark.extract.ccitt import (
+        encode_g3_1d, encode_mh)
+    from docvault_ocr_service_spark.extract.images import (
+        UnsupportedImageError)
+
+    img = np.zeros((12, 28), np.uint8)
+    img[4:8, 3:20] = 1
+    want = np.where(img == 1, 0, 255).astype(np.uint8)
+
+    def bilevel_tiff(strip: bytes, comp: int, t4opts: int | None = None):
+        h, w = img.shape
+        entries = [
+            (256, 3, 1, struct.pack("<HH", w, 0)),
+            (257, 3, 1, struct.pack("<HH", h, 0)),
+            (258, 3, 1, struct.pack("<HH", 1, 0)),
+            (259, 3, 1, struct.pack("<HH", comp, 0)),
+            (262, 3, 1, struct.pack("<HH", 0, 0)),
+            (273, 4, 1, struct.pack("<I", 8)),
+            (277, 3, 1, struct.pack("<HH", 1, 0)),
+            (278, 3, 1, struct.pack("<HH", h, 0)),
+            (279, 4, 1, struct.pack("<I", len(strip))),
+        ]
+        if t4opts is not None:
+            entries.append((292, 4, 1, struct.pack("<I", t4opts)))
+        entries.sort()
+        ifd = struct.pack("<H", len(entries)) + b"".join(
+            struct.pack("<HHI4s", t, ty, c, vb)
+            for t, ty, c, vb in entries) + struct.pack("<I", 0)
+        return (b"II*\x00" + struct.pack("<I", 8 + len(strip))
+                + strip + ifd)
+
+    assert (decode_tiff(bilevel_tiff(encode_mh(img), 2)) == want).all()
+    assert (decode_tiff(
+        bilevel_tiff(encode_g3_1d(img), 3, t4opts=0)) == want).all()
+    with pytest.raises(UnsupportedImageError):
+        decode_tiff(bilevel_tiff(encode_g3_1d(img), 3, t4opts=1))
