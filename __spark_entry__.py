@@ -1583,6 +1583,51 @@ def frontier_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "host", F.round("rank", 6).alias("rank"))
 
 
+def c4_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2), aggregated per
+    source.  The documents table is single-line word soup, so each doc
+    first becomes a multi-line page (sentence lines built from its own
+    tokens + planted short/unterminated/javascript/lorem-ipsum/brace
+    lines keyed on doc_id); DuckDB rebuilds the identical page and
+    recomputes the full line + page filter."""
+    from docvault_ocr_service_spark.functions.textstats import c4_rules
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text")
+    d = F.col("doc_id")
+    toks = F.split(F.col("text"), " ")
+
+    def sent(start, punct):
+        return F.concat(F.concat_ws(" ", F.slice(toks, start, 8)),
+                        F.lit(punct))
+
+    lines = [
+        F.concat(sent(1, "."), F.lit(" "), sent(9, "!")),
+        sent(17, "?"),
+        F.lit("too short."),
+        F.concat_ws(" ", F.slice(toks, 25, 6)),
+    ]
+    page = F.concat_ws("\n", *lines)
+    page = F.when(d % 5 == 0, F.concat(
+        page, F.lit("\nplease enable javascript to continue today.")
+    )).otherwise(page)
+    page = F.when(d % 7 == 0, F.concat(
+        page, F.lit("\nlorem ipsum dolor sit amet here."))).otherwise(page)
+    page = F.when(d % 11 == 0, F.concat(
+        page, F.lit("\na config { brace } example line."))).otherwise(page)
+
+    out = c4_rules(docs.withColumn("text", page))
+    return (out.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("c4_pass"), 1).otherwise(0))
+                  .cast("long").alias("n_pass"),
+                 F.sum("c4_kept_lines").cast("long").alias("kept_lines"),
+                 F.sum(F.length("c4_text")).cast("long")
+                  .alias("clean_chars"),
+                 F.sum("c4_sentences").cast("long").alias("sentences"))
+            .orderBy("source"))
+
+
 def frontier_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay-weighted politeness caps in the frontier: hosts
     declare robots Crawl-delay 120/45/25/none (keyed h%4), the batch
@@ -2151,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_roundtrip_stats": bpe_roundtrip_stats,
         "doc_lm_perplexity": doc_lm_perplexity,
         "gopher_filter_stats": gopher_filter_stats,
+        "c4_filter_stats": c4_filter_stats,
         "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2192,10 +2238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": events_value_quantiles,
         "doc_token_stats": doc_token_stats,
         "source_quality_stats": source_quality_stats,
-        "doc_langid": doc_langid,
         "doc_exact_dups": doc_exact_dups,
         "doc_categories": doc_categories,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "doc_langid": doc_langid,
         "minhash_dup_pairs": minhash_dup_pairs,
         "line_dedup_clean": line_dedup_clean,
         "minhash_recall": minhash_recall,

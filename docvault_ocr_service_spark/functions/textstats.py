@@ -391,3 +391,64 @@ def sample_to_token_budget(df: DataFrame, group_col: str, tokens_col: str,
     return (df.withColumn("__before", before)
               .where(F.col("__before") < budget)
               .drop("__before"))
+
+
+# words whose presence drops the whole page (the C4 paper uses the full
+# "List of Dirty, Naughty ..." list; this compact stand-in keeps the
+# operator's shape — swap the tuple for the full list in production)
+C4_PAGE_DROP_PHRASES = ("lorem ipsum",)
+C4_LINE_MIN_WORDS = 5
+C4_MIN_SENTENCES = 3
+_C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2) — all native
+    columnar, no Python in the hot path:
+
+    line filter (kept lines must satisfy ALL):
+    - end in terminal punctuation (. ! ? ");
+    - contain ≥ 5 words;
+    - not contain 'javascript' (case-insensitive).
+
+    page filter (post line-filter):
+    - ``c4_pass`` false when the page holds a curly brace, any
+      ``C4_PAGE_DROP_PHRASES`` entry, or fewer than 3 sentences
+      (sentence ≈ terminal-punctuation occurrence in kept text, the
+      columnar stand-in for the paper's nltk splitter).
+
+    Adds ``c4_text`` (kept lines re-joined), ``c4_kept_lines``,
+    ``c4_total_lines``, ``c4_sentences``, ``c4_pass``.  Null text →
+    empty c4_text, c4_pass false."""
+    t = F.col(text_col)
+    lines = F.when(t.isNotNull(), F.split(t, "\n")) \
+        .otherwise(F.expr("cast(array() as array<string>)"))
+
+    def line_ok(l):
+        trimmed = F.trim(l)
+        ends_ok = F.lit(False)
+        for p in _C4_TERMINALS:
+            ends_ok = ends_ok | trimmed.endswith(p)
+        enough_words = F.size(F.split(trimmed, r"\s+")) >= \
+            F.lit(C4_LINE_MIN_WORDS)
+        no_js = ~F.lower(l).contains("javascript")
+        return (F.length(trimmed) > 0) & ends_ok & enough_words & no_js
+
+    kept = F.filter(lines, line_ok)
+    c4_text = F.array_join(F.transform(kept, F.trim), "\n")
+    sentences = F.size(F.split(c4_text, r"[.!?]")) - 1
+    page_clean = ~t.contains("{") & ~t.contains("}")
+    for phrase in C4_PAGE_DROP_PHRASES:
+        page_clean = page_clean & ~F.lower(t).contains(phrase)
+    out = (df
+           .withColumn("c4_total_lines", F.size(lines))
+           .withColumn("c4_kept_lines", F.size(kept))
+           .withColumn("c4_text", c4_text)
+           .withColumn("c4_sentences",
+                       F.when(F.length(c4_text) > 0, sentences)
+                       .otherwise(F.lit(0)))
+           .withColumn("c4_pass",
+                       t.isNotNull() & page_clean
+                       & (F.col("c4_sentences")
+                          >= F.lit(C4_MIN_SENTENCES))))
+    return out

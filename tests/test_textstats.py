@@ -271,3 +271,41 @@ def test_gopher_rules(spark):
     assert not got[6]["gopher_pass"]          # null text fails all
     assert not any(got[6][c] for c in
                    ("r_word_count", "r_alpha_words", "r_stopwords"))
+
+
+def test_c4_rules(spark):
+    """C4 line + page filters (Raffel et al. 2020 §2.2)."""
+    from docvault_ocr_service_spark.functions.textstats import c4_rules
+
+    good = ("This is a perfectly normal sentence with words.\n"
+            "Another good line follows right here too!\n"
+            "Do you see how it keeps going on?\n")
+    rows = [
+        (1, good + "short line.\nno terminal punctuation here at all"),
+        (2, good + "Please enable JavaScript to use this site."),
+        (3, good + "some lorem ipsum filler text appears here."),
+        (4, good + "a { curly } brace config line appears here."),
+        (5, "One sentence only appears on this page."),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in c4_rules(df).collect()}
+
+    r1 = got[1]
+    assert r1["c4_pass"] and r1["c4_kept_lines"] == 3
+    assert r1["c4_sentences"] == 3
+    assert "short line." not in r1["c4_text"]          # < 5 words
+    assert "no terminal" not in r1["c4_text"]          # unterminated
+
+    r2 = got[2]
+    assert "JavaScript" not in r2["c4_text"]           # js line dropped
+    assert r2["c4_pass"]                               # page still fine
+
+    assert not got[3]["c4_pass"]                       # lorem ipsum page
+    assert "lorem ipsum" in got[3]["c4_text"]          # line itself kept
+    assert not got[4]["c4_pass"]                       # curly brace page
+    assert not got[5]["c4_pass"]                       # < 3 sentences
+    assert got[5]["c4_kept_lines"] == 1
+    r6 = got[6]
+    assert not r6["c4_pass"] and r6["c4_text"] == "" \
+        and r6["c4_kept_lines"] == 0
