@@ -1583,6 +1583,55 @@ def frontier_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "host", F.round("rank", 6).alias("rank"))
 
 
+def doc_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8-as-latin1 mojibake repair (functions/textstats.py::
+    fix_mojibake): accented phrases are planted per doc clean,
+    single-corrupted, or double-corrupted (keyed doc_id%3), repaired,
+    and compared engine-side against the known clean form; DuckDB pins
+    the expected changed/repaired pattern analytically."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.functions.textstats import (
+        fix_mojibake)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    phrases = ["café déjà-vu", "łódź świt", "naïve façade", "über straße"]
+
+    def corrupt(s: str) -> str:
+        b = s.encode("utf-8")
+        try:
+            return b.decode("cp1252")
+        except UnicodeDecodeError:
+            return b.decode("latin-1")
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def plant(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for d, t in zip(ids, texts):
+            d = int(d)
+            phrase = phrases[d % 4]
+            planted = phrase
+            if d % 3 >= 1:
+                planted = corrupt(planted)
+            if d % 3 == 2:
+                planted = corrupt(planted)
+            out.append([f"{t} {planted}", f"{t} {phrase}"])
+        return pd.Series(out)
+
+    base = docs.withColumn("pair", plant(F.col("doc_id"), F.col("text")))
+    base = base.select(
+        "doc_id",
+        F.element_at("pair", 1).alias("dirty"),
+        F.element_at("pair", 2).alias("clean"))
+    fixed = base.withColumn("fixed", fix_mojibake(F.col("dirty")))
+    return fixed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("fixed") != F.col("dirty")).alias("changed"),
+        (F.col("fixed") == F.col("clean")).alias("repaired"),
+    ).orderBy("doc_id")
+
+
 def c4_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (Raffel et al. 2020 §2.2), aggregated per
     source.  The documents table is single-line word soup, so each doc
@@ -2197,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_perplexity": doc_lm_perplexity,
         "gopher_filter_stats": gopher_filter_stats,
         "c4_filter_stats": c4_filter_stats,
+        "doc_mojibake_repair": doc_mojibake_repair,
         "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2237,10 +2287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": events_asof_purchase,
         "events_value_quantiles": events_value_quantiles,
         "doc_token_stats": doc_token_stats,
-        "source_quality_stats": source_quality_stats,
         "doc_exact_dups": doc_exact_dups,
         "doc_categories": doc_categories,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "source_quality_stats": source_quality_stats,
         "doc_langid": doc_langid,
         "minhash_dup_pairs": minhash_dup_pairs,
         "line_dedup_clean": line_dedup_clean,

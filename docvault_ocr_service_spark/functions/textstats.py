@@ -452,3 +452,46 @@ def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
                        & (F.col("c4_sentences")
                           >= F.lit(C4_MIN_SENTENCES))))
     return out
+
+
+def fix_mojibake(text: Column, max_passes: int = 3) -> Column:
+    """Repair UTF-8-as-latin1 mojibake ('Ã©' → 'é'), the ftfy-core
+    transform every web-text pipeline needs: text whose codepoints all
+    fit latin-1/cp1252 AND re-decode as valid UTF-8 was double-encoded —
+    undo it (up to ``max_passes`` nested layers), else leave the text
+    alone.  The re-encode uses cp1252 with latin-1 fallback for the
+    0x80-0x9F gap, matching how the damage happens in the wild.
+
+    Conservative by construction: pure-ASCII text round-trips to
+    itself untouched, and a failed decode at any pass returns the last
+    good string.  Null-safe Arrow-batched kernel (byte-level transcode
+    — not expressible in native columnar functions)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _fix(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            for _ in range(max_passes):
+                if not t or all(ord(c) < 0x80 for c in t):
+                    return t
+                try:
+                    raw = t.encode("cp1252")
+                except UnicodeEncodeError:
+                    try:
+                        raw = t.encode("latin-1")
+                    except UnicodeEncodeError:
+                        return t
+                try:
+                    fixed = raw.decode("utf-8")
+                except UnicodeDecodeError:
+                    return t
+                if fixed == t:
+                    return t
+                t = fixed
+            return t
+
+        return s.map(one)
+
+    return _fix(text)

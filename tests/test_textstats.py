@@ -309,3 +309,32 @@ def test_c4_rules(spark):
     r6 = got[6]
     assert not r6["c4_pass"] and r6["c4_text"] == "" \
         and r6["c4_kept_lines"] == 0
+
+
+def test_fix_mojibake(spark):
+    from pyspark.sql import functions as F
+
+    from docvault_ocr_service_spark.functions.textstats import (
+        fix_mojibake)
+
+    def corrupt(s):
+        b = s.encode("utf-8")
+        try:
+            return b.decode("cp1252")
+        except UnicodeDecodeError:
+            return b.decode("latin-1")
+
+    orig = "café naïve łódź — “quoted” text…"
+    rows = [
+        (1, corrupt(orig), orig),              # single mojibake
+        (2, corrupt(corrupt(orig)), orig),     # double mojibake
+        (3, "plain ascii stays put.", "plain ascii stays put."),
+        (4, "déjà vu intact", "déjà vu intact"),  # real accents kept
+        (5, None, None),
+    ]
+    df = spark.createDataFrame([(i, d) for i, d, _ in rows],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: r["fixed"] for r in
+           df.withColumn("fixed", fix_mojibake(F.col("text"))).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i])
