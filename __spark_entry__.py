@@ -1610,6 +1610,10 @@ def doc_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for d, t in zip(ids, texts):
             d = int(d)
+            # ASCII-project the carrier text so the oracle's expected
+            # changed/repaired pattern holds for ANY corpus content
+            # (a non-cp1252 doc char would abort the repair)
+            t = (t or "").encode("ascii", "ignore").decode()
             phrase = phrases[d % 4]
             planted = phrase
             if d % 3 >= 1:
@@ -2287,9 +2291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": events_asof_purchase,
         "events_value_quantiles": events_value_quantiles,
         "doc_token_stats": doc_token_stats,
-        "doc_exact_dups": doc_exact_dups,
         "doc_categories": doc_categories,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "doc_exact_dups": doc_exact_dups,
         "source_quality_stats": source_quality_stats,
         "doc_langid": doc_langid,
         "minhash_dup_pairs": minhash_dup_pairs,

@@ -102,17 +102,14 @@ _MODES = {"1": ("V", 0), "011": ("V", 1), "000011": ("V", 2),
 
 
 def _check_tables() -> None:
-    for name, table in (("white", {**_WHITE_TERM, **_WHITE_MAKEUP,
-                                   **_EXT_MAKEUP}),
-                        ("black", {**_BLACK_TERM, **_BLACK_MAKEUP,
-                                   **_EXT_MAKEUP}),
-                        ("modes", {v: k for k, v in
-                                   enumerate(_MODES)})):
-        codes = sorted(table.values() if name != "modes" else table,
-                       key=len) if name != "modes" else sorted(
-                           _MODES, key=len)
-        codes = (list(table.values()) if name != "modes"
-                 else list(_MODES))
+    alphabets = (
+        ("white", list({**_WHITE_TERM, **_WHITE_MAKEUP,
+                        **_EXT_MAKEUP}.values())),
+        ("black", list({**_BLACK_TERM, **_BLACK_MAKEUP,
+                        **_EXT_MAKEUP}.values())),
+        ("modes", list(_MODES)),
+    )
+    for name, codes in alphabets:
         assert len(set(codes)) == len(codes), f"{name}: duplicate code"
         for i, a in enumerate(codes):
             for b in codes[i + 1:]:
@@ -226,6 +223,20 @@ def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
     return out
 
 
+def _emit_run(bits: list, n: int, white: bool) -> None:
+    """Append one T.4 run (makeup chain + terminating code) — shared by
+    the G4 horizontal mode and the MH/G3 line coders."""
+    term = _WHITE_TERM if white else _BLACK_TERM
+    makeup = {**(_WHITE_MAKEUP if white else _BLACK_MAKEUP),
+              **_EXT_MAKEUP}
+    while n >= 64:
+        # largest makeup <= n that leaves a codable remainder
+        m = 2560 if n > 2560 + 63 else n - n % 64
+        bits.append(makeup[m])
+        n -= m
+    bits.append(term[n])
+
+
 def encode_g4(img: np.ndarray) -> bytes:
     """(H, W) array (0=white, nonzero=black) → T.6 bitstream."""
     arr = (np.asarray(img) != 0).astype(np.uint8)
@@ -236,17 +247,6 @@ def encode_g4(img: np.ndarray) -> bytes:
         d = np.flatnonzero(np.diff(
             np.concatenate(([0], row.astype(np.int16)))))
         return d.tolist()
-
-    def emit_run(n: int, white: bool) -> None:
-        term = _WHITE_TERM if white else _BLACK_TERM
-        makeup = {**(_WHITE_MAKEUP if white else _BLACK_MAKEUP),
-                  **_EXT_MAKEUP}
-        while n >= 64:
-            # largest makeup <= n that leaves a codable remainder
-            m = 2560 if n > 2560 + 63 else n - n % 64
-            bits.append(makeup[m])
-            n -= m
-        bits.append(term[n])
 
     ref: list[int] = []
     for y in range(h):
@@ -282,8 +282,8 @@ def encode_g4(img: np.ndarray) -> bytes:
                 a2 = cur[j2] if j2 < len(cur) else w
                 bits.append("001")              # horizontal
                 start = max(a0, 0)
-                emit_run(a1 - start, white=color == 0)
-                emit_run(a2 - a1, white=color == 1)
+                _emit_run(bits, a1 - start, white=color == 0)
+                _emit_run(bits, a2 - a1, white=color == 1)
                 a0 = a2
         ref = cur
     s = "".join(bits)
@@ -366,14 +366,7 @@ def _emit_runs_line(bits: list, row) -> None:
     if not runs or not runs[0][1]:
         runs.insert(0, (0, True))           # lines start with a white run
     for n, white in runs:
-        table_term = _WHITE_TERM if white else _BLACK_TERM
-        table_makeup = {**(_WHITE_MAKEUP if white else _BLACK_MAKEUP),
-                        **_EXT_MAKEUP}
-        while n >= 64:
-            m = 2560 if n > 2560 + 63 else n - n % 64
-            bits.append(table_makeup[m])
-            n -= m
-        bits.append(table_term[n])
+        _emit_run(bits, n, white)
 
 
 def encode_mh(img: np.ndarray) -> bytes:

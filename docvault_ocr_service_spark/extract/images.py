@@ -603,7 +603,9 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
         raise UnsupportedImageError("G3 2-D (T4Options bit 0) TIFF")
     jpeg_tables = bytes(v[347]) if compression == 7 and 347 in v else None
     spp = v.get(277, [1])[0]
-    bits = v.get(258, [8])
+    # TIFF 6.0 default BitsPerSample is 1; minimal fax writers omit the
+    # tag, so default by compression family
+    bits = v.get(258, [1] if compression in (2, 3, 4) else [8])
     if compression in (2, 3, 4):
         if spp != 1 or bits != [1]:
             raise ImageDecodeError(

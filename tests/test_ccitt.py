@@ -131,3 +131,30 @@ def test_mh_g3_tiff_branches(spark):
         bilevel_tiff(encode_g3_1d(img), 3, t4opts=0)) == want).all()
     with pytest.raises(UnsupportedImageError):
         decode_tiff(bilevel_tiff(encode_g3_1d(img), 3, t4opts=1))
+
+
+def test_fax_tiff_without_bitspersample_tag():
+    """TIFF 6.0 default BitsPerSample is 1; minimal fax writers omit
+    tag 258 — the decode must not reject them."""
+    import struct
+
+    from docvault_ocr_service_spark.extract.ccitt import encode_mh
+
+    img = np.zeros((8, 16), np.uint8)
+    img[2:5, 4:12] = 1
+    strip = encode_mh(img)
+    entries = [
+        (256, 3, 1, struct.pack("<HH", 16, 0)),
+        (257, 3, 1, struct.pack("<HH", 8, 0)),
+        (259, 3, 1, struct.pack("<HH", 2, 0)),   # no tag 258!
+        (262, 3, 1, struct.pack("<HH", 0, 0)),
+        (273, 4, 1, struct.pack("<I", 8)),
+        (278, 3, 1, struct.pack("<HH", 8, 0)),
+        (279, 4, 1, struct.pack("<I", len(strip))),
+    ]
+    ifd = struct.pack("<H", len(entries)) + b"".join(
+        struct.pack("<HHI4s", t, ty, c, vb)
+        for t, ty, c, vb in entries) + struct.pack("<I", 0)
+    tif = b"II*\x00" + struct.pack("<I", 8 + len(strip)) + strip + ifd
+    got = decode_tiff(tif)
+    assert (got == np.where(img == 1, 0, 255)).all()

@@ -63,6 +63,8 @@ def main() -> None:
                     help="additionally write hOCR serializations of "
                          "done rows to <out>/hocr/run=<id>")
     args = ap.parse_args()
+    if args.hocr and not args.out:
+        ap.error("--hocr requires --out (hOCR lands in <out>/hocr)")
 
     if args.make_zip:
         print(make_zip(args.make_zip))
