@@ -2112,6 +2112,10 @@ def stream_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docvault_ocr_service_spark.streaming.stream import (
         stream_extract_merge)
 
+    # tiny fixture through many MERGE stages: a 200-partition default
+    # shuffle would add pure scheduler overhead (same session-conf pin
+    # precedent as _t's timezone)
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
     inp = docs.select(
         F.concat(F.lit("https://corpus.local/"), F.col("doc_id"))

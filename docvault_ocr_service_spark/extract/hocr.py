@@ -89,7 +89,7 @@ def to_hocr(url: str, pages: list[str], confidence: float,
     conf = (int(round(confidence))
             if confidence is not None and math.isfinite(confidence)
             else 0)
-    lang_attr = quoteattr(lang or "unknown")
+    lang_attr = quoteattr(_xml_safe(lang or "unknown"))
     parts = [_HEAD]
     for p, text in enumerate(pages, start=1):
         text = text or ""

@@ -233,3 +233,51 @@ def test_parse_sitemap_total(text):
 
     for u in parse_sitemap(text):
         assert "<" not in u
+
+
+@given(st.lists(st.text(max_size=300), min_size=1, max_size=4),
+       st.one_of(st.none(), st.floats(allow_nan=True)),
+       st.one_of(st.none(), st.text(max_size=10)))
+@settings(max_examples=120, deadline=None)
+def test_hocr_total_and_wellformed(pages, conf, lang):
+    """to_hocr is total on arbitrary text/confidence/lang and always
+    yields well-formed XML whose word bboxes slice the (XML-sanitized)
+    page text."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    from docvault_ocr_service_spark.extract.hocr import to_hocr
+
+    h = to_hocr("u", pages, conf, lang)
+    root = ET.fromstring(h)
+    ns = "{http://www.w3.org/1999/xhtml}"
+    bbox = re.compile(r"bbox (\d+) 0 (\d+) 1")
+    divs = [d for d in root.iter(f"{ns}div")
+            if d.get("class") == "ocr_page"]
+    assert len(divs) == len(pages)
+    for div, text in zip(divs, pages):
+        text = text or ""
+        for w in div.iter(f"{ns}span"):
+            if w.get("class") != "ocrx_word":
+                continue
+            m = bbox.search(w.get("title"))
+            s, e = int(m.group(1)), int(m.group(2))
+            want = "".join(c if (c >= " " or c in "\t\n\r")
+                           else "�" for c in text[s:e])
+            assert want == (w.text or "")
+
+
+@given(st.integers(1, 24), st.integers(1, 70), st.integers(0, 2**32 - 1))
+@settings(max_examples=80, deadline=None)
+def test_ccitt_codecs_roundtrip(h, w, seed):
+    import numpy as np
+
+    from docvault_ocr_service_spark.extract.ccitt import (
+        decode_g3_1d, decode_g4, decode_mh, encode_g3_1d, encode_g4,
+        encode_mh)
+
+    rng = np.random.RandomState(seed)
+    img = (rng.rand(h, w) < rng.rand()).astype(np.uint8)
+    assert (decode_g4(encode_g4(img), w, h) == img).all()
+    assert (decode_mh(encode_mh(img), w, h) == img).all()
+    assert (decode_g3_1d(encode_g3_1d(img), w, h) == img).all()
