@@ -1583,6 +1583,38 @@ def frontier_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "host", F.round("rank", 6).alias("rank"))
 
 
+def robots_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap: directive extraction from robots.txt (sitemaps.org
+    protocol — global, not group-scoped): synthetic robots bodies carry
+    0-2 directives in mixed case/indentation plus commented and
+    lookalike lines, keyed on doc_id; DuckDB recomputes the exploded
+    (host, sitemap_url) set."""
+    from docvault_ocr_service_spark.functions.web import (
+        robots_sitemap_urls)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 40).cast("string"),
+                    F.lit(".example"))
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit("Sitemap: https://"), host, F.lit("/s"),
+            d.cast("string"), F.lit(".xml\n"))).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(
+            F.lit("  sitemap:https://"), host,
+            F.lit("/extra.xml\n"))).otherwise(F.lit("")),
+        F.lit("# Sitemap: https://commented.example/no.xml\n"
+              "NotSitemap: https://lookalike.example/no.xml\n"))
+    robots = docs.select(d.alias("doc_id"), host.alias("host"),
+                         body.alias("robots_txt"))
+    return (robots_sitemap_urls(robots)
+            .groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_directives"),
+                 F.min("sitemap_url").alias("first_url"))
+            .orderBy("host"))
+
+
 def doc_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTF-8-as-latin1 mojibake repair (functions/textstats.py::
     fix_mojibake): accented phrases are planted per doc clean,
@@ -2255,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter_stats": gopher_filter_stats,
         "c4_filter_stats": c4_filter_stats,
         "doc_mojibake_repair": doc_mojibake_repair,
+        "robots_sitemap_directives": robots_sitemap_directives,
         "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2294,9 +2327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": events_sessions,
         "events_asof_purchase": events_asof_purchase,
         "events_value_quantiles": events_value_quantiles,
-        "doc_token_stats": doc_token_stats,
         "doc_categories": doc_categories,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "doc_token_stats": doc_token_stats,
         "doc_exact_dups": doc_exact_dups,
         "source_quality_stats": source_quality_stats,
         "doc_langid": doc_langid,

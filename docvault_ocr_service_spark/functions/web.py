@@ -319,3 +319,17 @@ def sitemap_urls(df, xml_col: str = "sitemap_xml"):
             F.lit("&amp;"), F.lit("&")))   # &amp; LAST
     return (df.withColumn("url", F.explode(unescaped))
               .drop(xml_col))
+
+
+def robots_sitemap_urls(robots_df, *, host_col: str = "host",
+                        txt_col: str = "robots_txt"):
+    """(host, sitemap_url) rows from ``Sitemap:`` directives in
+    robots.txt — per the sitemaps.org protocol the directive is global
+    (not user-agent-group scoped), so this is a plain line extraction:
+    case-insensitive key, one URL per directive line.  The crawl story
+    closes robots → sitemaps → frontier seeds.  Fully columnar."""
+    urls = F.expr(
+        f"regexp_extract_all({txt_col}, "
+        r"'(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\\S+)', 1)")
+    return (robots_df.select(F.col(host_col).alias("host"),
+                             F.explode(urls).alias("sitemap_url")))

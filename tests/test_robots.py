@@ -201,3 +201,23 @@ def test_registrable_domain(spark):
            df.select(registrable_domain(F.col("host")).alias("d"))
            .collect()]
     assert got == [w for _, w in cases]
+
+
+def test_robots_sitemap_urls(spark):
+    from docvault_ocr_service_spark.functions.web import (
+        robots_sitemap_urls)
+
+    df = spark.createDataFrame(
+        [("a.example",
+          "User-agent: *\nDisallow: /x\n"
+          "Sitemap: https://a.example/s1.xml\n"
+          "  sitemap:https://a.example/s2.xml\n"
+          "# Sitemap: https://a.example/commented.xml\n"
+          "NotSitemap: https://a.example/lookalike.xml\n"),
+         ("b.example", "User-agent: *\nDisallow: /\n"),
+         ("c.example", None)],
+        ["host", "robots_txt"])
+    got = sorted((r["host"], r["sitemap_url"])
+                 for r in robots_sitemap_urls(df).collect())
+    assert got == [("a.example", "https://a.example/s1.xml"),
+                   ("a.example", "https://a.example/s2.xml")]
