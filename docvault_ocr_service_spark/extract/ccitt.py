@@ -171,56 +171,62 @@ def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
     # imaginary first line: all white -> no transitions
     ref: list[int] = []
     for y in range(height):
-        cur: list[int] = []
-        a0 = -1
-        color = 0                       # 0 white, 1 black
-        while a0 < width:
-            # b1: first ref transition > a0 changing TO the color
-            # opposite the current one (transitions alternate; even
-            # index = white->black)
-            i = 0
-            while i < len(ref) and ref[i] <= a0:
-                i += 1
-            # transitions alternate colors; index parity must match
-            # current color so that b1 changes to the opposite color
-            if i % 2 != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            mode, val = rd.read_code(_MODES, "mode")
-            if mode == "P":
-                a0 = b2                 # color unchanged, no transition
-            elif mode == "V":
-                a1 = b1 + val
-                if a1 < 0 or a1 > width:
-                    raise ImageDecodeError("G4 vertical mode out of line")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-            else:                       # H: two explicit runs
-                start = max(a0, 0)
-                r1 = _read_run(rd, white=color == 0)
-                r2 = _read_run(rd, white=color == 1)
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > width:
-                    raise ImageDecodeError("G4 horizontal run overruns")
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2                 # color unchanged after 2 runs
-        # paint the line from its transitions
-        row = out[y]
-        paint = 0
-        prev = 0
-        for t in cur:
-            if paint:
-                row[prev:t] = 1
-            prev = t
-            paint ^= 1
-        if paint:
-            row[prev:width] = 1
+        cur = _decode_2d_line(rd, ref, width)
+        _paint_line(out[y], cur, width)
         ref = [t for t in cur if t < width]
     return out
+
+
+def _decode_2d_line(rd: _BitReader, ref: list, width: int) -> list:
+    """Decode one 2-D coded line (T.6 / T.4-2-D share this exactly)
+    against the reference line's changing elements."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0                           # 0 white, 1 black
+    while a0 < width:
+        # b1: first ref transition > a0 changing TO the color opposite
+        # the current one (transitions alternate; even = white->black)
+        i = 0
+        while i < len(ref) and ref[i] <= a0:
+            i += 1
+        if i % 2 != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        mode, val = rd.read_code(_MODES, "mode")
+        if mode == "P":
+            a0 = b2                     # color unchanged, no transition
+        elif mode == "V":
+            a1 = b1 + val
+            if a1 < 0 or a1 > width:
+                raise ImageDecodeError("2-D vertical mode out of line")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+        else:                           # H: two explicit runs
+            start = max(a0, 0)
+            r1 = _read_run(rd, white=color == 0)
+            r2 = _read_run(rd, white=color == 1)
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > width:
+                raise ImageDecodeError("2-D horizontal run overruns")
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2                     # color unchanged after 2 runs
+    return cur
+
+
+def _paint_line(row, transitions: list, width: int) -> None:
+    paint = 0
+    prev = 0
+    for t in transitions:
+        if paint:
+            row[prev:t] = 1
+        prev = t
+        paint ^= 1
+    if paint:
+        row[prev:width] = 1
 
 
 def _emit_run(bits: list, n: int, white: bool) -> None:
@@ -237,6 +243,44 @@ def _emit_run(bits: list, n: int, white: bool) -> None:
     bits.append(term[n])
 
 
+def _encode_2d_line(bits: list, cur: list, ref: list, w: int) -> None:
+    """Emit one 2-D coded line (shared by G4 and G3-2-D)."""
+    a0 = -1
+    color = 0
+    while a0 < w:
+        # a1: next transition on the coding line after a0 — its parity
+        # always matches `color` (every emitted mode keeps the
+        # painted-prefix transition count == color)
+        j = 0
+        while j < len(cur) and cur[j] <= a0:
+            j += 1
+        a1 = cur[j] if j < len(cur) else w
+        i = 0
+        while i < len(ref) and ref[i] <= a0:
+            i += 1
+        if i % 2 != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else w
+        b2 = ref[i + 1] if i + 1 < len(ref) else w
+        if b2 < a1:
+            bits.append("0001")                 # pass
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            code = {0: "1", 1: "011", 2: "000011", 3: "0000011",
+                    -1: "010", -2: "000010", -3: "0000010"}[a1 - b1]
+            bits.append(code)                   # vertical
+            a0 = a1
+            color ^= 1
+        else:
+            j2 = j + 1
+            a2 = cur[j2] if j2 < len(cur) else w
+            bits.append("001")                  # horizontal
+            start = max(a0, 0)
+            _emit_run(bits, a1 - start, white=color == 0)
+            _emit_run(bits, a2 - a1, white=color == 1)
+            a0 = a2
+
+
 def encode_g4(img: np.ndarray) -> bytes:
     """(H, W) array (0=white, nonzero=black) → T.6 bitstream."""
     arr = (np.asarray(img) != 0).astype(np.uint8)
@@ -251,40 +295,7 @@ def encode_g4(img: np.ndarray) -> bytes:
     ref: list[int] = []
     for y in range(h):
         cur = transitions(arr[y])
-        a0 = -1
-        color = 0
-        while a0 < w:
-            # a1: next transition on the coding line after a0 — its
-            # parity always matches `color` (every emitted mode keeps
-            # the painted-prefix transition count == color)
-            j = 0
-            while j < len(cur) and cur[j] <= a0:
-                j += 1
-            a1 = cur[j] if j < len(cur) else w
-            i = 0
-            while i < len(ref) and ref[i] <= a0:
-                i += 1
-            if i % 2 != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else w
-            b2 = ref[i + 1] if i + 1 < len(ref) else w
-            if b2 < a1:
-                bits.append("0001")             # pass
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                code = {0: "1", 1: "011", 2: "000011", 3: "0000011",
-                        -1: "010", -2: "000010", -3: "0000010"}[a1 - b1]
-                bits.append(code)               # vertical
-                a0 = a1
-                color ^= 1
-            else:
-                j2 = j + 1
-                a2 = cur[j2] if j2 < len(cur) else w
-                bits.append("001")              # horizontal
-                start = max(a0, 0)
-                _emit_run(bits, a1 - start, white=color == 0)
-                _emit_run(bits, a2 - a1, white=color == 1)
-                a0 = a2
+        _encode_2d_line(bits, cur, ref, w)
         ref = cur
     s = "".join(bits)
     s += "0" * (-len(s) % 8)
@@ -331,24 +342,51 @@ def decode_g3_1d(data: bytes, width: int, height: int) -> np.ndarray:
         raise ImageDecodeError("degenerate G3 dimensions")
     rd = _BitReader(data)
     out = np.zeros((height, width), dtype=np.uint8)
-
-    def expect_eol() -> None:
-        # EOL = 11 zeros + 1; tolerate leading fill zeros
-        zeros = 0
-        while True:
-            if rd.pos >= len(rd.bits):
-                raise ImageDecodeError("G3 stream ended looking for EOL")
-            bit = rd.bits[rd.pos]
-            rd.pos += 1
-            if bit:
-                if zeros >= 11:
-                    return
-                raise ImageDecodeError("G3: expected EOL")
-            zeros += 1
-
     for y in range(height):
-        expect_eol()
+        _expect_eol(rd)
         _decode_runs_line(rd, width, out[y])
+    return out
+
+
+def _expect_eol(rd: _BitReader) -> None:
+    # EOL = 11 zeros + 1; tolerate leading fill zeros
+    zeros = 0
+    while True:
+        if rd.pos >= len(rd.bits):
+            raise ImageDecodeError("G3 stream ended looking for EOL")
+        bit = rd.bits[rd.pos]
+        rd.pos += 1
+        if bit:
+            if zeros >= 11:
+                return
+            raise ImageDecodeError("G3: expected EOL")
+        zeros += 1
+
+
+def decode_g3_2d(data: bytes, width: int, height: int) -> np.ndarray:
+    """TIFF Compression=3 with 2-D coding (T4Options bit 0 set): each
+    line is EOL + a tag bit (1 = 1-D MH line, 0 = 2-D line coded
+    against the previous line, same mode alphabet as G4)."""
+    if width <= 0 or height <= 0:
+        raise ImageDecodeError("degenerate G3 dimensions")
+    rd = _BitReader(data)
+    out = np.zeros((height, width), dtype=np.uint8)
+    ref: list[int] = []
+    for y in range(height):
+        _expect_eol(rd)
+        if rd.pos >= len(rd.bits):
+            raise ImageDecodeError("G3-2D stream ended at tag bit")
+        tag = rd.bits[rd.pos]
+        rd.pos += 1
+        if tag:                         # 1-D line
+            _decode_runs_line(rd, width, out[y])
+            d = np.flatnonzero(np.diff(
+                np.concatenate(([0], out[y].astype(np.int16)))))
+            ref = d.tolist()
+        else:                           # 2-D line
+            cur = _decode_2d_line(rd, ref, width)
+            _paint_line(out[y], cur, width)
+            ref = [t for t in cur if t < width]
     return out
 
 
@@ -380,6 +418,28 @@ def encode_mh(img: np.ndarray) -> bytes:
         s = "".join(bits)
         out.append(s + "0" * (-len(s) % 8))
     s = "".join(out)
+    return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+
+
+def encode_g3_2d(img: np.ndarray, k: int = 3) -> bytes:
+    """(H, W) → Compression=3 2-D bitstream: every ``k``-th line 1-D
+    (EOL+1), the rest 2-D (EOL+0) — the standard K-parameter shape."""
+    arr = (np.asarray(img) != 0).astype(np.uint8)
+    bits: list[str] = []
+    ref: list[int] = []
+    for y in range(arr.shape[0]):
+        d = np.flatnonzero(np.diff(
+            np.concatenate(([0], arr[y].astype(np.int16)))))
+        cur = d.tolist()
+        if y % k == 0:
+            bits.append(_EOL + "1")
+            _emit_runs_line(bits, arr[y])
+        else:
+            bits.append(_EOL + "0")
+            _encode_2d_line(bits, cur, ref, arr.shape[1])
+        ref = cur
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
     return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
 
 

@@ -559,14 +559,14 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
     """8-bit gray/RGB TIFF frame → uint8 array.
 
     Compression: none (1), CCITT fax — Modified Huffman (2), Group 3
-    1-D (3) and Group 4 (4) bilevel via extract/ccitt.py, honoring
-    MinIsWhite — LZW (5, incl. the
+    1-D and 2-D (3, per T4Options bit 0) and Group 4 (4) bilevel via
+    extract/ccitt.py, honoring MinIsWhite — LZW (5, incl. the
     horizontal predictor tag 317=2), new-style JPEG (7, per-strip JPEG
     streams spliced with the shared JPEGTables tag 347 when present),
     Adobe deflate (8, legacy 32946) and PackBits (32773) — the formats
     PIL covers for the reference's multi-frame TIFFs
     (tests/test_document_processor.py:157-176).  Anything else
-    (old-style JPEG 6, G3 2-D) raises ``UnsupportedImageError``;
+    (old-style JPEG 6) raises ``UnsupportedImageError``;
     truncated IFD chains surface as ImageDecodeError, never
     struct.error."""
     if data[:4] == b"II*\x00":
@@ -599,8 +599,7 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
     if compression not in (1, 2, 3, 4, 5, 7, 8, 32946, 32773):
         raise UnsupportedImageError(
             f"unsupported TIFF compression {compression}")
-    if compression == 3 and (v.get(292, [0])[0] & 1):
-        raise UnsupportedImageError("G3 2-D (T4Options bit 0) TIFF")
+
     jpeg_tables = bytes(v[347]) if compression == 7 and 347 in v else None
     spp = v.get(277, [1])[0]
     # TIFF 6.0 default BitsPerSample is 1; minimal fax writers omit the
@@ -624,9 +623,12 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
         if rows_here <= 0:
             break
         if compression in (2, 3, 4):
-            from .ccitt import decode_g3_1d, decode_g4, decode_mh
+            from .ccitt import (decode_g3_1d, decode_g3_2d, decode_g4,
+                                decode_mh)
 
-            fax = {2: decode_mh, 3: decode_g3_1d, 4: decode_g4}
+            fax = {2: decode_mh, 4: decode_g4,
+                   3: (decode_g3_2d if v.get(292, [0])[0] & 1
+                       else decode_g3_1d)}
             # emit black=255/white=0; the generic MinIsWhite invert
             # below (262==0, the fax default) flips to display-normal
             chunk = (fax[compression](bytes(chunk), w, rows_here)

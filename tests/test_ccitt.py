@@ -91,14 +91,12 @@ def test_mh_and_g3_roundtrip_fuzz():
 
 
 def test_mh_g3_tiff_branches(spark):
-    """Compression 2/3 TIFFs decode through the fax branch; a G3 2-D
-    flag is an honest unsupported."""
+    """Compression 2/3 TIFFs (1-D and 2-D per T4Options) decode through
+    the fax branch."""
     import struct
 
     from docvault_ocr_service_spark.extract.ccitt import (
-        encode_g3_1d, encode_mh)
-    from docvault_ocr_service_spark.extract.images import (
-        UnsupportedImageError)
+        encode_g3_1d, encode_g3_2d, encode_mh)
 
     img = np.zeros((12, 28), np.uint8)
     img[4:8, 3:20] = 1
@@ -129,8 +127,20 @@ def test_mh_g3_tiff_branches(spark):
     assert (decode_tiff(bilevel_tiff(encode_mh(img), 2)) == want).all()
     assert (decode_tiff(
         bilevel_tiff(encode_g3_1d(img), 3, t4opts=0)) == want).all()
-    with pytest.raises(UnsupportedImageError):
-        decode_tiff(bilevel_tiff(encode_g3_1d(img), 3, t4opts=1))
+    assert (decode_tiff(
+        bilevel_tiff(encode_g3_2d(img), 3, t4opts=1)) == want).all()
+
+
+def test_g3_2d_roundtrip_fuzz():
+    from docvault_ocr_service_spark.extract.ccitt import (
+        decode_g3_2d, encode_g3_2d)
+
+    rng = np.random.RandomState(13)
+    for _ in range(20):
+        h, w = rng.randint(1, 30), rng.randint(1, 80)
+        img = (rng.rand(h, w) < rng.rand()).astype(np.uint8)
+        for k in (1, 3):
+            assert (decode_g3_2d(encode_g3_2d(img, k), w, h) == img).all()
 
 
 def test_fax_tiff_without_bitspersample_tag():
