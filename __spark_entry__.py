@@ -1583,6 +1583,40 @@ def frontier_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "host", F.round("rank", 6).alias("rank"))
 
 
+def host_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped boilerplate removal (operators/dedup.py::
+    strip_host_boilerplate): synthetic hosts carry an identical
+    menu/footer line on every page plus one unique content line; hosts
+    with ≥3 pages lose exactly the template chrome, singleton hosts
+    stay untouched.  DuckDB recomputes the per-host page counts, kept
+    line counts and kept chars analytically."""
+    from docvault_ocr_service_spark.operators.dedup import (
+        strip_host_boilerplate)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    host = F.when(d % 10 == 0,
+                  F.concat(F.lit("solo"), d.cast("string"))) \
+        .otherwise(F.concat(F.lit("h"), (d % 7).cast("string")))
+    content = F.concat(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)),
+        F.lit(" page "), d.cast("string"), F.lit("."))
+    page = F.concat(
+        F.lit("MENU "), host, F.lit(" NAV BAR HERE\n"),
+        content, F.lit("\n"),
+        F.lit("Copyright "), host, F.lit(" footer line here."))
+    pages = docs.select(d.alias("doc_id"), host.alias("host"),
+                        page.alias("text"))
+    out = strip_host_boilerplate(pages, "doc_id", "host", "text")
+    return (out.groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum(F.size(F.split(F.col("clean_text"), "\n")))
+                  .cast("long").alias("kept_lines"),
+                 F.sum(F.length("clean_text")).cast("long")
+                  .alias("clean_chars"))
+            .orderBy("host"))
+
+
 def robots_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap: directive extraction from robots.txt (sitemaps.org
     protocol — global, not group-scoped): synthetic robots bodies carry
@@ -2288,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter_stats": c4_filter_stats,
         "doc_mojibake_repair": doc_mojibake_repair,
         "robots_sitemap_directives": robots_sitemap_directives,
+        "host_boilerplate_stats": host_boilerplate_stats,
         "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2326,9 +2361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "events_asof_purchase": events_asof_purchase,
-        "events_value_quantiles": events_value_quantiles,
         "doc_categories": doc_categories,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "events_value_quantiles": events_value_quantiles,
         "doc_token_stats": doc_token_stats,
         "doc_exact_dups": doc_exact_dups,
         "source_quality_stats": source_quality_stats,

@@ -442,6 +442,68 @@ def dedup_lines(df: DataFrame, id_col: str, text_col: str,
     return out.withColumnRenamed("__doc", id_col)
 
 
+def strip_host_boilerplate(df: DataFrame, id_col: str, host_col: str,
+                           text_col: str,
+                           min_host_pages: int = 3,
+                           max_page_frac: float = 0.5,
+                           min_line_chars: int = 5,
+                           out_col: str = "clean_text",
+                           sep: str = "\n") -> DataFrame:
+    """HOST-scoped boilerplate removal — the corpus-level complement to
+    the DOM boilerplate strip: a line appearing on more than
+    ``max_page_frac`` of a host's pages (hosts with at least
+    ``min_host_pages`` pages) is that host's template chrome (nav menu,
+    footer, cookie banner) and is removed from that host's pages ONLY.
+    Unlike ``dedup_lines``'s global document frequency, a phrase shared
+    across many hosts stays — it is content, not template.
+
+    Lines shorter than ``min_line_chars`` after trim are structure and
+    always kept.  Line order is preserved; null text passes through
+    null.
+
+    Scale shape: one slim shuffle on (host, line_hash) for the
+    frequency table, a host-keyed page count (tiny, AQE broadcasts the
+    boilerplate set when it fits), and the same ordered reassembly as
+    ``dedup_lines``.
+    """
+    base = df.select(F.col(id_col).alias("__doc"),
+                     F.col(host_col).alias("__host"), F.col(text_col))
+    lines = base.where(F.col(text_col).isNotNull()).select(
+        "__doc", "__host",
+        F.posexplode(F.split(F.col(text_col), re.escape(sep)))
+         .alias("__pos", "__line"),
+    ).withColumn("__lh", F.xxhash64("__line")) \
+     .withColumn("__countable",
+                 F.length(F.btrim("__line")) >= min_line_chars)
+
+    pages = (base.where(F.col(text_col).isNotNull())
+             .groupBy("__host")
+             .agg(F.count_distinct("__doc").alias("__pages")))
+    boiler = (lines.where("__countable")
+              .groupBy("__host", "__lh")
+              .agg(F.count_distinct("__doc").alias("__df"))
+              .join(pages, "__host")
+              .where((F.col("__pages") >= min_host_pages)
+                     & (F.col("__df")
+                        > F.col("__pages") * F.lit(max_page_frac)))
+              .select("__host", "__lh"))
+
+    kept = lines.join(boiler, ["__host", "__lh"], "left_anti")
+    rebuilt = (kept.groupBy("__doc")
+               .agg(F.concat_ws(
+                    sep,
+                    F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("__pos", "__line"))),
+                        lambda s: s["__line"])).alias(out_col)))
+    out = (base.join(rebuilt, "__doc", "left")
+           .withColumn(out_col,
+                       F.when(F.col(text_col).isNull(), F.lit(None))
+                        .otherwise(F.coalesce(F.col(out_col), F.lit("")))))
+    return (out.withColumnRenamed("__doc", id_col)
+            .withColumnRenamed("__host", host_col))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, simhash long): sign-sum of per-token 64-bit hashes.
 

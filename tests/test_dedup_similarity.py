@@ -270,3 +270,32 @@ def test_filtered_topk_respects_predicate(spark):
     have = {(r["query_id"], r["vec_id"], r["rank"])
             for r in got if r["label"] == "even"}
     assert have == want
+
+
+def test_strip_host_boilerplate(spark):
+    """Host-scoped template chrome removal: per-host frequency, not
+    global — a phrase shared across hosts is content and stays."""
+    from docvault_ocr_service_spark.operators.dedup import (
+        strip_host_boilerplate)
+
+    shared = "A phrase appearing on every single host."
+    rows = []
+    for h, n in (("a", 4), ("b", 4), ("c", 2)):
+        for i in range(n):
+            rows.append((f"{h}{i}", f"{h}.example",
+                         f"{h.upper()} MENU BAR LINE\n"
+                         f"{shared}\n"
+                         f"unique content {h}{i} right here\n"
+                         f"{h.upper()} FOOTER COPYRIGHT LINE"))
+    rows.append(("n0", "null.example", None))
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    got = {r["doc_id"]: r["clean_text"] for r in strip_host_boilerplate(
+        df, "doc_id", "host", "text", max_page_frac=0.5).collect()}
+
+    # hosts a/b (4 pages): menu+footer AND the 100%-frequency shared
+    # phrase are that host's boilerplate
+    assert got["a0"] == "unique content a0 right here"
+    assert got["b3"] == "unique content b3 right here"
+    # host c (2 pages < min_host_pages=3): untouched
+    assert got["c0"].count("\n") == 3 and shared in got["c0"]
+    assert got["n0"] is None
