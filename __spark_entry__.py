@@ -1583,6 +1583,41 @@ def frontier_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "host", F.round("rank", 6).alias("rank"))
 
 
+def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inlink anchor-text aggregation (operators/linkgraph.py::
+    anchor_text_index): anchor markup with formula-derived targets and
+    phrases (incl. nested tags the extractor must strip) rolls up to
+    per-target inlink counts and the top anchor; DuckDB rebuilds the
+    triple set and the count-desc window analytically."""
+    from docvault_ocr_service_spark.operators.linkgraph import (
+        anchor_text_index)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+
+    def anchor(k):
+        return F.concat(
+            F.lit(f'<a href="https://host'),
+            ((d * 7 + k) % 20).cast("string"),
+            F.lit(".example/x"), ((d + k) % 50).cast("string"),
+            F.lit('">anchor <b>phrase</b> '),
+            ((d + k) % 5).cast("string"), F.lit("</a>"))
+
+    pages = docs.select(
+        F.concat(F.lit("https://src"), d.cast("string"),
+                 F.lit(".example/p")).alias("url"),
+        F.concat(anchor(1), anchor(2), anchor(3)).alias("html_text"))
+    out = anchor_text_index(pages)
+    return out.select(
+        "dst",
+        F.col("n_inlinks").cast("long").alias("n_inlinks"),
+        F.col("n_distinct_anchors").cast("long")
+         .alias("n_distinct_anchors"),
+        F.element_at("top_anchors", 1).alias("top_anchor"),
+    ).orderBy("dst")
+
+
 def host_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-scoped boilerplate removal (operators/dedup.py::
     strip_host_boilerplate): synthetic hosts carry an identical
@@ -2323,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mojibake_repair": doc_mojibake_repair,
         "robots_sitemap_directives": robots_sitemap_directives,
         "host_boilerplate_stats": host_boilerplate_stats,
+        "anchor_text_stats": anchor_text_stats,
         "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2360,9 +2396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_suppliers_window": q_top_suppliers_window,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
-        "events_asof_purchase": events_asof_purchase,
         "doc_categories": doc_categories,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "events_asof_purchase": events_asof_purchase,
         "events_value_quantiles": events_value_quantiles,
         "doc_token_stats": doc_token_stats,
         "doc_exact_dups": doc_exact_dups,

@@ -139,3 +139,61 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     nodes.unpersist()
     dangling_nodes.unpersist()
     return out
+
+
+ANCHOR_RE = (r'(?is)<a\b[^>]*href\s*=\s*"([^"#][^"]*)"[^>]*>(.*?)</a>')
+
+
+def extract_links_with_text(df: DataFrame, url_col: str = "url",
+                            html_col: str = "html_text") -> DataFrame:
+    """(src, dst, anchor) triples — like ``extract_links`` but keeping
+    the anchor's inner text (tags stripped, entities left as-is,
+    whitespace collapsed).  Anchor text is the classic inlink
+    description signal: search indexing, label propagation, and
+    link-context training data all aggregate it per target.
+
+    Columnar: two regexp_extract_all passes over the same pattern
+    (href group, text group) zipped positionally — no Python."""
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 2)
+    pairs = F.zip_with(hrefs, texts,
+                       lambda h, t: F.struct(h.alias("dst"),
+                                             t.alias("raw")))
+    out = df.select(F.col(url_col).alias("src"),
+                    F.explode(pairs).alias("p"))
+    anchor = F.btrim(F.regexp_replace(F.regexp_replace(
+        F.col("p.raw"), r"(?s)<[^>]*>", " "), r"\s+", " "))
+    return out.select("src", F.col("p.dst").alias("dst"),
+                      anchor.alias("anchor"))
+
+
+def anchor_text_index(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html_text",
+                      top_k: int = 3) -> DataFrame:
+    """Per-target inlink anchor index: (dst, n_inlinks,
+    n_distinct_anchors, top_anchors array) — aggregated over every
+    page's outlinks, self-links excluded, empty anchors dropped.
+
+    Scale shape: one shuffle on (dst, anchor) for the phrase counts,
+    one on dst for the rollup; anchor strings are short, rows slim.
+    Top-k per target via a count-desc window (deterministic
+    lexicographic tie-break)."""
+    from pyspark.sql import Window
+
+    links = (extract_links_with_text(pages, url_col, html_col)
+             .where((F.col("anchor") != "")
+                    & (F.col("src") != F.col("dst"))))
+    counts = (links.groupBy("dst", "anchor")
+              .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), "anchor")
+    top = (counts.withColumn("__rk", F.row_number().over(w))
+           .where(F.col("__rk") <= top_k)
+           .groupBy("dst")
+           .agg(F.array_sort(F.collect_list(
+                F.struct("__rk", "anchor"))).alias("__t"))
+           .select("dst", F.transform("__t", lambda s: s["anchor"])
+                   .alias("top_anchors")))
+    roll = (links.groupBy("dst")
+            .agg(F.count("*").alias("n_inlinks"),
+                 F.count_distinct("anchor").alias("n_distinct_anchors")))
+    return roll.join(top, "dst")

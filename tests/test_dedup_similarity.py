@@ -299,3 +299,28 @@ def test_strip_host_boilerplate(spark):
     # host c (2 pages < min_host_pages=3): untouched
     assert got["c0"].count("\n") == 3 and shared in got["c0"]
     assert got["n0"] is None
+
+
+def test_anchor_text_index(spark):
+    from docvault_ocr_service_spark.operators.linkgraph import (
+        anchor_text_index)
+
+    rows = [
+        ("https://a/1",
+         '<a href="https://t/x">Good <b>Page</b></a>'
+         '<a href="https://t/x">good page</a>'
+         "<a href='https://skipped/unquoted-style'>no</a>"),
+        ("https://a/2",
+         '<a href="https://t/x">Good Page</a>'
+         '<a href="https://t/y">   </a>'
+         '<a href="https://t/y">why</a>'),
+        ("https://t/x", '<a href="https://t/x">self ignored</a>'),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html_text"])
+    got = {r["dst"]: r for r in anchor_text_index(df).collect()}
+    x = got["https://t/x"]
+    # nested tags stripped; case-distinct phrases counted separately
+    assert x["n_inlinks"] == 3 and x["n_distinct_anchors"] == 2
+    assert list(x["top_anchors"]) == ["Good Page", "good page"]
+    y = got["https://t/y"]               # blank anchor dropped
+    assert y["n_inlinks"] == 1 and list(y["top_anchors"]) == ["why"]
