@@ -1583,6 +1583,37 @@ def frontier_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "host", F.round("rank", 6).alias("rank"))
 
 
+def domain_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality blocklist (functions/web.py::
+    derive_domain_blocklist): documents map to synthetic registrable
+    domains; the page-level verdict is two Gopher rules (word count in
+    [50, 100000], mean word length in [3, 10]) computed columnar-ly,
+    degraded deterministically for spam-keyed domains; DuckDB
+    recomputes verdicts, rates and block flags."""
+    from docvault_ocr_service_spark.functions.web import (
+        derive_domain_blocklist)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    domain = F.concat(F.lit("d"), (d % 30).cast("string"),
+                      F.lit(".example"))
+    # spam-keyed domains (d%30 in {0,1,2}) get their text truncated to
+    # 10 words -> fails the 50-word floor on every page
+    toks = F.split(F.col("text"), " ")
+    text = F.when(d % 30 < 3,
+                  F.concat_ws(" ", F.slice(toks, 1, 10))) \
+        .otherwise(F.col("text"))
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    mean_len = (F.aggregate(words, F.lit(0).cast("long"),
+                            lambda acc, w: acc + F.length(w))
+                .cast("double") / n_words)
+    passed = ((n_words >= 50) & (n_words <= 100_000)
+              & (mean_len >= 3.0) & (mean_len <= 10.0))
+    base = docs.select(domain.alias("domain"), passed.alias("passed"))
+    return derive_domain_blocklist(base).orderBy("domain")
+
+
 def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inlink anchor-text aggregation (operators/linkgraph.py::
     anchor_text_index): anchor markup with formula-derived targets and
@@ -2359,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemap_directives": robots_sitemap_directives,
         "host_boilerplate_stats": host_boilerplate_stats,
         "anchor_text_stats": anchor_text_stats,
+        "domain_blocklist_stats": domain_blocklist_stats,
         "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2395,9 +2427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_segment": q_pivot_segment,
         "q_top_suppliers_window": q_top_suppliers_window,
         "events_hourly": events_hourly,
-        "events_sessions": events_sessions,
         "doc_categories": doc_categories,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "events_sessions": events_sessions,
         "events_asof_purchase": events_asof_purchase,
         "events_value_quantiles": events_value_quantiles,
         "doc_token_stats": doc_token_stats,

@@ -333,3 +333,27 @@ def robots_sitemap_urls(robots_df, *, host_col: str = "host",
         r"'(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\\S+)', 1)")
     return (robots_df.select(F.col(host_col).alias("host"),
                              F.explode(urls).alias("sitemap_url")))
+
+
+def derive_domain_blocklist(df, *, domain_col: str = "domain",
+                            pass_col: str = "passed",
+                            min_docs: int = 5,
+                            max_fail_rate: float = 0.5):
+    """(domain, n_docs, n_pass, fail_rate, blocked) from per-document
+    quality verdicts — the curation step that turns page-level filters
+    (Gopher/C4/LM perplexity) into a DOMAIN-level decision: a domain
+    whose pages fail more than ``max_fail_rate`` of the time (with at
+    least ``min_docs`` observed) is spam/boilerplate farm territory and
+    gets blocked wholesale; sparse domains are never blocked on thin
+    evidence.  One shuffle on domain; the output is broadcast-sized by
+    construction (domains, not pages)."""
+    agg = (df.groupBy(F.col(domain_col).alias("domain"))
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.when(F.col(pass_col), 1).otherwise(0))
+                 .cast("long").alias("n_pass")))
+    fail_rate = (F.col("n_docs") - F.col("n_pass")) / F.col("n_docs")
+    return agg.select(
+        "domain", "n_docs", "n_pass",
+        F.round(fail_rate, 6).alias("fail_rate"),
+        ((F.col("n_docs") >= F.lit(min_docs))
+         & (fail_rate > F.lit(max_fail_rate))).alias("blocked"))

@@ -339,6 +339,80 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     return b"".join(out)
 
 
+def encode_wet(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Deterministic WET writer — Common Crawl's extracted-text sibling
+    of the WARC archive: one ``WARC-Type: conversion`` record per page
+    with ``Content-Type: text/plain`` and the UTF-8 extracted text as
+    the payload (no HTTP framing).  Records are dicts with url (str),
+    warc_ts (datetime | None), text (str | None).  This is the natural
+    EXPORT format for the extraction job's results: downstream
+    tokenizer/dedup pipelines that already consume CC WET shards can
+    read the engine's output unchanged."""
+    out = []
+    for r in records:
+        ts = r.get("warc_ts") or datetime(2020, 1, 1, tzinfo=timezone.utc)
+        body = (r.get("text") or "").encode("utf-8")
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + b"WARC-Target-URI: " + r["url"].encode() + CRLF
+            + b"WARC-Date: "
+            + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + CRLF
+            + b"Content-Type: text/plain\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + CRLF
+            + CRLF)
+        rec = hdr + body + CRLF + CRLF
+        out.append(gzip.compress(rec, 6, mtime=0) if gzip_members else rec)
+    return b"".join(out)
+
+
+def write_wet(results, out_dir: str, *, records_per_shard: int = 1000,
+              gzip_members: bool = True) -> None:
+    """Results DataFrame (url, warc_ts?, text) → sharded .warc.wet.gz
+    files under ``out_dir``, one file per task partition (the CC
+    contract: files are the unit of work).  Error rows (null text) are
+    skipped — WET carries successful conversions only."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    cols = ["url", "text"] + (["warc_ts"] if "warc_ts" in
+                              results.columns else [])
+    rows = results.where(F.col("text").isNotNull()).select(*cols)
+
+    def write_partition(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        batch: list[dict] = []
+        shard = 0
+        wrote = 0
+
+        def flush():
+            nonlocal shard, wrote
+            if not batch:
+                return
+            name = f"part-{pid:05d}-{shard:04d}.warc.wet" + (
+                ".gz" if gzip_members else "")
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(encode_wet(batch, gzip_members))
+            wrote += len(batch)
+            shard += 1
+            batch.clear()
+
+        for row in it:
+            batch.append({"url": row["url"], "text": row["text"],
+                          "warc_ts": row["warc_ts"]
+                          if "warc_ts" in row.__fields__ else None})
+            if len(batch) >= records_per_shard:
+                flush()
+        flush()
+        yield wrote
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows.rdd.mapPartitions(write_partition).sum()
+
+
 def read_warc(spark, path: str, glob: str = "*.warc*"):
     """Directory of WARC files → INPUT_SCHEMA DataFrame (response
     records with a 2xx status or no HTTP framing; one row per page).

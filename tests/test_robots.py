@@ -221,3 +221,21 @@ def test_robots_sitemap_urls(spark):
                  for r in robots_sitemap_urls(df).collect())
     assert got == [("a.example", "https://a.example/s1.xml"),
                    ("a.example", "https://a.example/s2.xml")]
+
+
+def test_derive_domain_blocklist(spark):
+    from docvault_ocr_service_spark.functions.web import (
+        derive_domain_blocklist)
+
+    rows = (
+        [("spam.example", False)] * 6 + [("spam.example", True)] * 2 +
+        [("good.example", True)] * 7 + [("good.example", False)] * 2 +
+        [("thin.example", False)] * 3          # < min_docs: never blocked
+    )
+    df = spark.createDataFrame(rows, ["domain", "passed"])
+    got = {r["domain"]: r for r in derive_domain_blocklist(df).collect()}
+    assert got["spam.example"]["blocked"] is True
+    assert got["spam.example"]["fail_rate"] == 0.75
+    assert got["good.example"]["blocked"] is False
+    assert got["thin.example"]["blocked"] is False   # thin evidence
+    assert got["thin.example"]["fail_rate"] == 1.0

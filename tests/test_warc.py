@@ -169,3 +169,40 @@ def test_final_unterminated_line_is_not_an_error():
     # strip the trailing record separator newlines: parse must still
     # terminate cleanly on EOF
     assert len(list(parse_warc(data.rstrip(b"\r\n")))) == 1
+
+
+def test_wet_roundtrip(tmp_path):
+    from docvault_ocr_service_spark.sources.warc import encode_wet
+
+    recs = [{"url": "https://a.example/x", "warc_ts": TS,
+             "text": "extracted text one\nwith lines"},
+            {"url": "https://b.example/y", "warc_ts": None,
+             "text": "łódź unicode façade"},
+            {"url": "https://c.example/z", "warc_ts": TS, "text": None}]
+    for gz in (False, True):
+        parsed = list(parse_warc(encode_wet(recs, gzip_members=gz)))
+        assert [p["warc_type"] for p in parsed] == ["conversion"] * 3
+        assert [p["url"] for p in parsed] == [r["url"] for r in recs]
+        for p, r in zip(parsed, recs):
+            assert p["html"] == (r["text"] or "").encode("utf-8")
+
+
+def test_write_wet_spark(spark, tmp_path):
+    import glob as globmod
+
+    from docvault_ocr_service_spark.sources.warc import encode_wet, \
+        write_wet
+
+    rows = [(f"https://e.example/{i}", TS, f"text number {i}")
+            for i in range(20)] + [("https://e.example/err", TS, None)]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "text"]) \
+        .repartition(3)
+    out = str(tmp_path / "wet")
+    write_wet(df, out, records_per_shard=4)
+    texts = set()
+    for f in globmod.glob(out + "/*.warc.wet.gz"):
+        with open(f, "rb") as fh:
+            for rec in parse_warc(fh.read()):
+                assert rec["warc_type"] == "conversion"
+                texts.add(rec["html"].decode())
+    assert texts == {f"text number {i}" for i in range(20)}  # errs skipped
