@@ -1583,6 +1583,34 @@ def frontier_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "host", F.round("rank", 6).alias("rank"))
 
 
+def recrawl_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling (plans/frontier.py::plan_recrawl): sitemap
+    lastmod and crawl-state timestamps derived from doc_id formulas
+    produce the new/modified/expired partition; DuckDB recomputes the
+    reasons and the md5-ordered global cap."""
+    from docvault_ocr_service_spark.plans.frontier import plan_recrawl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://s.example/p"), d.cast("string"))
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    lastmod = F.when(d % 5 == 4, F.lit(None).cast("timestamp")) \
+        .otherwise(F.timestamp_seconds(
+            F.unix_timestamp(base) + (d % 90) * 86400))
+    sitemap = docs.select(url.alias("url"), lastmod.alias("lastmod"))
+    # state: every 7th url unknown (new); others crawled day (d%60)
+    state = (docs.where(d % 7 != 0)
+             .select(url.alias("url"),
+                     F.timestamp_seconds(
+                         F.unix_timestamp(base) + (d % 60) * 86400)
+                     .alias("last_crawled")))
+    now = "2024-03-15 00:00:00"
+    out = plan_recrawl(sitemap, state, now, default_ttl_days=30,
+                       limit=100)
+    return out.orderBy("url")
+
+
 def domain_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level quality blocklist (functions/web.py::
     derive_domain_blocklist): documents map to synthetic registrable
@@ -2391,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate_stats": host_boilerplate_stats,
         "anchor_text_stats": anchor_text_stats,
         "domain_blocklist_stats": domain_blocklist_stats,
+        "recrawl_batch": recrawl_batch,
         "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2426,9 +2455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_priority": q_rollup_priority,
         "q_pivot_segment": q_pivot_segment,
         "q_top_suppliers_window": q_top_suppliers_window,
-        "events_hourly": events_hourly,
         "doc_categories": doc_categories,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "events_asof_purchase": events_asof_purchase,
         "events_value_quantiles": events_value_quantiles,

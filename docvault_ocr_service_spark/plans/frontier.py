@@ -78,3 +78,40 @@ def build_frontier(pages: DataFrame, seen: DataFrame,
               .where(F.col("__rn") <= cap).drop("__rn"))
     return (capped.orderBy(F.desc("rank"), "url").limit(limit)
             .select("url", "host", "rank"))
+
+
+def plan_recrawl(sitemap_entries: DataFrame, crawl_state: DataFrame,
+                 now, *, default_ttl_days: float = 30.0,
+                 limit: int = 10_000) -> DataFrame:
+    """→ (url, reason) — the RE-crawl half of the crawl loop
+    (``build_frontier`` discovers new URLs; this schedules stale known
+    ones).  ``sitemap_entries``: (url, lastmod timestamp nullable) from
+    sitemap parsing; ``crawl_state``: (url, last_crawled timestamp) —
+    the checkpoint's done rows.  A URL re-crawls when:
+
+    - ``modified``: its sitemap lastmod is newer than the last crawl
+      (the explicit freshness signal);
+    - ``expired``: it was last crawled more than ``default_ttl_days``
+      ago (no/stale lastmod — age-based fallback);
+    - ``new``: the sitemap lists it but the state has no row (belt and
+      braces with the frontier's anti-join; dedup upstream).
+
+    Deterministic: md5-ordered within the global ``limit`` so reruns
+    pick identical batches.  Scale shape: one join on url (the key the
+    checkpoint is already bucketed by); everything else is map-side.
+    """
+    s = sitemap_entries.select("url", F.col("lastmod"))
+    c = crawl_state.select("url", F.col("last_crawled"))
+    j = s.join(c, "url", "left")
+    ttl = F.lit(float(default_ttl_days) * 86400.0)
+    age = F.unix_timestamp(F.lit(now)) - F.unix_timestamp("last_crawled")
+    reason = (
+        F.when(F.col("last_crawled").isNull(), F.lit("new"))
+        .when(F.col("lastmod").isNotNull()
+              & (F.col("lastmod") > F.col("last_crawled")),
+              F.lit("modified"))
+        .when(age > ttl, F.lit("expired")))
+    return (j.withColumn("reason", reason)
+            .where(F.col("reason").isNotNull())
+            .orderBy(F.md5("url"), "url").limit(limit)
+            .select("url", "reason"))

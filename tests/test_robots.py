@@ -239,3 +239,36 @@ def test_derive_domain_blocklist(spark):
     assert got["good.example"]["blocked"] is False
     assert got["thin.example"]["blocked"] is False   # thin evidence
     assert got["thin.example"]["fail_rate"] == 1.0
+
+
+def test_plan_recrawl(spark):
+    from datetime import datetime, timezone
+
+    from docvault_ocr_service_spark.plans.frontier import plan_recrawl
+
+    def ts(month, day):
+        return datetime(2024, month, day, tzinfo=timezone.utc)
+
+    sitemap = spark.createDataFrame(
+        [("u_new", ts(5, 1)), ("u_mod", ts(5, 20)),
+         ("u_fresh", ts(5, 1)), ("u_old", None), ("u_ok", None)],
+        "url string, lastmod timestamp")
+    state = spark.createDataFrame(
+        [("u_mod", ts(5, 10)), ("u_fresh", ts(5, 25)),
+         ("u_old", ts(5, 2)), ("u_ok", ts(5, 30))],
+        "url string, last_crawled timestamp")
+    got = {r["url"]: r["reason"] for r in plan_recrawl(
+        sitemap, state, datetime(2024, 6, 15, tzinfo=timezone.utc),
+        default_ttl_days=30).collect()}
+    # u_fresh: crawled after lastmod, within ttl -> no recrawl
+    # u_ok: crawled 16 days ago, no lastmod -> no recrawl
+    assert got == {"u_new": "new", "u_mod": "modified",
+                   "u_old": "expired"}
+    # the global cap is md5-deterministic: same batch on rerun
+    a = plan_recrawl(sitemap, state,
+                     datetime(2024, 6, 15, tzinfo=timezone.utc),
+                     limit=2).collect()
+    b = plan_recrawl(sitemap, state,
+                     datetime(2024, 6, 15, tzinfo=timezone.utc),
+                     limit=2).collect()
+    assert a == b and len(a) == 2
