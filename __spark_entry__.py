@@ -1583,6 +1583,30 @@ def frontier_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "host", F.round("rank", 6).alias("rank"))
 
 
+def dedup_keep_best_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted canonical selection (operators/dedup.py::
+    dedup_keep_best): exact-dup clusters over the doubled corpus (pairs
+    from content-hash equality, resolved through the real
+    connected-components + quality window) must keep exactly the
+    highest-quality member per content group — which DuckDB recomputes
+    directly as an argmax per md5(text)."""
+    docs = _doubled_docs(spark, sf_dir).select(
+        "doc_id", "text",
+        ((F.col("doc_id") * 37) % 97).cast("double").alias("q"))
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    pairs = (hashed.alias("l").join(
+                 hashed.alias("r"),
+                 (F.col("l.h") == F.col("r.h"))
+                 & (F.col("l.doc_id") < F.col("r.doc_id")))
+             .select(F.col("l.doc_id").alias("a"),
+                     F.col("r.doc_id").alias("b")))
+    from docvault_ocr_service_spark.operators.dedup import dedup_keep_best
+
+    kept = dedup_keep_best(docs, pairs, "doc_id", "q")
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id")) \
+        .orderBy("doc_id")
+
+
 def recrawl_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl scheduling (plans/frontier.py::plan_recrawl): sitemap
     lastmod and crawl-state timestamps derived from doc_id formulas
@@ -2420,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_stats": anchor_text_stats,
         "domain_blocklist_stats": domain_blocklist_stats,
         "recrawl_batch": recrawl_batch,
+        "dedup_keep_best_stats": dedup_keep_best_stats,
         "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2454,9 +2479,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "q_rollup_priority": q_rollup_priority,
         "q_pivot_segment": q_pivot_segment,
-        "q_top_suppliers_window": q_top_suppliers_window,
         "doc_categories": doc_categories,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "q_top_suppliers_window": q_top_suppliers_window,
+        "events_hourly": events_hourly,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "events_asof_purchase": events_asof_purchase,

@@ -371,6 +371,37 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
     return df.join(drop, id_col, "left_anti")
 
 
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
+                    quality_col: str) -> DataFrame:
+    """Quality-weighted near-dedup: cluster the pair graph into
+    components and keep each cluster's HIGHEST-``quality_col`` member
+    (ties broken by lowest id for determinism) — the curation-grade
+    alternative to ``dedup_keep_canonical``'s min-id rule: when five
+    mirrors of a page survive crawling, keep the cleanest extraction,
+    not the one that happened to get the smallest id.
+
+    Scale shape: component labels from the same bounded-lineage
+    propagation; the winner per component is one window over
+    (component) ordered by (quality desc, id asc); everything else is
+    an anti-join on id."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs)
+    members = (df.select(F.col(id_col).cast("long").alias("node"),
+                         F.col(quality_col).alias("__q"))
+               .join(comp, "node", "left")
+               .withColumn("component",
+                           F.coalesce("component", F.col("node"))))
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc_nulls_last(), F.col("node").asc())
+    drop = (members.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") > 1)
+            .select(F.col("node").alias(id_col)))
+    return df.join(drop.withColumn(id_col, F.col(id_col)
+                                   .cast(dict(df.dtypes)[id_col])),
+                   id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
                         text_col: str, shingle_n: int = 3) -> DataFrame:
     """Exact Jaccard verifier over candidate (a, b) pairs."""

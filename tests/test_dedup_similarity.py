@@ -324,3 +324,23 @@ def test_anchor_text_index(spark):
     assert list(x["top_anchors"]) == ["Good Page", "good page"]
     y = got["https://t/y"]               # blank anchor dropped
     assert y["n_inlinks"] == 1 and list(y["top_anchors"]) == ["why"]
+
+
+def test_dedup_keep_best(spark):
+    """Quality-weighted canonical: the best-quality member of each
+    component survives (chain members included), ties break by min id,
+    singletons always survive."""
+    from docvault_ocr_service_spark.operators.dedup import (
+        dedup_keep_best)
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (5, 0.4), (6, 0.4), (9, 0.1),
+         (10, None)],
+        "doc_id long, q double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 10)], ["a", "b"])
+    kept = sorted(r["doc_id"] for r in
+                  dedup_keep_best(docs, pairs, "doc_id", "q").collect())
+    # {1,2,3} -> 2 (best q); {5,6} -> 5 (tie, min id);
+    # {9,10} -> 9 (null q loses to any value)
+    assert kept == [2, 5, 9], kept
