@@ -2297,8 +2297,10 @@ def stream_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_extract_merge)
 
     # tiny fixture through many MERGE stages: a 200-partition default
-    # shuffle would add pure scheduler overhead (same session-conf pin
-    # precedent as _t's timezone)
+    # shuffle would add pure scheduler overhead — pin low for THIS
+    # query and restore after (unlike _t's UTC pin this is a perf
+    # tweak, not a semantic requirement for the whole session)
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
     inp = docs.select(
@@ -2348,6 +2350,10 @@ def stream_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
                .first())
     finally:
         shutil.rmtree(work, ignore_errors=True)
+        if prior_shuffle is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
     out_schema = T.StructType([
         T.StructField("n_urls", T.LongType()),
         T.StructField("status_match", T.LongType()),
@@ -2482,7 +2488,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_categories": doc_categories,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
         "q_top_suppliers_window": q_top_suppliers_window,
-        "events_hourly": events_hourly,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "events_asof_purchase": events_asof_purchase,

@@ -243,6 +243,13 @@ def _emit_run(bits: list, n: int, white: bool) -> None:
     bits.append(term[n])
 
 
+def _transitions(row) -> list:
+    """Changing-element positions of one painted line (no trailing
+    width entry) — the b/a-element convention every coder here uses."""
+    return np.flatnonzero(np.diff(
+        np.concatenate(([0], np.asarray(row, dtype=np.int16))))).tolist()
+
+
 def _encode_2d_line(bits: list, cur: list, ref: list, w: int) -> None:
     """Emit one 2-D coded line (shared by G4 and G3-2-D)."""
     a0 = -1
@@ -286,15 +293,9 @@ def encode_g4(img: np.ndarray) -> bytes:
     arr = (np.asarray(img) != 0).astype(np.uint8)
     h, w = arr.shape
     bits: list[str] = []
-
-    def transitions(row) -> list[int]:
-        d = np.flatnonzero(np.diff(
-            np.concatenate(([0], row.astype(np.int16)))))
-        return d.tolist()
-
     ref: list[int] = []
     for y in range(h):
-        cur = transitions(arr[y])
+        cur = _transitions(arr[y])
         _encode_2d_line(bits, cur, ref, w)
         ref = cur
     s = "".join(bits)
@@ -380,9 +381,7 @@ def decode_g3_2d(data: bytes, width: int, height: int) -> np.ndarray:
         rd.pos += 1
         if tag:                         # 1-D line
             _decode_runs_line(rd, width, out[y])
-            d = np.flatnonzero(np.diff(
-                np.concatenate(([0], out[y].astype(np.int16)))))
-            ref = d.tolist()
+            ref = _transitions(out[y])
         else:                           # 2-D line
             cur = _decode_2d_line(rd, ref, width)
             _paint_line(out[y], cur, width)
@@ -428,9 +427,7 @@ def encode_g3_2d(img: np.ndarray, k: int = 3) -> bytes:
     bits: list[str] = []
     ref: list[int] = []
     for y in range(arr.shape[0]):
-        d = np.flatnonzero(np.diff(
-            np.concatenate(([0], arr[y].astype(np.int16)))))
-        cur = d.tolist()
+        cur = _transitions(arr[y])
         if y % k == 0:
             bits.append(_EOL + "1")
             _emit_runs_line(bits, arr[y])

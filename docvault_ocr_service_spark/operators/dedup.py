@@ -386,6 +386,14 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
     an anti-join on id."""
     from pyspark.sql import Window
 
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        # a silent long-cast of e.g. url ids would null every node and
+        # quietly keep ALL duplicates — fail loudly instead
+        raise ValueError(
+            f"dedup_keep_best needs a numeric id column "
+            f"(got {id_col}: {id_type}); derive one first, e.g. "
+            f"xxhash64(url)")
     comp = connected_components(pairs)
     members = (df.select(F.col(id_col).cast("long").alias("node"),
                          F.col(quality_col).alias("__q"))
@@ -423,6 +431,38 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
     )
 
 
+def _exploded_lines(base: DataFrame, text_col: str, sep: str,
+                    min_line_chars: int,
+                    extra_cols: tuple = ()) -> DataFrame:
+    """(__doc, [extra…], __pos, __line, __lh, __countable) — the shared
+    line decomposition both line-dedup operators filter on."""
+    return base.where(F.col(text_col).isNotNull()).select(
+        "__doc", *extra_cols,
+        F.posexplode(F.split(F.col(text_col), re.escape(sep)))
+         .alias("__pos", "__line"),
+    ).withColumn("__lh", F.xxhash64("__line")) \
+     .withColumn("__countable",
+                 F.length(F.btrim("__line")) >= min_line_chars)
+
+
+def _reassemble_lines(base: DataFrame, kept: DataFrame, text_col: str,
+                      sep: str, out_col: str) -> DataFrame:
+    """Order-preserving re-join of kept lines per doc; null text passes
+    through null, fully-filtered docs come back as empty string."""
+    rebuilt = (kept.groupBy("__doc")
+               .agg(F.concat_ws(
+                    sep,
+                    F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("__pos", "__line"))),
+                        lambda s: s["__line"])).alias(out_col)))
+    return (base.join(rebuilt, "__doc", "left")
+            .withColumn(out_col,
+                        F.when(F.col(text_col).isNull(), F.lit(None))
+                         .otherwise(F.coalesce(F.col(out_col),
+                                               F.lit("")))))
+
+
 def dedup_lines(df: DataFrame, id_col: str, text_col: str,
                 max_doc_freq: int = 1, min_line_chars: int = 5,
                 out_col: str = "clean_text",
@@ -438,38 +478,19 @@ def dedup_lines(df: DataFrame, id_col: str, text_col: str,
 
     Fully columnar: posexplode → distinct-doc count per line (one
     shuffle, map-side partial agg on (line_hash) with 8-byte keys) →
-    anti-filter → ordered reassembly via
-    ``concat_ws ∘ sort_array ∘ collect_list``.  Null-text rows pass
-    through with ``out_col`` null.
+    anti-filter → ordered reassembly (shared ``_exploded_lines`` /
+    ``_reassemble_lines`` scaffolding with the host-scoped variant).
+    Null-text rows pass through with ``out_col`` null.
     """
     base = df.select(F.col(id_col).alias("__doc"), F.col(text_col))
-    lines = base.where(F.col(text_col).isNotNull()).select(
-        "__doc",
-        F.posexplode(F.split(F.col(text_col), re.escape(sep)))
-         .alias("__pos", "__line"),
-    ).withColumn("__lh", F.xxhash64("__line")) \
-     .withColumn("__countable",
-                 F.length(F.btrim("__line")) >= min_line_chars)
-
+    lines = _exploded_lines(base, text_col, sep, min_line_chars)
     freq = (lines.where("__countable")
             .groupBy("__lh")
             .agg(F.count_distinct("__doc").alias("__df"))
             .where(F.col("__df") > max_doc_freq)
             .select("__lh"))
-
     kept = lines.join(freq, "__lh", "left_anti")
-    rebuilt = (kept.groupBy("__doc")
-               .agg(F.concat_ws(
-                    sep,
-                    F.transform(
-                        F.sort_array(F.collect_list(
-                            F.struct("__pos", "__line"))),
-                        lambda s: s["__line"])).alias(out_col)))
-
-    out = (base.join(rebuilt, "__doc", "left")
-           .withColumn(out_col,
-                       F.when(F.col(text_col).isNull(), F.lit(None))
-                        .otherwise(F.coalesce(F.col(out_col), F.lit("")))))
+    out = _reassemble_lines(base, kept, text_col, sep, out_col)
     return out.withColumnRenamed("__doc", id_col)
 
 
@@ -494,19 +515,13 @@ def strip_host_boilerplate(df: DataFrame, id_col: str, host_col: str,
 
     Scale shape: one slim shuffle on (host, line_hash) for the
     frequency table, a host-keyed page count (tiny, AQE broadcasts the
-    boilerplate set when it fits), and the same ordered reassembly as
-    ``dedup_lines``.
+    boilerplate set when it fits), and the shared ordered-reassembly
+    scaffolding (``_exploded_lines`` / ``_reassemble_lines``).
     """
     base = df.select(F.col(id_col).alias("__doc"),
                      F.col(host_col).alias("__host"), F.col(text_col))
-    lines = base.where(F.col(text_col).isNotNull()).select(
-        "__doc", "__host",
-        F.posexplode(F.split(F.col(text_col), re.escape(sep)))
-         .alias("__pos", "__line"),
-    ).withColumn("__lh", F.xxhash64("__line")) \
-     .withColumn("__countable",
-                 F.length(F.btrim("__line")) >= min_line_chars)
-
+    lines = _exploded_lines(base, text_col, sep, min_line_chars,
+                            extra_cols=("__host",))
     pages = (base.where(F.col(text_col).isNotNull())
              .groupBy("__host")
              .agg(F.count_distinct("__doc").alias("__pages")))
@@ -518,19 +533,8 @@ def strip_host_boilerplate(df: DataFrame, id_col: str, host_col: str,
                      & (F.col("__df")
                         > F.col("__pages") * F.lit(max_page_frac)))
               .select("__host", "__lh"))
-
     kept = lines.join(boiler, ["__host", "__lh"], "left_anti")
-    rebuilt = (kept.groupBy("__doc")
-               .agg(F.concat_ws(
-                    sep,
-                    F.transform(
-                        F.sort_array(F.collect_list(
-                            F.struct("__pos", "__line"))),
-                        lambda s: s["__line"])).alias(out_col)))
-    out = (base.join(rebuilt, "__doc", "left")
-           .withColumn(out_col,
-                       F.when(F.col(text_col).isNull(), F.lit(None))
-                        .otherwise(F.coalesce(F.col(out_col), F.lit("")))))
+    out = _reassemble_lines(base, kept, text_col, sep, out_col)
     return (out.withColumnRenamed("__doc", id_col)
             .withColumnRenamed("__host", host_col))
 

@@ -141,7 +141,9 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     return out
 
 
-ANCHOR_RE = (r'(?is)<a\b[^>]*href\s*=\s*"([^"#][^"]*)"[^>]*>(.*?)</a>')
+# backreference covers both quote styles, matching HREF_RE's behavior
+ANCHOR_RE = (r"(?is)<a\b[^>]*href\s*=\s*([\"'])([^\"'#][^\"']*)\1"
+             r"[^>]*>(.*?)</a>")
 
 
 def extract_links_with_text(df: DataFrame, url_col: str = "url",
@@ -154,8 +156,8 @@ def extract_links_with_text(df: DataFrame, url_col: str = "url",
 
     Columnar: two regexp_extract_all passes over the same pattern
     (href group, text group) zipped positionally — no Python."""
-    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 1)
-    texts = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 2)
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 2)
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 3)
     pairs = F.zip_with(hrefs, texts,
                        lambda h, t: F.struct(h.alias("dst"),
                                              t.alias("raw")))

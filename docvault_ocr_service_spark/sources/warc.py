@@ -33,7 +33,9 @@ any whole-file cap, and one pathological record must not drop the other
 from __future__ import annotations
 
 import gzip
+import hashlib
 import io
+import uuid
 import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
@@ -315,6 +317,15 @@ def parse_warc(data: bytes) -> Iterator[dict]:
         }
 
 
+def _record_id(url: str, ts) -> bytes:
+    """Deterministic WARC-Record-ID (WARC/1.0 §5.2 requires one per
+    record): a name-based UUID over url+timestamp, so identical inputs
+    re-encode byte-identically."""
+    digest = hashlib.md5(
+        f"{url}|{ts.isoformat() if ts else ''}".encode()).digest()
+    return f"<urn:uuid:{uuid.UUID(bytes=digest)}>".encode()
+
+
 def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     """Deterministic WARC writer: records are dicts with url (str),
     warc_ts (datetime | None), html (bytes), optional status (int)."""
@@ -328,6 +339,7 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
         hdr = (
             b"WARC/1.0\r\n"
             b"WARC-Type: response\r\n"
+            + b"WARC-Record-ID: " + _record_id(r["url"], ts) + CRLF
             + b"WARC-Target-URI: " + r["url"].encode() + CRLF
             + b"WARC-Date: "
             + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + CRLF
@@ -355,6 +367,7 @@ def encode_wet(records: list[dict], gzip_members: bool = True) -> bytes:
         hdr = (
             b"WARC/1.0\r\n"
             b"WARC-Type: conversion\r\n"
+            + b"WARC-Record-ID: " + _record_id(r["url"], ts) + CRLF
             + b"WARC-Target-URI: " + r["url"].encode() + CRLF
             + b"WARC-Date: "
             + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + CRLF
@@ -376,8 +389,8 @@ def write_wet(results, out_dir: str, *, records_per_shard: int = 1000,
 
     from pyspark.sql import functions as F
 
-    cols = ["url", "text"] + (["warc_ts"] if "warc_ts" in
-                              results.columns else [])
+    has_ts = "warc_ts" in results.columns
+    cols = ["url", "text"] + (["warc_ts"] if has_ts else [])
     rows = results.where(F.col("text").isNotNull()).select(*cols)
 
     def write_partition(it):
@@ -402,8 +415,7 @@ def write_wet(results, out_dir: str, *, records_per_shard: int = 1000,
 
         for row in it:
             batch.append({"url": row["url"], "text": row["text"],
-                          "warc_ts": row["warc_ts"]
-                          if "warc_ts" in row.__fields__ else None})
+                          "warc_ts": row["warc_ts"] if has_ts else None})
             if len(batch) >= records_per_shard:
                 flush()
         flush()

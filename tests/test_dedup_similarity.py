@@ -309,7 +309,7 @@ def test_anchor_text_index(spark):
         ("https://a/1",
          '<a href="https://t/x">Good <b>Page</b></a>'
          '<a href="https://t/x">good page</a>'
-         "<a href='https://skipped/unquoted-style'>no</a>"),
+         "<a href='https://t/q'>single quoted works too</a>"),
         ("https://a/2",
          '<a href="https://t/x">Good Page</a>'
          '<a href="https://t/y">   </a>'
@@ -324,6 +324,8 @@ def test_anchor_text_index(spark):
     assert list(x["top_anchors"]) == ["Good Page", "good page"]
     y = got["https://t/y"]               # blank anchor dropped
     assert y["n_inlinks"] == 1 and list(y["top_anchors"]) == ["why"]
+    q = got["https://t/q"]               # single-quoted href counted
+    assert list(q["top_anchors"]) == ["single quoted works too"]
 
 
 def test_dedup_keep_best(spark):
