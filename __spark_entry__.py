@@ -1583,6 +1583,39 @@ def frontier_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "host", F.round("rank", 6).alias("rank"))
 
 
+def sitemap_lastmod_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap <url> entry parsing with <lastmod> (functions/web.py::
+    sitemap_entries — the table plan_recrawl consumes): per doc a
+    synthetic urlset with two entries cycling W3C-datetime /
+    date-only / invalid / absent lastmod forms; DuckDB recomputes
+    urls and parsed timestamps (as strings) from the same formulas."""
+    from docvault_ocr_service_spark.functions.web import sitemap_entries
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+    lastmod1 = (F.when(d % 4 == 0,
+                       F.concat(F.lit("<lastmod>2024-02-"),
+                                F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+                                F.lit("T06:30:00Z</lastmod>")))
+                .when(d % 4 == 1,
+                      F.concat(F.lit("<lastmod>2024-03-"),
+                               F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+                               F.lit("</lastmod>")))
+                .when(d % 4 == 2, F.lit("<lastmod>soonish</lastmod>"))
+                .otherwise(F.lit("")))
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://m.example/a"), d.cast("string"),
+        F.lit("</loc>"), lastmod1, F.lit("</url><url><loc> https://m.example/b"),
+        d.cast("string"), F.lit(" </loc></url></urlset>"))
+    sm = docs.select(F.lit("m.example").alias("host"), xml.alias("sitemap_xml"))
+    out = sitemap_entries(sm)
+    return out.select(
+        "host", "url",
+        F.date_format("lastmod", "yyyy-MM-dd HH:mm:ss").alias("lastmod"),
+    ).orderBy("url")
+
+
 def dedup_keep_best_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted canonical selection (operators/dedup.py::
     dedup_keep_best): exact-dup clusters over the doubled corpus (pairs
@@ -2451,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist_stats": domain_blocklist_stats,
         "recrawl_batch": recrawl_batch,
         "dedup_keep_best_stats": dedup_keep_best_stats,
+        "sitemap_lastmod_extraction": sitemap_lastmod_extraction,
         "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2484,9 +2518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q10_returned_revenue,
         "q18_large_orders": q18_large_orders,
         "q_rollup_priority": q_rollup_priority,
-        "q_pivot_segment": q_pivot_segment,
         "doc_categories": doc_categories,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "q_pivot_segment": q_pivot_segment,
         "q_top_suppliers_window": q_top_suppliers_window,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,

@@ -321,6 +321,37 @@ def sitemap_urls(df, xml_col: str = "sitemap_xml"):
               .drop(xml_col))
 
 
+def sitemap_entries(df, xml_col: str = "sitemap_xml"):
+    """(host, sitemap_xml) → (host, url, lastmod timestamp?) — the
+    <url> entry scan ``plan_recrawl`` consumes: each ``<url>`` block's
+    ``<loc>`` plus its optional ``<lastmod>`` (W3C datetime; date-only
+    values parse as midnight, absent/invalid values null).  Columnar:
+    one regexp pass per field over exploded ``<url>`` blocks."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), 1)
+    exploded = df.withColumn("__u", F.explode(blocks)).drop(xml_col)
+    loc = F.regexp_extract(F.col("__u"),
+                           r"<loc>\s*([^<]+?)\s*</loc>", 1)
+    unescaped = F.replace(F.replace(F.replace(F.replace(F.replace(
+        loc, F.lit("&lt;"), F.lit("<")),
+        F.lit("&gt;"), F.lit(">")),
+        F.lit("&quot;"), F.lit('"')),
+        F.lit("&apos;"), F.lit("'")),
+        F.lit("&amp;"), F.lit("&"))        # &amp; LAST
+    raw_mod = F.regexp_extract(
+        F.col("__u"), r"<lastmod>\s*([^<]+?)\s*</lastmod>", 1)
+    lastmod = F.coalesce(
+        F.try_to_timestamp(raw_mod,
+                           F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(raw_mod, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(raw_mod, F.lit("yyyy-MM-dd")))
+    return (exploded
+            .withColumn("url", unescaped)
+            .withColumn("lastmod", lastmod)
+            .where(F.col("url") != "")
+            .drop("__u"))
+
+
 def robots_sitemap_urls(robots_df, *, host_col: str = "host",
                         txt_col: str = "robots_txt"):
     """(host, sitemap_url) rows from ``Sitemap:`` directives in

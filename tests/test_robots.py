@@ -272,3 +272,28 @@ def test_plan_recrawl(spark):
                      datetime(2024, 6, 15, tzinfo=timezone.utc),
                      limit=2).collect()
     assert a == b and len(a) == 2
+
+
+def test_sitemap_entries(spark):
+    from docvault_ocr_service_spark.functions.web import sitemap_entries
+
+    xml = ("<?xml version='1.0'?><urlset>"
+           "<url><loc> https://a.example/p?x=1&amp;y=2 </loc>"
+           "<lastmod>2024-03-05T12:30:00Z</lastmod></url>"
+           "<url><loc>https://a.example/q</loc>"
+           "<lastmod>2024-03-06</lastmod></url>"
+           "<url><loc>https://a.example/r</loc>"
+           "<lastmod>not a date</lastmod></url>"
+           "<url><loc>https://a.example/s</loc></url>"
+           "<url><lastmod>2024-01-01</lastmod></url></urlset>")
+    df = spark.createDataFrame([("a.example", xml)],
+                               ["host", "sitemap_xml"])
+    got = {r["url"]: r["lastmod"] for r in sitemap_entries(df).collect()}
+    assert set(got) == {"https://a.example/p?x=1&y=2",
+                        "https://a.example/q", "https://a.example/r",
+                        "https://a.example/s"}
+    assert str(got["https://a.example/p?x=1&y=2"]) == \
+        "2024-03-05 12:30:00"
+    assert str(got["https://a.example/q"]) == "2024-03-06 00:00:00"
+    assert got["https://a.example/r"] is None     # invalid -> null
+    assert got["https://a.example/s"] is None     # absent -> null
