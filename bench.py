@@ -106,6 +106,10 @@ HEADLINE = (
     "bpe_roundtrip_stats",
     "frontier_crawl_delay",
     "mp3_audio_stats",
+    "c4_filter_stats",
+    "host_boilerplate_stats",
+    "anchor_text_stats",
+    "recrawl_batch",
 )
 
 
