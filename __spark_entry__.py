@@ -1583,6 +1583,27 @@ def frontier_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "host", F.round("rank", 6).alias("rank"))
 
 
+def fuzzy_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash) benchmark decontamination: every 10th document
+    doubles as a benchmark item; the screen must recover each item's
+    own source doc at est_jaccard 1.0 (the analytic invariant — extra
+    near-dup hits are hash-family-dependent and not pinned here, like
+    the recall-style dedup oracles)."""
+    from docvault_ocr_service_spark.operators.contamination import (
+        fuzzy_contamination)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5000).alias("bench_id"), "text")
+    hits = fuzzy_contamination(docs, bench, "doc_id", "text")
+    self_hits = hits.agg(
+        F.sum(F.when((F.col("bench_id") == F.col("doc_id") + 5000)
+                     & (F.col("est_jaccard") == 1.0), 1).otherwise(0))
+         .cast("long").alias("n_self_hits"))
+    n_bench = bench.agg(F.count("*").cast("long").alias("n_bench"))
+    return self_hits.crossJoin(n_bench)    # two scalar frames
+
+
 def sitemap_lastmod_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap <url> entry parsing with <lastmod> (functions/web.py::
     sitemap_entries — the table plan_recrawl consumes): per doc a
@@ -2485,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_batch": recrawl_batch,
         "dedup_keep_best_stats": dedup_keep_best_stats,
         "sitemap_lastmod_extraction": sitemap_lastmod_extraction,
+        "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2517,9 +2539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q10_returned_revenue": q10_returned_revenue,
         "q18_large_orders": q18_large_orders,
-        "q_rollup_priority": q_rollup_priority,
         "doc_categories": doc_categories,
         # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        "q_rollup_priority": q_rollup_priority,
         "q_pivot_segment": q_pivot_segment,
         "q_top_suppliers_window": q_top_suppliers_window,
         "events_hourly": events_hourly,

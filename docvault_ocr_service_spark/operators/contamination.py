@@ -57,3 +57,59 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
         .where(F.col("n_contaminated_grams") >= min_hits) \
         .select(id_col)
     return corpus.join(bad, id_col, "left_anti")
+
+
+def fuzzy_contamination(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str, text_col: str,
+                        bench_id_col: str = "bench_id",
+                        bench_text_col: str = "text",
+                        num_perm: int = 64, bands: int = 16,
+                        shingle_n: int = 3,
+                        min_jaccard: float = 0.8) -> DataFrame:
+    """→ (doc, bench_id, est_jaccard) for corpus docs NEAR-duplicating
+    a benchmark item — the fuzzy sibling of the 13-gram screen: exact
+    n-gram collision misses lightly paraphrased/reformatted eval items
+    (whitespace, punctuation, field reordering), MinHash similarity
+    does not.
+
+    Scale shape: both sides get MinHash signatures (one vectorized pass
+    each); the benchmark's banded keys are TINY (eval suites are
+    thousands of rows × bands) and broadcast, so the corpus side stays
+    map-only until the per-candidate-pair signature compare — no
+    corpus self-join, no corpus shuffle beyond the candidate set.
+    """
+    from .dedup import (minhash_band_keys, minhash_signatures,
+                        _est_jaccard)
+
+    c_sig = minhash_signatures(corpus, id_col, text_col,
+                               num_perm, shingle_n)
+    b_sig = minhash_signatures(benchmark, bench_id_col, bench_text_col,
+                               num_perm, shingle_n)
+    c_keys = minhash_band_keys(c_sig, num_perm, bands)
+    b_keys = minhash_band_keys(b_sig, num_perm, bands) \
+        .withColumnRenamed("doc", "__bench")
+    cand = (c_keys.join(F.broadcast(b_keys), ["band", "band_hash"])
+            .select("doc", "__bench").distinct())
+    scored = (cand
+              .join(c_sig.withColumnRenamed("signature", "sig_a"), "doc")
+              .join(b_sig.select(F.col("doc").alias("__bench"),
+                                 F.col("signature").alias("sig_b")),
+                    "__bench")
+              .withColumn("est_jaccard", _est_jaccard(num_perm))
+              .where(F.col("est_jaccard") >= min_jaccard))
+    return scored.select(F.col("doc").alias(id_col),
+                         F.col("__bench").alias(bench_id_col),
+                         F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str, text_col: str,
+                        bench_id_col: str = "bench_id",
+                        bench_text_col: str = "text",
+                        min_jaccard: float = 0.8) -> DataFrame:
+    """Corpus minus near-duplicates of benchmark items."""
+    bad = fuzzy_contamination(
+        corpus, benchmark, id_col, text_col, bench_id_col,
+        bench_text_col, min_jaccard=min_jaccard) \
+        .select(F.col(id_col)).distinct()
+    return corpus.join(bad, id_col, "left_anti")

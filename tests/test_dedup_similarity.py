@@ -346,3 +346,30 @@ def test_dedup_keep_best(spark):
     # {1,2,3} -> 2 (best q); {5,6} -> 5 (tie, min id);
     # {9,10} -> 9 (null q loses to any value)
     assert kept == [2, 5, 9], kept
+
+
+def test_fuzzy_contamination(spark):
+    """MinHash decontamination catches paraphrased benchmark items the
+    exact 13-gram screen would miss."""
+    from docvault_ocr_service_spark.operators.contamination import (
+        decontaminate_fuzzy, fuzzy_contamination)
+
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong potions at midnight near the old "
+            "stone bridge")
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, base.replace("lazy", "sleepy")),      # paraphrase
+         (3, "completely different text about spark dataframes and "
+             "shuffles in a big cluster far away")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, base)], ["bench_id", "text"])
+    hits = {(r["doc_id"], r["bench_id"]): r["est_jaccard"]
+            for r in fuzzy_contamination(corpus, bench,
+                                         "doc_id", "text").collect()}
+    assert hits[(1, 100)] == 1.0
+    assert 0.5 < hits[(2, 100)] < 1.0
+    assert (3, 100) not in hits
+    kept = sorted(r["doc_id"] for r in decontaminate_fuzzy(
+        corpus, bench, "doc_id", "text").collect())
+    assert kept == [3]
