@@ -81,6 +81,15 @@ def fuzzy_contamination(corpus: DataFrame, benchmark: DataFrame,
     from .dedup import (minhash_band_keys, minhash_signatures,
                         _est_jaccard)
 
+    for df_, col_ in ((corpus, id_col), (benchmark, bench_id_col)):
+        t = dict(df_.dtypes)[col_]
+        if t not in ("tinyint", "smallint", "int", "bigint", "long"):
+            # the signature kernel casts ids to long; a url id would
+            # silently null out and drop every row — fail loudly
+            raise ValueError(
+                f"fuzzy_contamination needs numeric ids "
+                f"(got {col_}: {t}); derive one first, e.g. "
+                f"xxhash64(url)")
     c_sig = minhash_signatures(corpus, id_col, text_col,
                                num_perm, shingle_n)
     b_sig = minhash_signatures(benchmark, bench_id_col, bench_text_col,

@@ -42,10 +42,23 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
                        window: int = 2048,
                        min_quality: float = 0.35,
                        allowed_langs: tuple[str, ...] = ("en", "pl", "de"),
-                       contamination_ngram: int = 8) -> PipelineReport:
+                       contamination_ngram: int = 8,
+                       fix_encoding: bool = False,
+                       host_boilerplate: bool = False,
+                       fuzzy_decontaminate: bool = False,
+                       wet_export: bool = False) -> PipelineReport:
     """One end-to-end run.  Resumable: extraction state lives in
     ``state_dir`` (MERGE checkpoint), so re-running after a crash only
-    processes unclaimed pages."""
+    processes unclaimed pages.
+
+    Opt-in round-4 stages (defaults off keep historical outputs
+    byte-stable): ``fix_encoding`` repairs UTF-8-as-latin1 mojibake
+    before curation; ``host_boilerplate`` strips per-host template
+    chrome (nav/footer lines on > half a host's pages);
+    ``fuzzy_decontaminate`` adds the MinHash near-dup screen on top of
+    the exact n-gram one (needs ``benchmark_df``); ``wet_export``
+    additionally writes the curated corpus as Common Crawl WET shards
+    under ``out_dir/wet``."""
     from ..functions.textstats import token_count
     from ..functions.web import filter_by_robots
     from ..operators.checkpoint import ParquetCheckpointStore
@@ -83,6 +96,20 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
                               n_windows=0)
     done = results.where(F.col("status") == "done")
 
+    if fix_encoding:
+        from ..functions.textstats import fix_mojibake
+
+        done = done.withColumn("text", fix_mojibake(F.col("text")))
+    if host_boilerplate:
+        from ..functions.web import url_host
+        from ..operators.dedup import strip_host_boilerplate
+
+        done = (strip_host_boilerplate(
+                    done.withColumn("__host", url_host(F.col("url"))),
+                    "url", "__host", "text")
+                .withColumn("text", F.col("clean_text"))
+                .drop("clean_text", "__host"))
+
     curated, funnel = curate_corpus(
         done, min_quality=min_quality, allowed_langs=allowed_langs)
     curated_n = curated.count()
@@ -90,6 +117,17 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
     if benchmark_df is not None:
         curated = decontaminate(curated, benchmark_df, "url", "text",
                                 n=contamination_ngram)
+        if fuzzy_decontaminate:
+            from ..operators.contamination import fuzzy_contamination
+
+            # numeric ids for the signature kernel: hash urls/bench rows
+            keyed = curated.withColumn("__uid", F.xxhash64("url"))
+            bench = benchmark_df.withColumn("bench_id",
+                                            F.xxhash64("text"))
+            bad = (fuzzy_contamination(keyed, bench, "__uid", "text")
+                   .select("__uid").distinct())
+            curated = keyed.join(bad, "__uid", "left_anti") \
+                .drop("__uid")
         clean_n = curated.count()
     else:
         clean_n = curated_n          # no recount of the curation lineage
@@ -104,6 +142,11 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
         "n_tokens", window).first()
     funnel.write.mode("overwrite").parquet(
         os.path.join(out_dir, "funnel"))
+    if wet_export:
+        from ..sources.warc import write_wet
+
+        write_wet(curated.select("url", "text"),
+                  os.path.join(out_dir, "wet"))
 
     return PipelineReport(
         run_id=report.run_id,

@@ -79,3 +79,40 @@ def test_full_pipeline(spark, tmp_path):
         spark, warc_dir, str(tmp_path / "state"), str(tmp_path / "out"),
         robots_df=robots, benchmark_df=bench, window=512)
     assert rep2.extracted_done == rep.extracted_done
+
+
+def test_pipeline_round4_stages(spark, tmp_path):
+    """Opt-in stages: mojibake repair + host boilerplate strip + fuzzy
+    decontamination + WET export, end to end."""
+    import glob
+
+    from docvault_ocr_service_spark.sources.warc import parse_warc
+
+    warc_dir = _warc_corpus(tmp_path, n=60)
+    out = tmp_path / "out_r4"
+    rep0 = run_crawl_pipeline(
+        spark, warc_dir, str(tmp_path / "state_r4a"), str(out),
+        window=512)
+    survivor = spark.read.parquet(str(out / "curated")) \
+        .select("text").first()["text"]
+    # paraphrase the survivor: exact 8-gram screen may or may not catch
+    # it, the fuzzy screen must
+    words = survivor.split()
+    words[len(words) // 2] = "REPLACED"
+    bench = spark.createDataFrame([(" ".join(words),)], ["text"])
+
+    rep = run_crawl_pipeline(
+        spark, warc_dir, str(tmp_path / "state_r4b"),
+        str(tmp_path / "out_r4b"), benchmark_df=bench, window=512,
+        fix_encoding=True, host_boilerplate=True,
+        fuzzy_decontaminate=True, wet_export=True)
+    assert rep.extracted_done > 30
+    assert rep.decontaminated >= 1           # the paraphrase was caught
+    curated = spark.read.parquet(str(tmp_path / "out_r4b" / "curated"))
+    assert survivor not in {r["text"] for r in
+                            curated.select("text").collect()}
+    wet_files = glob.glob(str(tmp_path / "out_r4b" / "wet" / "*.gz"))
+    assert wet_files
+    n_wet = sum(1 for f in wet_files
+                for _ in parse_warc(open(f, "rb").read()))
+    assert n_wet == curated.count()
