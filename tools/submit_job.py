@@ -62,6 +62,17 @@ def main() -> None:
     ap.add_argument("--hocr", action="store_true",
                     help="additionally write hOCR serializations of "
                          "done rows to <out>/hocr/run=<id>")
+    ap.add_argument("--fix-encoding", action="store_true",
+                    help="(pipeline) repair UTF-8-as-latin1 mojibake "
+                         "before curation")
+    ap.add_argument("--host-boilerplate", action="store_true",
+                    help="(pipeline) strip per-host template chrome")
+    ap.add_argument("--fuzzy-decontaminate", action="store_true",
+                    help="(pipeline) MinHash near-dup screen on top of "
+                         "the exact n-gram one (needs --benchmark)")
+    ap.add_argument("--wet", action="store_true",
+                    help="(pipeline) export the curated corpus as "
+                         "Common Crawl WET shards under <out>/wet")
     args = ap.parse_args()
     if args.hocr and not args.out:
         ap.error("--hocr requires --out (hOCR lands in <out>/hocr)")
@@ -95,10 +106,14 @@ def main() -> None:
         if bench_df is None:
             print("WARNING: no --benchmark table; decontamination "
                   "skipped", file=sys.stderr)
-        report = run_crawl_pipeline(spark, args.warc, args.state,
-                                    args.out or args.state + "/out",
-                                    robots_df=robots_df,
-                                    benchmark_df=bench_df)
+        report = run_crawl_pipeline(
+            spark, args.warc, args.state,
+            args.out or args.state + "/out",
+            robots_df=robots_df, benchmark_df=bench_df,
+            fix_encoding=args.fix_encoding,
+            host_boilerplate=args.host_boilerplate,
+            fuzzy_decontaminate=args.fuzzy_decontaminate,
+            wet_export=args.wet)
         print(report)
         return
 
