@@ -305,19 +305,26 @@ def parse_sitemap(xml: str) -> list[str]:
     return out
 
 
+def _xml_unescape(col):
+    """Columnar 5-entity XML unescape (&amp; LAST: &amp;lt; → &lt;) —
+    the one copy every sitemap scanner shares."""
+    return F.replace(F.replace(F.replace(F.replace(F.replace(
+        col, F.lit("&lt;"), F.lit("<")),
+        F.lit("&gt;"), F.lit(">")),
+        F.lit("&quot;"), F.lit('"')),
+        F.lit("&apos;"), F.lit("'")),
+        F.lit("&amp;"), F.lit("&"))
+
+
+_LOC_PATTERN = r"<loc>\s*([^<]+?)\s*</loc>"
+
+
 def sitemap_urls(df, xml_col: str = "sitemap_xml"):
     """(host, sitemap_xml) → one row per discovered URL (host, url).
     Columnar: the <loc> scan is a native regexp_extract_all."""
-    locs = F.regexp_extract_all(F.col(xml_col), F.lit(r"<loc>\s*([^<]+?)\s*</loc>"), 1)
-    unescaped = F.transform(
-        locs,
-        lambda u: F.replace(F.replace(F.replace(F.replace(F.replace(
-            u, F.lit("&lt;"), F.lit("<")),
-            F.lit("&gt;"), F.lit(">")),
-            F.lit("&quot;"), F.lit('"')),
-            F.lit("&apos;"), F.lit("'")),
-            F.lit("&amp;"), F.lit("&")))   # &amp; LAST
-    return (df.withColumn("url", F.explode(unescaped))
+    locs = F.regexp_extract_all(F.col(xml_col), F.lit(_LOC_PATTERN), 1)
+    return (df.withColumn("url",
+                          F.explode(F.transform(locs, _xml_unescape)))
               .drop(xml_col))
 
 
@@ -330,21 +337,20 @@ def sitemap_entries(df, xml_col: str = "sitemap_xml"):
     blocks = F.regexp_extract_all(
         F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), 1)
     exploded = df.withColumn("__u", F.explode(blocks)).drop(xml_col)
-    loc = F.regexp_extract(F.col("__u"),
-                           r"<loc>\s*([^<]+?)\s*</loc>", 1)
-    unescaped = F.replace(F.replace(F.replace(F.replace(F.replace(
-        loc, F.lit("&lt;"), F.lit("<")),
-        F.lit("&gt;"), F.lit(">")),
-        F.lit("&quot;"), F.lit('"')),
-        F.lit("&apos;"), F.lit("'")),
-        F.lit("&amp;"), F.lit("&"))        # &amp; LAST
+    loc = F.regexp_extract(F.col("__u"), _LOC_PATTERN, 1)
+    unescaped = _xml_unescape(loc)
     raw_mod = F.regexp_extract(
         F.col("__u"), r"<lastmod>\s*([^<]+?)\s*</lastmod>", 1)
-    lastmod = F.coalesce(
-        F.try_to_timestamp(raw_mod,
-                           F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-        F.try_to_timestamp(raw_mod, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
-        F.try_to_timestamp(raw_mod, F.lit("yyyy-MM-dd")))
+    # every W3C-datetime precision level, with and without zone
+    lastmod = F.coalesce(*[
+        F.try_to_timestamp(raw_mod, F.lit(fmt)) for fmt in (
+            "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+            "yyyy-MM-dd'T'HH:mm:ss.SSS",
+            "yyyy-MM-dd'T'HH:mm:ssXXX",
+            "yyyy-MM-dd'T'HH:mm:ss",
+            "yyyy-MM-dd'T'HH:mmXXX",
+            "yyyy-MM-dd'T'HH:mm",
+            "yyyy-MM-dd")])
     return (exploded
             .withColumn("url", unescaped)
             .withColumn("lastmod", lastmod)

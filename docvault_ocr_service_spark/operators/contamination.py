@@ -90,10 +90,20 @@ def fuzzy_contamination(corpus: DataFrame, benchmark: DataFrame,
                 f"fuzzy_contamination needs numeric ids "
                 f"(got {col_}: {t}); derive one first, e.g. "
                 f"xxhash64(url)")
+    from pyspark import StorageLevel
+
+    from .dedup import _MAX_HASH
+
+    # texts shorter than shingle_n words get the all-_MAX_HASH sentinel
+    # signature; two sentinels band-collide everywhere and would score
+    # est_jaccard 1.0 between unrelated short texts — exclude them on
+    # both sides (a <3-word doc cannot meaningfully contaminate)
+    not_sentinel = F.element_at("signature", 1) != F.lit(int(_MAX_HASH))
     c_sig = minhash_signatures(corpus, id_col, text_col,
-                               num_perm, shingle_n)
+                               num_perm, shingle_n) \
+        .where(not_sentinel).persist(StorageLevel.MEMORY_AND_DISK)
     b_sig = minhash_signatures(benchmark, bench_id_col, bench_text_col,
-                               num_perm, shingle_n)
+                               num_perm, shingle_n).where(not_sentinel)
     c_keys = minhash_band_keys(c_sig, num_perm, bands)
     b_keys = minhash_band_keys(b_sig, num_perm, bands) \
         .withColumnRenamed("doc", "__bench")

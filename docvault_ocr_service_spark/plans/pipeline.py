@@ -95,6 +95,7 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
                               decontaminated=0, total_tokens=0,
                               n_windows=0)
     done = results.where(F.col("status") == "done")
+    extracted_done_n = done.count()
 
     if fix_encoding:
         from ..functions.textstats import fix_mojibake
@@ -104,11 +105,16 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
         from ..functions.web import url_host
         from ..operators.dedup import strip_host_boilerplate
 
-        done = (strip_host_boilerplate(
-                    done.withColumn("__host", url_host(F.col("url"))),
-                    "url", "__host", "text")
-                .withColumn("text", F.col("clean_text"))
-                .drop("clean_text", "__host"))
+        # join the cleaned text back by url so every other result
+        # column (confidence, category, metadata, spans, …) survives
+        stripped = strip_host_boilerplate(
+            done.select("url", url_host(F.col("url")).alias("__host"),
+                        "text"),
+            "url", "__host", "text").select(
+            "url", F.col("clean_text").alias("__clean"))
+        done = (done.join(stripped, "url", "left")
+                .withColumn("text", F.coalesce("__clean", "text"))
+                .drop("__clean"))
 
     curated, funnel = curate_corpus(
         done, min_quality=min_quality, allowed_langs=allowed_langs)
@@ -152,7 +158,7 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
         run_id=report.run_id,
         pages_in=pages_in,
         robots_blocked=pages_in - polite_n,
-        extracted_done=done.count(),
+        extracted_done=extracted_done_n,
         curated=curated_n,
         decontaminated=curated_n - clean_n,
         total_tokens=int(stats["total_tokens"] or 0),

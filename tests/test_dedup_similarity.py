@@ -373,3 +373,18 @@ def test_fuzzy_contamination(spark):
     kept = sorted(r["doc_id"] for r in decontaminate_fuzzy(
         corpus, bench, "doc_id", "text").collect())
     assert kept == [3]
+
+
+def test_fuzzy_contamination_short_text_sentinels(spark):
+    """Sub-shingle texts get the sentinel signature; two sentinels must
+    NOT score as contamination."""
+    from docvault_ocr_service_spark.operators.contamination import (
+        fuzzy_contamination)
+
+    corpus = spark.createDataFrame(
+        [(1, "hi there"), (2, "a much longer document with plenty of "
+                              "words to shingle properly today")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, "42")], ["bench_id", "text"])
+    assert fuzzy_contamination(corpus, bench, "doc_id",
+                               "text").count() == 0

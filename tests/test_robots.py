@@ -297,3 +297,22 @@ def test_sitemap_entries(spark):
     assert str(got["https://a.example/q"]) == "2024-03-06 00:00:00"
     assert got["https://a.example/r"] is None     # invalid -> null
     assert got["https://a.example/s"] is None     # absent -> null
+
+
+def test_sitemap_lastmod_w3c_forms(spark):
+    from docvault_ocr_service_spark.functions.web import sitemap_entries
+
+    xml = ("<urlset>"
+           "<url><loc>https://a/1</loc>"
+           "<lastmod>2024-03-05T12:30:00.000+00:00</lastmod></url>"
+           "<url><loc>https://a/2</loc>"
+           "<lastmod>2024-03-05T12:30Z</lastmod></url>"
+           "<url><loc>https://a/3</loc>"
+           "<lastmod>2024-03-05T12:30:00+02:00</lastmod></url>"
+           "</urlset>")
+    df = spark.createDataFrame([("a", xml)], ["host", "sitemap_xml"])
+    got = {r["url"]: str(r["lastmod"])
+           for r in sitemap_entries(df).collect()}
+    assert got["https://a/1"] == "2024-03-05 12:30:00"
+    assert got["https://a/2"] == "2024-03-05 12:30:00"
+    assert got["https://a/3"] == "2024-03-05 10:30:00"   # zone applied

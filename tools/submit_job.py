@@ -76,6 +76,13 @@ def main() -> None:
     args = ap.parse_args()
     if args.hocr and not args.out:
         ap.error("--hocr requires --out (hOCR lands in <out>/hocr)")
+    if args.fuzzy_decontaminate and not args.benchmark:
+        ap.error("--fuzzy-decontaminate requires --benchmark")
+    pipeline_flags = (args.fix_encoding or args.host_boilerplate
+                      or args.fuzzy_decontaminate or args.wet)
+    if pipeline_flags and not args.full_pipeline:
+        ap.error("--fix-encoding/--host-boilerplate/"
+                 "--fuzzy-decontaminate/--wet require --full-pipeline")
 
     if args.make_zip:
         print(make_zip(args.make_zip))
