@@ -1,0 +1,65 @@
+"""Physical-plan audit over the headline queries: the `.explain`
+discipline as a reusable report.
+
+For each query, prints one line of plan vitals:
+
+- ``py``    — Python stages in the plan (ArrowEval/BatchEval/
+  MapInPandas/FlatMapGroupsInPandas); queries flagged ``py`` should be
+  exactly the ones whose semantics *require* Python (extraction
+  kernels, seeded sketches), never relational work.
+- ``xchg``  — Exchange (shuffle) operators; every one should be
+  explainable by a groupBy/join/window/orderBy the query needs.
+- ``bhj/smj`` — broadcast vs sort-merge joins chosen by Catalyst.
+- ``pushed`` — scans with pushed filters (predicate pushdown reached
+  parquet).
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from docvault_ocr_service_spark.session import get_spark  # noqa: E402
+
+_PY = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+       "FlatMapGroupsInPandas")
+
+
+def audit(plan: str) -> dict:
+    # (no codegen-span metric: under AQE the plan string carries no
+    # codegen markers until runtime finalizes each stage)
+    return {
+        "py": sum(plan.count(p) for p in _PY),
+        "xchg": plan.count("Exchange"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    names = [n for n in qs if not only or n in only]
+    for name in names:
+        try:
+            df = qs[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            a = audit(plan)
+            flags = " ".join(f"{k}={v}" for k, v in a.items())
+            print(f"{name:32s} {flags}")
+        except Exception as e:  # noqa: BLE001 — audit keeps going
+            print(f"{name:32s} AUDIT-ERROR {type(e).__name__}: {e}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
