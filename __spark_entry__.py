@@ -241,9 +241,8 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 flavor: suppliers achieving the maximum quarterly
-    revenue (the correlated-max pattern as one window)."""
-    from pyspark.sql import Window
-
+    revenue (correlated max as a scalar agg + broadcast join — no
+    single-partition window exchange)."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01"))
@@ -252,9 +251,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * (1 - F.col("l_discount")) * 10000, 0).cast("long")
     per_supp = (li.groupBy("l_suppkey")
                 .agg(F.sum(rev_e4).alias("total_revenue_e4")))
-    w = Window.partitionBy()
-    top = (per_supp
-           .withColumn("__mx", F.max("total_revenue_e4").over(w))
+    mx = per_supp.agg(F.max("total_revenue_e4").alias("__mx"))
+    top = (per_supp.join(F.broadcast(mx))
            .where(F.col("total_revenue_e4") == F.col("__mx"))
            .drop("__mx"))
     return (top.join(F.broadcast(supp),
@@ -1623,6 +1621,8 @@ def sitemap_lastmod_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.concat(F.lit("<lastmod>2024-03-"),
                                F.lpad((d % 28 + 1).cast("string"), 2, "0"),
                                F.lit("</lastmod>")))
+                .when(d % 12 == 2, F.lit("<lastmod>2024</lastmod>"))
+                .when(d % 12 == 6, F.lit("<lastmod>2024-05</lastmod>"))
                 .when(d % 4 == 2, F.lit("<lastmod>soonish</lastmod>"))
                 .otherwise(F.lit("")))
     xml = F.concat(

@@ -235,21 +235,48 @@ def train_bpe(df: DataFrame, text_col: str = "text",
     return merges
 
 
-def _segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+def _merge_pass(syms: list[str], a: str, b: str) -> list[str]:
+    """One left-to-right pass replacing every adjacent (a, b) — the
+    identical pass the trainer's ``_merge_word`` performs."""
+    i = 0
+    r: list[str] = []
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            r.append(a + b)
+            i += 2
+        else:
+            r.append(syms[i])
+            i += 1
+    return r
+
+
+def _segment_word(word: str, merges: list[tuple[str, str]],
+                  ranks: dict[tuple[str, str], int] | None = None
+                  ) -> list[str]:
+    """Pair-rank encoder (the GPT-2 ``bpe()`` shape): repeatedly apply
+    the lowest-ranked merge present in the word until none applies —
+    O(len²) per word, INDEPENDENT of vocab size, vs the old full
+    merge-list replay's O(n_merges × len).
+
+    Byte-identical to sequential replay for any merge list this trainer
+    produces (fuzz-pinned in tests/test_bpe.py): a pair ranked r can
+    only become adjacent through merges ranked < r (its two components
+    are formed strictly earlier in the list and nothing between them
+    can be consumed by a later merge first), so picking the globally
+    lowest applicable rank replays the same passes the in-order walk
+    would."""
+    if ranks is None:
+        ranks = {p: i for i, p in enumerate(merges)}
     syms = list(word) + [EOW]
-    for a, b in merges:
-        i = 0
-        r: list[str] = []
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                r.append(a + b)
-                i += 2
-            else:
-                r.append(syms[i])
-                i += 1
-        syms = r
-        if len(syms) == 1:
+    while len(syms) > 1:
+        best = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
             break
+        syms = _merge_pass(syms, *merges[best])
     return syms
 
 
@@ -259,6 +286,7 @@ def encode_bpe(df: DataFrame, merges: list[tuple[str, str]],
     """df + ``out_col`` array<string> (null text → null), applying the
     trained merges in order — identical segmentation to training."""
     mg = list(merges)
+    rk = {p: i for i, p in enumerate(mg)}
 
     @F.pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
@@ -278,7 +306,7 @@ def encode_bpe(df: DataFrame, merges: list[tuple[str, str]],
                     continue
                 seg = cache.get(w)
                 if seg is None:
-                    seg = _segment_word(w, mg)
+                    seg = _segment_word(w, mg, rk)
                     cache[w] = seg
                 toks.extend(seg)
             out.append(toks)
@@ -292,3 +320,53 @@ def decode_bpe(tokens):
     the whitespace-normalized source text."""
     return F.btrim(F.regexp_replace(
         F.concat_ws("", tokens), EOW, " "))
+
+
+# ---------------------------------------------------------------------------
+# Merge-list persistence.  Round-greedy training is parameterized by
+# topk_per_round (the batch width is part of the semantics — see
+# train_bpe), so persisted merge lists carry the trainer tag + params;
+# loading a list trained under a different scheme raises instead of
+# silently comparing apples to oranges.
+
+TRAINER_ALGORITHM = "round-greedy-v2"
+
+
+def save_merges(path: str, merges: list[tuple[str, str]], *,
+                topk_per_round: int, min_count: int = 2) -> None:
+    """Persist a trained merge list as JSON with the trainer contract
+    (algorithm tag, topk_per_round, min_count) in the header."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump({"algorithm": TRAINER_ALGORITHM,
+                   "topk_per_round": topk_per_round,
+                   "min_count": min_count,
+                   "n_merges": len(merges),
+                   "merges": [[a, b] for a, b in merges]}, f,
+                  ensure_ascii=False)
+
+
+def load_merges(path: str, *, expect_topk_per_round: int | None = None
+                ) -> list[tuple[str, str]]:
+    """Load a persisted merge list; raises ValueError if the artifact
+    was trained under a different algorithm (e.g. the pre-round-4
+    sequential top-1 trainer) or, when ``expect_topk_per_round`` is
+    given, a different batch width."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        art = json.load(f)
+    algo = art.get("algorithm")
+    if algo != TRAINER_ALGORITHM:
+        raise ValueError(
+            f"merge list at {path} was trained by {algo!r}, this "
+            f"trainer is {TRAINER_ALGORITHM!r} — retrain or load with "
+            f"the matching engine version")
+    if (expect_topk_per_round is not None
+            and art.get("topk_per_round") != expect_topk_per_round):
+        raise ValueError(
+            f"merge list at {path} was trained with topk_per_round="
+            f"{art.get('topk_per_round')}, expected "
+            f"{expect_topk_per_round}")
+    return [(a, b) for a, b in art["merges"]]

@@ -350,7 +350,9 @@ def sitemap_entries(df, xml_col: str = "sitemap_xml"):
             "yyyy-MM-dd'T'HH:mm:ss",
             "yyyy-MM-dd'T'HH:mmXXX",
             "yyyy-MM-dd'T'HH:mm",
-            "yyyy-MM-dd")])
+            "yyyy-MM-dd",
+            "yyyy-MM",
+            "yyyy")])
     return (exploded
             .withColumn("url", unescaped)
             .withColumn("lastmod", lastmod)

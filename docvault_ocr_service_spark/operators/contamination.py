@@ -116,9 +116,16 @@ def fuzzy_contamination(corpus: DataFrame, benchmark: DataFrame,
                     "__bench")
               .withColumn("est_jaccard", _est_jaccard(num_perm))
               .where(F.col("est_jaccard") >= min_jaccard))
-    return scored.select(F.col("doc").alias(id_col),
-                         F.col("__bench").alias(bench_id_col),
-                         F.round("est_jaccard", 6).alias("est_jaccard"))
+    out = scored.select(F.col("doc").alias(id_col),
+                        F.col("__bench").alias(bench_id_col),
+                        F.round("est_jaccard", 6).alias("est_jaccard"))
+    # the hit set is small by contract (near-dupes of a broadcast-sized
+    # benchmark), so materialize it eagerly and release the cached
+    # corpus signatures — otherwise repeated calls in one session pin
+    # MEMORY_AND_DISK partitions for the session lifetime
+    out = out.localCheckpoint(eager=True)
+    c_sig.unpersist(blocking=False)
+    return out
 
 
 def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame,

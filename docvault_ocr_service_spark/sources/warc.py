@@ -323,7 +323,9 @@ def _record_id(url: str, ts) -> bytes:
     re-encode byte-identically."""
     digest = hashlib.md5(
         f"{url}|{ts.isoformat() if ts else ''}".encode()).digest()
-    return f"<urn:uuid:{uuid.UUID(bytes=digest)}>".encode()
+    # version=3 stamps the RFC 4122 version/variant bits so the urn:uuid
+    # is a spec-valid name-based UUID, not just 16 random-looking bytes
+    return f"<urn:uuid:{uuid.UUID(bytes=digest, version=3)}>".encode()
 
 
 def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
@@ -384,7 +386,14 @@ def write_wet(results, out_dir: str, *, records_per_shard: int = 1000,
     """Results DataFrame (url, warc_ts?, text) → sharded .warc.wet.gz
     files under ``out_dir``, one file per task partition (the CC
     contract: files are the unit of work).  Error rows (null text) are
-    skipped — WET carries successful conversions only."""
+    skipped — WET carries successful conversions only.
+
+    ``out_dir`` must be a path every executor can reach (shared
+    filesystem / fuse mount); shards are written with plain ``open()``
+    inside the task, so on a multi-node cluster point this at shared
+    storage, not an executor-local disk.  Each task creates the
+    directory itself, so a driver-only mkdir cannot strand executors
+    on a missing path."""
     import os
 
     from pyspark.sql import functions as F
@@ -407,6 +416,7 @@ def write_wet(results, out_dir: str, *, records_per_shard: int = 1000,
                 return
             name = f"part-{pid:05d}-{shard:04d}.warc.wet" + (
                 ".gz" if gzip_members else "")
+            os.makedirs(out_dir, exist_ok=True)
             with open(os.path.join(out_dir, name), "wb") as f:
                 f.write(encode_wet(batch, gzip_members))
             wrote += len(batch)

@@ -149,3 +149,64 @@ def test_batched_distributed_matches_local(spark):
             got = train_bpe(df, n_merges=25, min_count=1,
                             driver_vocab_limit=0, topk_per_round=topk)
             assert got == want, (docs, topk)
+
+
+def _segment_word_replay(word, merges):
+    """The pre-round-5 encoder: full in-order merge-list replay.  Kept
+    here as the semantic pin for the pair-rank encoder."""
+    from docvault_ocr_service_spark.functions.bpe import EOW, _merge_pass
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        syms = _merge_pass(syms, a, b)
+        if len(syms) == 1:
+            break
+    return syms
+
+
+def test_rank_encoder_matches_replay(spark):
+    """The O(len^2)-per-word pair-rank encoder must segment every word
+    byte-identically to the full merge-list replay, for merge lists
+    trained at several batch widths over the fuzz corpora."""
+    from docvault_ocr_service_spark.functions.bpe import (
+        _segment_word, _train_local, _word_symbols)
+    for docs in _fuzz_corpora():
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                                   ["doc_id", "text"])
+        rows = [(r["freq"], r["s"])
+                for r in _word_symbols(df, "text").collect()]
+        words = {w for t in docs for w in t.split()}
+        for topk in (1, 3, 256):
+            merges = _train_local(list(rows), 60, 1, topk)
+            ranks = {p: i for i, p in enumerate(merges)}
+            for w in sorted(words):
+                assert _segment_word(w, merges, ranks) == \
+                    _segment_word_replay(w, merges), (w, topk)
+
+
+def test_merge_list_save_load_roundtrip(tmp_path):
+    from docvault_ocr_service_spark.functions.bpe import (
+        load_merges, save_merges)
+    merges = [("l", "o"), ("lo", "w"), ("e", "r</w>")]
+    p = str(tmp_path / "merges.json")
+    save_merges(p, merges, topk_per_round=256)
+    assert load_merges(p) == merges
+    assert load_merges(p, expect_topk_per_round=256) == merges
+
+
+def test_merge_list_load_rejects_mismatch(tmp_path):
+    import json
+
+    import pytest
+
+    from docvault_ocr_service_spark.functions.bpe import (
+        load_merges, save_merges)
+    p = str(tmp_path / "merges.json")
+    save_merges(p, [("a", "b")], topk_per_round=64)
+    with pytest.raises(ValueError, match="topk_per_round"):
+        load_merges(p, expect_topk_per_round=256)
+    legacy = str(tmp_path / "legacy.json")
+    with open(legacy, "w") as f:
+        json.dump({"algorithm": "sequential-top1-v1",
+                   "merges": [["a", "b"]]}, f)
+    with pytest.raises(ValueError, match="sequential-top1-v1"):
+        load_merges(legacy)

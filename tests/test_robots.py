@@ -316,3 +316,21 @@ def test_sitemap_lastmod_w3c_forms(spark):
     assert got["https://a/1"] == "2024-03-05 12:30:00"
     assert got["https://a/2"] == "2024-03-05 12:30:00"
     assert got["https://a/3"] == "2024-03-05 10:30:00"   # zone applied
+
+
+def test_sitemap_lastmod_year_month_precision(spark):
+    """sitemaps.org allows every W3C-datetime precision down to bare
+    YYYY; year/month forms parse to the period start, not null."""
+    from docvault_ocr_service_spark.functions.web import sitemap_entries
+
+    xml = ("<urlset>"
+           "<url><loc>https://a/y</loc><lastmod>2023</lastmod></url>"
+           "<url><loc>https://a/m</loc><lastmod>2023-07</lastmod></url>"
+           "<url><loc>https://a/bad</loc><lastmod>2023-13</lastmod></url>"
+           "</urlset>")
+    df = spark.createDataFrame([("a", xml)], ["host", "sitemap_xml"])
+    got = {r["url"]: r["lastmod"]
+           for r in sitemap_entries(df).collect()}
+    assert str(got["https://a/y"]) == "2023-01-01 00:00:00"
+    assert str(got["https://a/m"]) == "2023-07-01 00:00:00"
+    assert got["https://a/bad"] is None
