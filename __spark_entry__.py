@@ -499,29 +499,35 @@ def pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def url_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eTLD+1 grouping (functions/web.py::registrable_domain): hosts
     with flat TLDs, multi-label public suffixes (co.uk / com.au /
-    github.io), subdomain prefixes, raw IPs and single labels roll up
-    to their registrable domain; DuckDB recomputes the domain from the
-    same keying formulas."""
+    github.io), PSL WILDCARD rules (*.ck, *.kawasaki.jp), PSL
+    EXCEPTION rules (!www.ck, !city.kawasaki.jp), subdomain prefixes,
+    raw IPs and single labels roll up to their registrable domain;
+    DuckDB recomputes the domain from the same keying formulas."""
     from docvault_ocr_service_spark.functions.web import (
         registrable_domain)
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
-    suffix = (F.when(d % 6 == 0, F.lit("com"))
-              .when(d % 6 == 1, F.lit("co.uk"))
-              .when(d % 6 == 2, F.lit("github.io"))
-              .when(d % 6 == 3, F.lit("org"))
-              .when(d % 6 == 4, F.lit("com.au"))
-              .otherwise(F.lit("de")))
+    site = F.concat(F.lit("site"), (d % 7).cast("string"))
+    suffix = (F.when(d % 9 == 0, F.lit("com"))
+              .when(d % 9 == 1, F.lit("co.uk"))
+              .when(d % 9 == 2, F.lit("github.io"))
+              .when(d % 9 == 3, F.lit("org"))
+              .when(d % 9 == 4, F.lit("com.au"))
+              .when(d % 9 == 5, F.lit("de"))
+              .when(d % 9 == 6, F.lit("ck"))
+              .otherwise(F.lit("kawasaki.jp")))
+    name = (F.when((d % 9 == 7) & (d % 2 == 0), F.lit("city"))
+            .when(d % 9 == 8, F.lit("www"))
+            .otherwise(site))
     prefix = (F.when(d % 3 == 0, F.lit(""))
               .when(d % 3 == 1, F.lit("www."))
               .otherwise(F.lit("a.b.")))
+    tld = F.when(d % 9 == 8, F.lit("ck")).otherwise(suffix)
     host = (F.when(d % 11 == 0,
                    F.concat(F.lit("192.168.0."), (d % 5).cast("string")))
             .when(d % 13 == 0, F.lit("localhost"))
-            .otherwise(F.concat(prefix, F.lit("site"),
-                                (d % 7).cast("string"), F.lit("."),
-                                suffix)))
+            .otherwise(F.concat(prefix, name, F.lit("."), tld)))
     return (docs.select(registrable_domain(host).alias("domain"))
             .groupBy("domain")
             .agg(F.count("*").cast("long").alias("n"))
@@ -1370,6 +1376,59 @@ def tiff_compressed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("kind"),
         mk_tiff(F.col("doc_id")).alias("payload"))
+    feats = extract_media_features(media, fake=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "decode_status", "width", "height",
+        F.round("brightness", 6).alias("brightness"),
+        F.round("contrast", 6).alias("contrast"))
+
+
+def tiff_jpeg6_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Old-style JPEG-in-TIFF (Compression=6, TIFF 6.0 §22 — the last
+    PIL-coverable TIFF variant, app/document_processor.py:99-176) under
+    the driver gate: per doc a flat 16×24 gray page (value (doc_id*7)%
+    256) is wrapped as an old-style TIFF — even docs via the
+    JPEGInterchangeFormat pointer pair, odd docs with the 513/514 tags
+    blanked so decode exercises the SOI-led-strip fallback layout —
+    and decoded through extract_media_features.  Flat blocks make the
+    lossy JPEG exact, so DuckDB recomputes brightness analytically."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.extract.images import encode_tiff_gray
+    from docvault_ocr_service_spark.functions.multimodal import (
+        extract_media_features)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 120)
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_tiff6(ids: pd.Series) -> pd.Series:
+        import struct
+
+        import numpy as np
+
+        out = []
+        for d in ids:
+            d = int(d)
+            pix = np.full((16, 24), (d * 7) % 256, dtype=np.uint8)
+            t = encode_tiff_gray([pix], compression="jpeg_old")
+            if d % 2:
+                # blank the interchange pointer tags: decode must fall
+                # back to the strips-hold-a-full-stream layout some
+                # old-style writers produced
+                b = bytearray(t)
+                for tag in (513, 514):
+                    i = b.find(struct.pack("<HH", tag, 4))
+                    b[i:i + 2] = struct.pack("<H", 59000 + tag)
+                t = bytes(b)
+            out.append(t)
+        return pd.Series(out)
+
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        mk_tiff6(F.col("doc_id")).alias("payload"))
     feats = extract_media_features(media, fake=False)
     return feats.select(
         F.col("media_id").cast("long").alias("doc_id"),
@@ -2292,6 +2351,78 @@ def thumbnail_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def webp_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail WEBP output arm (app/thumbnail_generator.py:60,229 —
+    the reference's third output format): deterministic RGB PNG
+    fixtures → generate_thumbnails(output_format='webp') → decode our
+    own lossless VP8L bytes back and require EXACT pixel equality with
+    the box-downsampled source (lossless codec ⇒ a stronger bound than
+    the JPEG arm's brightness tolerance).  The oracle recomputes dims
+    from the reference size formula and pins exactness."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.extract.images import encode_png
+    from docvault_ocr_service_spark.functions.multimodal import (
+        generate_thumbnails)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 80)
+
+    def fixture(d: int):
+        import numpy as np
+
+        w = 16 + (d % 40) * 3
+        h = 16 + ((d * 3) % 30) * 2
+        base = np.fromfunction(
+            lambda y, x: (x + y + d) % 256, (h, w)).astype("uint8")
+        return np.dstack([base, base[::-1], (base * 3 + d) % 256]) \
+            .astype("uint8")
+
+    @F.pandas_udf(T.BinaryType())
+    def mk_png(ids: pd.Series) -> pd.Series:
+        return pd.Series([encode_png(fixture(int(d))) for d in ids])
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("decoded_width", T.IntegerType()),
+        T.StructField("decoded_height", T.IntegerType()),
+        T.StructField("pixels_exact", T.BooleanType()),
+    ])
+
+    def verify(batches):
+        import numpy as np
+
+        from docvault_ocr_service_spark.extract.images import resize_box
+        from docvault_ocr_service_spark.extract.webp import decode_webp
+
+        for pdf in batches:
+            rows = []
+            for mid, status, fmt, thumb in zip(
+                    pdf["media_id"], pdf["status"], pdf["format"],
+                    pdf["thumb"]):
+                d = int(mid)
+                img = decode_webp(bytes(thumb))
+                src = fixture(d)
+                th, tw = img.shape[:2]
+                want = (src if src.shape[:2] == (th, tw)
+                        else resize_box(src, tw, th))
+                exact = np.array_equal(img, want)
+                rows.append((d, status, fmt, tw, th, bool(exact)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields])
+
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        mk_png(F.col("doc_id")).alias("payload"))
+    thumbs = generate_thumbnails(media, max_size=48,
+                                 output_format="webp")
+    return (thumbs.select("media_id", "status", "format", "thumb")
+            .mapInPandas(verify, schema=out_schema)
+            .orderBy("doc_id"))
+
+
 def thumbnail_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail sink (S8), oracle-checked: deterministic gray PNGs of
     varying sizes are decoded, thumbnailed through the reference's exact
@@ -2523,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
         "jpeg_progressive_stats": jpeg_progressive_stats,
         "tiff_compressed_stats": tiff_compressed_stats,
+        "tiff_jpeg6_stats": tiff_jpeg6_stats,
         "tiff_g4_stats": tiff_g4_stats,
         "media_preprocess_decisions": media_preprocess_decisions,
         "wav_audio_stats": wav_audio_stats,
@@ -2530,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_registrable_domains": url_registrable_domains,
         "thumbnail_dims": thumbnail_dims,
         "thumbnail_jpeg_stats": thumbnail_jpeg_stats,
+        "webp_thumbnail_stats": webp_thumbnail_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
         "stream_batch_equivalence": stream_batch_equivalence,
         "media_feature_stats": media_feature_stats,

@@ -51,14 +51,14 @@ def detect_format(payload: bytes | None) -> str:
     """Magic-byte container sniff (analogue of
     app/document_processor.py:48-97, minus libmagic).
 
-    Returns 'pdf' | 'html' | 'png' | 'jpeg' | 'tiff' | 'gif' | 'empty'
-    | 'unknown'.
+    Returns 'pdf' | 'html' | 'png' | 'jpeg' | 'tiff' | 'gif' | 'webp'
+    | 'empty' | 'unknown'.
     """
     if not payload:
         return "empty"
     if payload.startswith(PDF_MAGIC):
         return "pdf"
-    img = sniff_image_format(payload[:8])
+    img = sniff_image_format(payload[:16])
     if img is not None:
         return img
     head = payload[:2048]
@@ -198,7 +198,7 @@ def extract_document(url: str, html: bytes | None, text: str | None,
                 url, lang, "ocr_unavailable",
                 f"native text < {NATIVE_TEXT_MIN_CHARS} chars and no OCR "
                 "runtime in this environment", started)
-        if fmt in ("png", "jpeg", "tiff", "gif"):
+        if fmt in ("png", "jpeg", "tiff", "gif", "webp"):
             # valid *type* (V1: images pass admission), but this engine
             # has no OCR runtime to turn pixels into text — permanent
             # unsupported_format with the honest subtype, not

@@ -43,7 +43,9 @@ class UnsupportedImageError(ImageDecodeError):
 
 
 def sniff_image_format(head: bytes) -> str | None:
-    """PNG/JPEG/TIFF/GIF magic-byte sniff (document_processor.py:84-93)."""
+    """PNG/JPEG/TIFF/GIF/WEBP magic-byte sniff
+    (document_processor.py:84-93).  WEBP needs 12 bytes of head (RIFF
+    fourcc at 0, WEBP tag at 8 — RIFF/WAVE audio shares the prefix)."""
     if head.startswith(PNG_MAGIC[:4]):
         return "png"
     if head.startswith(JPEG_MAGIC):
@@ -52,6 +54,8 @@ def sniff_image_format(head: bytes) -> str | None:
         return "tiff"
     if head.startswith(GIF_MAGICS):
         return "gif"
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -448,8 +452,8 @@ def encode_tiff_rgb(frames: list[np.ndarray], *,
                         predictor=predictor)
 
 
-_TIFF_COMPRESSION_IDS = {"none": 1, "lzw": 5, "jpeg": 7, "deflate": 8,
-                         "packbits": 32773}
+_TIFF_COMPRESSION_IDS = {"none": 1, "lzw": 5, "jpeg_old": 6, "jpeg": 7,
+                         "deflate": 8, "packbits": 32773}
 
 
 def _encode_tiff(arrs: list[np.ndarray], spp: int, compression: str,
@@ -476,7 +480,7 @@ def _encode_tiff(arrs: list[np.ndarray], spp: int, compression: str,
             flat = (d % 256).astype(np.uint8).reshape(h, w * spp)
         if compression == "lzw":
             strip = _tiff_lzw_encode(flat.tobytes())
-        elif compression == "jpeg":
+        elif compression in ("jpeg", "jpeg_old"):
             from .jpeg import encode_jpeg
 
             strip = encode_jpeg(a, quality=95)
@@ -491,7 +495,8 @@ def _encode_tiff(arrs: list[np.ndarray], spp: int, compression: str,
         pix_counts.append(len(strip))
         body += strip
     ifd_start = base + len(body)
-    n_entries = 10 + (1 if predictor else 0)
+    n_entries = 10 + (1 if predictor else 0) \
+        + (2 if compression == "jpeg_old" else 0)
     ifd_size = 2 + 12 * n_entries + 4
     out += struct.pack("<I", ifd_start)
     out += body
@@ -509,6 +514,11 @@ def _encode_tiff(arrs: list[np.ndarray], spp: int, compression: str,
         ]
         if predictor:
             entries.append((317, 3, 1, 2))        # horizontal predictor
+        if compression == "jpeg_old":
+            # JPEGInterchangeFormat/-Length: the §22 pointer pair real
+            # old-style writers emit (strips cover the same bytes)
+            entries.append((513, 4, 1, pix_offsets[k]))
+            entries.append((514, 4, 1, pix_counts[k]))
         entries.sort()
         ifd = struct.pack("<H", n_entries)
         for tag, typ, cnt, val in entries:
@@ -563,12 +573,13 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
     extract/ccitt.py, honoring MinIsWhite — LZW (5, incl. the
     horizontal predictor tag 317=2), new-style JPEG (7, per-strip JPEG
     streams spliced with the shared JPEGTables tag 347 when present),
-    Adobe deflate (8, legacy 32946) and PackBits (32773) — the formats
+    Adobe deflate (8, legacy 32946), PackBits (32773), and old-style
+    JPEG (6, via the JPEGInterchangeFormat pointer or SOI-led strips;
+    the retracted tables-split form raises honestly) — the formats
     PIL covers for the reference's multi-frame TIFFs
-    (tests/test_document_processor.py:157-176).  Anything else
-    (old-style JPEG 6) raises ``UnsupportedImageError``;
-    truncated IFD chains surface as ImageDecodeError, never
-    struct.error."""
+    (tests/test_document_processor.py:157-176).  Anything else raises
+    ``UnsupportedImageError``; truncated IFD chains surface as
+    ImageDecodeError, never struct.error."""
     if data[:4] == b"II*\x00":
         end = "<"
     elif data[:4] == b"MM\x00*":
@@ -592,13 +603,51 @@ def decode_tiff(data: bytes, frame: int = 0) -> np.ndarray:
     v = _tiff_ifd_values(data, offset, end)
     try:
         w, h = v[256][0], v[257][0]
-        strip_offs, strip_cnts = v[273], v[279]
     except KeyError as e:
         raise ImageDecodeError(f"missing required TIFF tag {e}") from e
     compression = v.get(259, [1])[0]
-    if compression not in (1, 2, 3, 4, 5, 7, 8, 32946, 32773):
+    if compression not in (1, 2, 3, 4, 5, 6, 7, 8, 32946, 32773):
         raise UnsupportedImageError(
             f"unsupported TIFF compression {compression}")
+
+    if compression == 6:
+        # old-style JPEG (TIFF 6.0 §22): the JPEGInterchangeFormat
+        # pointer (513/514) embeds a complete JPEG stream — the form
+        # real writers emit; strips holding a full SOI-led stream are
+        # the common fallback layout.  The §22 tables-split form
+        # (JPEGQTables/JPEGDCTables per component, raw entropy strips)
+        # was retracted by TechNote 2 and is honestly unsupported.
+        from .jpeg import decode_jpeg
+
+        if 513 in v:
+            off6 = v[513][0]
+            ln6 = v.get(514, [len(data) - off6])[0]
+            if off6 + ln6 > len(data):
+                raise ImageDecodeError(
+                    "old-style JPEG interchange stream out of bounds")
+            stream = data[off6:off6 + ln6]
+        else:
+            offs, cnts = v.get(273, []), v.get(279, [])
+            if (offs and len(offs) == len(cnts)
+                    and data[offs[0]:offs[0] + 2] == b"\xff\xd8"):
+                if any(o + c > len(data) for o, c in zip(offs, cnts)):
+                    raise ImageDecodeError("strip out of bounds")
+                stream = b"".join(data[o:o + c]
+                                  for o, c in zip(offs, cnts))
+            else:
+                raise UnsupportedImageError(
+                    "old-style JPEG (6) tables-split form not supported "
+                    "(no interchange stream)")
+        arr = decode_jpeg(bytes(stream))
+        if arr.shape[:2] != (h, w):
+            raise ImageDecodeError(
+                "old-style JPEG dimensions disagree with IFD")
+        return arr
+
+    try:
+        strip_offs, strip_cnts = v[273], v[279]
+    except KeyError as e:
+        raise ImageDecodeError(f"missing required TIFF tag {e}") from e
 
     jpeg_tables = bytes(v[347]) if compression == 7 and 347 in v else None
     spp = v.get(277, [1])[0]

@@ -1,0 +1,529 @@
+"""WebP lossless (VP8L) codec — pure Python, same discipline as the
+PNG/JPEG/TIFF encoders in this package.
+
+Closes the reference's thumbnail output-format triple: the reference
+emits PNG/JPEG/WEBP thumbnails (app/thumbnail_generator.py:60,80,229 —
+PIL handles the encode there); this engine now encodes lossless VP8L
+(RFC 9649 §3, the WebP lossless bitstream) and decodes its own subset.
+
+Encoder envelope: literal-only ARGB stream — no transforms, no color
+cache, no LZ77 backward references; per-channel canonical prefix codes
+(simple 1/2-symbol codes where a channel is near-constant, normal
+DEFLATE-style code-length-coded Huffman otherwise).  Every emitted
+feature is spec-conformant, so any compliant WebP decoder reads the
+output; the subset merely trades some compression for simplicity.
+
+Decoder envelope: VP8L only (lossy VP8 and VP8X-extended containers
+raise ``UnsupportedImageError``), no transforms, color cache supported,
+backward references unsupported (raised honestly) — exactly enough to
+prove decode-your-own-encode round-trips plus cache-bearing simple
+files.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .images import ImageDecodeError, UnsupportedImageError
+
+# kCodeLengthCodeOrder — the storage order of the code-length code's own
+# lengths (RFC 9649 §3.7.1.2)
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8,
+             9, 10, 11, 12, 13, 14, 15, 16]
+_GREEN_ALPHABET = 256 + 24          # literals + length codes (cache 0)
+_DIST_ALPHABET = 40
+_CACHE_MULT = 0x1E35A7BD
+
+
+# -- bit i/o (LSB-first stream, prefix-code bits written MSB-first) ----------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc |= (value & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        # prefix-code bits go most-significant-first into the LSB-first
+        # stream (the DEFLATE convention VP8L shares)
+        for b in range(length - 1, -1, -1):
+            self.write((code >> b) & 1, 1)
+
+    def done(self) -> bytes:
+        if self.n:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = self.n = 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, nbits: int) -> int:
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                raise ImageDecodeError("VP8L bitstream truncated")
+            self.acc |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        v = self.acc & ((1 << nbits) - 1)
+        self.acc >>= nbits
+        self.n -= nbits
+        return v
+
+
+# -- canonical prefix codes ---------------------------------------------------
+
+def _huffman_lengths(freqs: list[int], max_len: int) -> list[int]:
+    """Code lengths for a canonical Huffman code over ``freqs`` (0 =
+    unused symbol), length-limited by frequency-flattening rebuilds.
+    Needs ≥2 used symbols (callers route 0/1/2-symbol cases to simple
+    codes or pad)."""
+    import heapq
+
+    f = [int(x) for x in freqs]
+    while True:
+        heap = [(w, i, ("leaf", i)) for i, w in enumerate(f) if w > 0]
+        heapq.heapify(heap)
+        tiebreak = len(f)
+        while len(heap) > 1:
+            w1, _, t1 = heapq.heappop(heap)
+            w2, _, t2 = heapq.heappop(heap)
+            heapq.heappush(heap, (w1 + w2, tiebreak, ("node", t1, t2)))
+            tiebreak += 1
+        lengths = [0] * len(f)
+
+        def walk(tree, depth):
+            stack = [(tree, depth)]
+            while stack:
+                t, d = stack.pop()
+                if t[0] == "leaf":
+                    lengths[t[1]] = max(d, 1)
+                else:
+                    stack.append((t[1], d + 1))
+                    stack.append((t[2], d + 1))
+
+        walk(heap[0][2], 0)
+        if max(lengths) <= max_len:
+            return lengths
+        f = [(x + 1) >> 1 if x > 0 else 0 for x in f]
+
+
+def _canonical_codes(lengths: list[int]) -> list[int]:
+    """RFC 1951 canonical code assignment from lengths."""
+    max_l = max(lengths) if lengths else 0
+    bl_count = [0] * (max_l + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_l + 2)
+    for bits in range(1, max_l + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    out = [0] * len(lengths)
+    for i, ln in enumerate(lengths):
+        if ln:
+            out[i] = next_code[ln]
+            next_code[ln] += 1
+    return out
+
+
+class _PrefixDecoder:
+    """Bit-by-bit canonical decoder (puff-style walk)."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        used = [(ln, i) for i, ln in enumerate(lengths) if ln > 0]
+        if not used:
+            raise ImageDecodeError("empty prefix code")
+        if len(used) == 1:
+            self.single: int | None = used[0][1]
+            self.table: dict[tuple[int, int], int] = {}
+            return
+        self.single = None
+        codes = _canonical_codes(lengths)
+        self.table = {(ln, codes[i]): i
+                      for i, ln in enumerate(lengths) if ln > 0}
+        # completeness check: an over/under-subscribed code is corrupt
+        kraft = sum(1 / (1 << ln) for ln, _ in used)
+        if abs(kraft - 1.0) > 1e-9:
+            raise ImageDecodeError("incomplete prefix code")
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        length = 0
+        while length <= 15:
+            code = (code << 1) | br.read(1)
+            length += 1
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ImageDecodeError("prefix code walk exceeded 15 bits")
+
+    def build_fast(self) -> None:
+        """One-level lookup table (zlib-style): index = the next
+        ``max_len`` stream bits MSB-first → (symbol, code length)."""
+        if self.single is not None:
+            self.max_len = 0
+            return
+        self.max_len = max(ln for ln, _ in self.table)
+        size = 1 << self.max_len
+        self.fsym = np.full(size, -1, dtype=np.int32)
+        self.flen = np.zeros(size, dtype=np.int32)
+        for (ln, code), sym in self.table.items():
+            lo = code << (self.max_len - ln)
+            hi = (code + 1) << (self.max_len - ln)
+            self.fsym[lo:hi] = sym
+            self.flen[lo:hi] = ln
+
+
+# -- encoder ------------------------------------------------------------------
+
+def _write_prefix_code(bw: _BitWriter, freqs: list[int]
+                       ) -> tuple[list[int], list[int]]:
+    """Serialize one prefix code chosen from ``freqs`` (simple for ≤2
+    used symbols, normal code-length-coded otherwise); returns (codes,
+    lengths) for the payload writer."""
+    used = [i for i, f in enumerate(freqs) if f > 0]
+    if len(used) <= 2 and (len(used) < 2 or max(used) <= 255):
+        syms = used or [0]
+        bw.write(1, 1)                        # simple
+        bw.write(len(syms) - 1, 1)            # num_symbols - 1
+        first = syms[0]
+        if first <= 1:
+            bw.write(0, 1)                    # 1-bit first symbol
+            bw.write(first, 1)
+        else:
+            bw.write(1, 1)                    # 8-bit first symbol
+            bw.write(first, 8)
+        if len(syms) == 2:
+            bw.write(syms[1], 8)
+        lengths = [0] * len(freqs)
+        for s in syms:
+            lengths[s] = 1
+        codes = [0] * len(freqs)
+        if len(syms) == 2:
+            codes[syms[0]], codes[syms[1]] = 0, 1
+            return codes, lengths
+        # single symbol: zero-bit code
+        return codes, [0] * len(freqs)
+
+    lengths = _huffman_lengths(freqs, 15)
+    codes = _canonical_codes(lengths)
+
+    bw.write(0, 1)                            # normal code
+    cl_freq = [0] * 19
+    for ln in lengths:
+        cl_freq[ln] += 1
+    if sum(1 for f in cl_freq if f > 0) == 1:
+        # pad a never-emitted second symbol so the code-length code is
+        # Kraft-complete (two 1-bit codes) instead of a lone length
+        only = next(i for i, f in enumerate(cl_freq) if f > 0)
+        cl_lengths = [0] * 19
+        cl_lengths[only] = 1
+        cl_lengths[0 if only != 0 else 1] = 1
+    else:
+        cl_lengths = _huffman_lengths(cl_freq, 7)
+    cl_codes = _canonical_codes(cl_lengths)
+
+    num_cl = max(i for i, s in enumerate(_CL_ORDER)
+                 if cl_lengths[s] > 0) + 1
+    num_cl = max(num_cl, 4)
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_lengths[_CL_ORDER[i]], 3)
+    bw.write(0, 1)                            # no max_symbol shortcut
+    for ln in lengths:                        # literal lengths, no RLE
+        bw.write_code(cl_codes[ln], cl_lengths[ln])
+    return codes, lengths
+
+
+def encode_webp_lossless(pixels: np.ndarray) -> bytes:
+    """8-bit gray (H,W), LA (H,W,2), RGB (H,W,3) or RGBA (H,W,4)
+    array → lossless WebP (VP8L) bytes.  Same accepted shapes as
+    ``encode_png``; raises ValueError beyond the 16384-pixel VP8L
+    dimension limit."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        r = g = b = arr
+        a = None
+    elif arr.ndim == 3 and arr.shape[2] == 2:
+        r = g = b = arr[..., 0]
+        a = arr[..., 1]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        a = None
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        r, g, b, a = (arr[..., i] for i in range(4))
+    else:
+        raise ValueError("encode_webp_lossless supports (H,W) gray, "
+                         "(H,W,2) LA, (H,W,3) RGB or (H,W,4) RGBA")
+    h, w = r.shape
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError(f"VP8L dimensions out of range: {w}x{h}")
+    alpha_used = a is not None and bool(np.any(a != 255))
+    if a is None:
+        a = np.full((h, w), 255, dtype=np.uint8)
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)                         # VP8L signature
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if alpha_used else 0, 1)
+    bw.write(0, 3)                            # version
+    bw.write(0, 1)                            # no transforms
+    bw.write(0, 1)                            # no color cache
+    bw.write(0, 1)                            # no meta prefix codes
+
+    flat = [c.ravel() for c in (g, r, b, a)]  # stream order G,R,B,A
+    freq_g = [0] * _GREEN_ALPHABET
+    for v, n in zip(*np.unique(flat[0], return_counts=True)):
+        freq_g[int(v)] = int(n)
+    channel_freqs = [freq_g]
+    for ch in flat[1:]:
+        fr = [0] * 256
+        for v, n in zip(*np.unique(ch, return_counts=True)):
+            fr[int(v)] = int(n)
+        channel_freqs.append(fr)
+    channel_freqs.append([1] + [0] * (_DIST_ALPHABET - 1))  # unused dist
+
+    codes_lengths = [_write_prefix_code(bw, fr) for fr in channel_freqs]
+
+    # vectorized payload pack: per-pixel (code, length) for the four
+    # interleaved channels → one MSB-first bit expansion → one LSB-first
+    # byte pack (np.packbits little = the VP8L/DEFLATE stream order)
+    n = h * w
+    codes = np.empty(4 * n, dtype=np.int64)
+    lens = np.empty(4 * n, dtype=np.int64)
+    for k, ((cd, ln), ch) in enumerate(zip(codes_lengths[:4], flat)):
+        codes[k::4] = np.asarray(cd, dtype=np.int64)[ch]
+        lens[k::4] = np.asarray(ln, dtype=np.int64)[ch]
+    total = int(lens.sum())
+    sym_idx = np.repeat(np.arange(4 * n), lens)
+    starts = np.cumsum(lens) - lens
+    j = np.arange(total) - starts[sym_idx]          # bit pos within code
+    shift = lens[sym_idx] - 1 - j
+    payload_bits = ((codes[sym_idx] >> shift) & 1).astype(np.uint8)
+    pending = np.array([(bw.acc >> k) & 1 for k in range(bw.n)],
+                       dtype=np.uint8)
+    bw.acc = bw.n = 0
+    head = bytes(bw.buf)
+    packed = np.packbits(np.concatenate([pending, payload_bits]),
+                         bitorder="little")
+    payload = head + packed.tobytes()
+
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# -- decoder ------------------------------------------------------------------
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int
+                      ) -> _PrefixDecoder:
+    if br.read(1):                            # simple code
+        lengths = [0] * alphabet_size
+        num_symbols = br.read(1) + 1
+        first_8bit = br.read(1)
+        s0 = br.read(8 if first_8bit else 1)
+        if s0 >= alphabet_size:
+            raise ImageDecodeError("simple-code symbol out of range")
+        lengths[s0] = 1
+        if num_symbols == 2:
+            s1 = br.read(8)
+            if s1 >= alphabet_size:
+                raise ImageDecodeError("simple-code symbol out of range")
+            lengths[s1] = 1
+        if num_symbols == 1:
+            lengths = [0] * alphabet_size
+            lengths[s0] = 1
+            dec = _PrefixDecoder.__new__(_PrefixDecoder)
+            dec.single = s0
+            dec.table = {}
+            return dec
+        return _PrefixDecoder(lengths)
+
+    cl_lengths = [0] * 19
+    num_cl = 4 + br.read(4)
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_dec = _PrefixDecoder(cl_lengths)
+
+    if br.read(1):                            # use max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = cl_dec.read(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev_len = code_len
+        else:
+            slot = code_len - 16
+            repeat = br.read((2, 3, 7)[slot]) + (3, 3, 11)[slot]
+            fill = prev_len if code_len == 16 else 0
+            if symbol + repeat > alphabet_size:
+                raise ImageDecodeError("code-length repeat overflow")
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return _PrefixDecoder(lengths)
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WebP bytes → uint8 (H,W,3) RGB, or (H,W,4) RGBA when the alpha
+    hint is set.  VP8L subset: no transforms, no backward references;
+    color cache supported.  Lossy VP8 / extended VP8X containers raise
+    ``UnsupportedImageError``."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ImageDecodeError("missing RIFF/WEBP signature")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ImageDecodeError("truncated WebP chunk")
+        if fourcc == b"VP8L":
+            payload = body
+            break
+        if fourcc in (b"VP8 ", b"VP8X"):
+            raise UnsupportedImageError(
+                f"webp variant {fourcc.decode().strip()} not supported "
+                f"(lossless VP8L only)")
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise ImageDecodeError("no VP8L chunk")
+
+    br = _BitReader(payload)
+    if br.read(8) != 0x2F:
+        raise ImageDecodeError("bad VP8L signature byte")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    alpha_used = br.read(1)
+    if br.read(3) != 0:
+        raise ImageDecodeError("unknown VP8L version")
+    if br.read(1):
+        raise UnsupportedImageError("VP8L transforms not supported")
+    cache_bits = 0
+    cache = None
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ImageDecodeError(f"bad color-cache size {cache_bits}")
+        cache = [0] * (1 << cache_bits)
+    if br.read(1):
+        raise UnsupportedImageError("VP8L meta prefix codes "
+                                    "not supported")
+    green_alpha = _GREEN_ALPHABET + (1 << cache_bits if cache_bits else 0)
+    dec_g = _read_prefix_code(br, green_alpha)
+    dec_r = _read_prefix_code(br, 256)
+    dec_b = _read_prefix_code(br, 256)
+    dec_a = _read_prefix_code(br, 256)
+    _read_prefix_code(br, _DIST_ALPHABET)     # distance tree (unused)
+
+    # table-based symbol reads over a pre-unpacked bit array — the
+    # per-bit tree walk is ~50× slower at thumbnail sizes
+    decoders = (dec_g, dec_r, dec_b, dec_a)
+    for d in decoders:
+        d.build_fast()
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8),
+                         bitorder="little")
+    nbits = len(bits)
+    max_l = max((d.max_len for d in decoders), default=0)
+    windows: dict[int, np.ndarray] = {}
+    if max_l:
+        padded = np.concatenate(
+            [bits, np.zeros(max_l, dtype=np.uint8)]).astype(np.int32)
+        for length in {d.max_len for d in decoders if d.max_len}:
+            # shift-accumulate on contiguous arrays (a strided matmul
+            # here costs ~1 s at 128×128)
+            win = np.zeros(nbits, dtype=np.int32)
+            for j in range(length):
+                win = (win << 1) | padded[j:j + nbits]
+            windows[length] = win
+
+    pos = br.pos * 8 - br.n
+
+    # plain-Python tables for the hot loop: list indexing is ~10× numpy
+    # scalar indexing at these sizes
+    win_list = {length: w.tolist() for length, w in windows.items()}
+
+    def plan(dec):
+        if dec.single is not None:
+            return None
+        return (win_list[dec.max_len], dec.fsym.tolist(),
+                dec.flen.tolist())
+
+    plans = [plan(d) for d in decoders]
+    singles = [d.single for d in decoders]
+
+    n = h * w
+    out = bytearray(4 * n)
+    i = 0
+    while i < n:
+        vals = [0, 0, 0, 0]
+        for c in range(4):
+            p = plans[c]
+            if p is None:
+                s = singles[c]
+            else:
+                if pos >= nbits:
+                    raise ImageDecodeError("VP8L pixel stream truncated")
+                wv = p[0][pos]
+                s = p[1][wv]
+                if s < 0:
+                    raise ImageDecodeError(
+                        "invalid prefix code in pixel stream")
+                pos += p[2][wv]
+            if c == 0 and s >= 256:
+                if s < _GREEN_ALPHABET:
+                    raise UnsupportedImageError(
+                        "VP8L backward references not supported")
+                argb = cache[s - _GREEN_ALPHABET]
+                # vals layout is (g, r, b, a) — the literal stream order
+                vals = [(argb >> 8) & 0xFF, (argb >> 16) & 0xFF,
+                        argb & 0xFF, (argb >> 24) & 0xFF]
+                break
+            vals[c] = s
+        g, r, b, a = vals[0], vals[1], vals[2], vals[3]
+        base = 4 * i
+        out[base] = r
+        out[base + 1] = g
+        out[base + 2] = b
+        out[base + 3] = a
+        if cache is not None:
+            argb = (a << 24) | (r << 16) | (g << 8) | b
+            cache[(_CACHE_MULT * argb & 0xFFFFFFFF) >> (32 - cache_bits)] \
+                = argb
+        i += 1
+    img = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 4)
+    return img if alpha_used else img[..., :3].copy()

@@ -129,7 +129,7 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
     if kind != "image":
         row["decode_status"] = f"unsupported_kind:{kind}"
         return row
-    fmt = sniff_image_format(payload[:8])
+    fmt = sniff_image_format(payload[:16])
     row["format"] = fmt
     if fmt is None:
         row["decode_status"] = "unknown_format"
@@ -169,6 +169,16 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
             from ..extract.jpeg import decode_jpeg
 
             stats = _image_stats(decode_jpeg(payload))
+            row.update(stats | {
+                "n_frames": 1,
+                "decode_status": "ok",
+                "features": [stats["brightness"], stats["contrast"],
+                             stats["sharpness"]],
+            })
+        elif fmt == "webp":
+            from ..extract.webp import decode_webp
+
+            stats = _image_stats(decode_webp(payload))
             row.update(stats | {
                 "n_frames": 1,
                 "decode_status": "ok",
@@ -303,13 +313,13 @@ def generate_thumbnails(df: DataFrame, max_size: int = 128,
     box downsample → encoded bytes out.
 
     ``output_format`` mirrors the reference parameter ('PNG'/'JPEG'/
-    'WEBP', app/thumbnail_generator.py:82-113): 'png' and 'jpeg' encode
-    with the real codecs; 'webp' raises ValueError (no WEBP codec in
-    this environment — an honest error beats silently re-labelled
-    bytes); anything else falls back to 'jpeg' exactly like the
+    'WEBP', app/thumbnail_generator.py:82-113): all three encode with
+    the real codecs ('webp' is lossless VP8L, extract/webp.py);
+    anything else falls back to 'jpeg' exactly like the
     reference's invalid-format fallback.  ``quality`` is the
     reference's high/medium/low ladder (95/85/70, invalid → medium),
-    honored by the JPEG encoder and ignored by PNG as in the reference.
+    honored by the JPEG encoder and ignored by the lossless PNG/WEBP
+    paths as in the reference's PNG branch.
     For JPEG, alpha flattens onto a white background
     (reference to_bytes); the PNG path keeps the round-2-pinned
     alpha-drop behavior.  Undecodable payloads come back with an honest
@@ -321,12 +331,10 @@ def generate_thumbnails(df: DataFrame, max_size: int = 128,
         thumbnail_size,
     )
     from ..extract.jpeg import encode_jpeg
+    from ..extract.webp import encode_webp_lossless
 
     output_format = output_format.lower()
-    if output_format == "webp":
-        raise ValueError("webp thumbnail encoding is not supported in "
-                         "this environment (no WEBP codec)")
-    if output_format not in ("png", "jpeg"):
+    if output_format not in ("png", "jpeg", "webp"):
         output_format = "jpeg"      # reference invalid-format fallback
     q_value = _QUALITY_MAP.get(quality, _QUALITY_MAP["medium"])
 
@@ -338,7 +346,7 @@ def generate_thumbnails(df: DataFrame, max_size: int = 128,
                 row = {c: None for c in cols}
                 row["media_id"] = media_id
                 try:
-                    fmt = sniff_image_format((payload or b"")[:8])
+                    fmt = sniff_image_format((payload or b"")[:16])
                     if fmt == "png":
                         img = decode_png(payload)
                     elif fmt == "tiff":
@@ -349,6 +357,10 @@ def generate_thumbnails(df: DataFrame, max_size: int = 128,
                         from ..extract.jpeg import decode_jpeg
 
                         img = decode_jpeg(payload)
+                    elif fmt == "webp":
+                        from ..extract.webp import decode_webp
+
+                        img = decode_webp(payload)
                     else:
                         row["status"] = f"no_codec:{fmt}"
                         rows.append(row)
@@ -364,9 +376,12 @@ def generate_thumbnails(df: DataFrame, max_size: int = 128,
                     tw, th = thumbnail_size(ow, oh, max_size)
                     thumb = (img if (tw, th) == (ow, oh)
                              else resize_box(img, tw, th))
-                    data = (encode_jpeg(thumb, quality=q_value)
-                            if output_format == "jpeg"
-                            else encode_png(thumb))
+                    if output_format == "jpeg":
+                        data = encode_jpeg(thumb, quality=q_value)
+                    elif output_format == "webp":
+                        data = encode_webp_lossless(thumb)
+                    else:
+                        data = encode_png(thumb)
                     row.update({
                         "status": "ok",
                         "original_width": ow, "original_height": oh,
@@ -426,7 +441,7 @@ def preprocess_media(df: DataFrame,
                 row = {c: None for c in cols}
                 row["media_id"] = media_id
                 try:
-                    fmt = sniff_image_format((payload or b"")[:8])
+                    fmt = sniff_image_format((payload or b"")[:16])
                     row["format"] = fmt
                     if fmt == "png":
                         img = decode_png(payload)
@@ -438,6 +453,10 @@ def preprocess_media(df: DataFrame,
                         from ..extract.jpeg import decode_jpeg
 
                         img = decode_jpeg(payload)
+                    elif fmt == "webp":
+                        from ..extract.webp import decode_webp
+
+                        img = decode_webp(payload)
                     else:
                         row["status"] = f"no_codec:{fmt}"
                         rows.append(row)
@@ -502,7 +521,7 @@ def image_dhash(df: DataFrame, id_col: str = "media_id",
         for pdf in batches:
             ids, hashes = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                fmt = sniff_image_format((payload or b"")[:8])
+                fmt = sniff_image_format((payload or b"")[:16])
                 dec = decoders.get(fmt)
                 if dec is None:
                     continue
@@ -558,7 +577,7 @@ def sample_frames(df: DataFrame, max_frames: int = 4,
                 base = {c: None for c in cols}
                 base["media_id"] = mid
                 try:
-                    fmt = sniff_image_format((payload or b"")[:8])
+                    fmt = sniff_image_format((payload or b"")[:16])
                     if fmt == "gif":
                         n, dec = count_gif_frames(payload), decode_gif
                     elif fmt == "tiff":
@@ -567,6 +586,10 @@ def sample_frames(df: DataFrame, max_frames: int = 4,
                         n, dec = 1, (lambda p, frame=0: decode_png(p))
                     elif fmt == "jpeg":
                         n, dec = 1, (lambda p, frame=0: decode_jpeg(p))
+                    elif fmt == "webp":
+                        from ..extract.webp import decode_webp
+
+                        n, dec = 1, (lambda p, frame=0: decode_webp(p))
                     else:
                         rows.append(base | {"status": f"no_codec:{fmt}"})
                         continue

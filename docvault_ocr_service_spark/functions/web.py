@@ -48,11 +48,14 @@ def url_path(url: Column) -> Column:
     return F.parse_url(url, F.lit("PATH"))
 
 
-# Compact multi-label public-suffix subset (the high-traffic entries of
-# the Mozilla PSL — cc-TLD second levels + the big shared-hosting
-# suffixes).  NOT the full PSL: unknown multi-label suffixes degrade to
-# the naive last-two-labels rule, which is the right conservative
-# default for grouping politeness/stats by site owner.
+# Public-suffix snapshot with full PSL rule semantics (normal rules,
+# ``*.`` wildcard rules, ``!`` exception rules, longest match wins —
+# publicsuffix.org/list/).  A curated snapshot, not the full 15k-line
+# list: unknown multi-label suffixes degrade to the naive
+# last-two-labels rule, the right conservative default for grouping
+# politeness/stats by site owner.  To upgrade to the complete PSL, swap
+# these tuples for the parsed list — the keying logic below already
+# implements the algorithm; the rule tables are data.
 _MULTI_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
     "plc.uk", "sch.uk", "com.au", "net.au", "org.au", "edu.au",
@@ -78,8 +81,58 @@ _MULTI_SUFFIXES = (
     "gov.ph", "edu.ph", "co.il", "org.il", "ac.il", "gov.il",
     "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
     "appspot.com", "herokuapp.com", "cloudfront.net", "web.app",
-    "pages.dev", "netlify.app", "vercel.app",
+    "pages.dev", "netlify.app", "vercel.app", "azurewebsites.net",
+    "firebaseapp.com", "readthedocs.io", "fly.dev",
+    "co.ke", "or.ke", "go.ke", "ac.ke", "co.tz", "go.tz", "ac.tz",
+    "co.ug", "or.ug", "go.ug", "ac.ug", "com.gh", "org.gh", "gov.gh",
+    "co.zw", "org.zw", "com.do", "org.do", "com.uy", "org.uy",
+    "edu.uy", "gub.uy", "com.pe", "org.pe", "edu.pe", "gob.pe",
+    "com.ec", "org.ec", "gob.ec", "com.ve", "org.ve", "gob.ve",
+    "com.bo", "org.bo", "gob.bo", "com.py", "org.py", "com.gt",
+    "org.gt", "com.sv", "com.ni", "com.hn", "com.pa", "co.cr",
+    "ac.cr", "com.kz", "org.kz", "com.lk", "org.lk", "edu.lk",
+    "gov.lk", "com.kh", "org.kh", "com.mo", "org.mo", "co.mz",
+    "org.mz", "ac.mz", "gov.mz", "co.ma", "org.ma", "net.ma",
+    "ac.ma", "gov.ma", "com.tn", "org.tn", "com.jo", "org.jo",
+    "edu.jo", "gov.jo", "com.lb", "org.lb", "edu.lb", "gov.lb",
+    "com.sy", "org.sy", "com.iq", "org.iq", "edu.iq", "gov.iq",
+    "co.ir", "org.ir", "ac.ir", "gov.ir", "com.af", "org.af",
+    "com.qa", "org.qa", "edu.qa", "gov.qa", "com.om", "org.om",
+    "com.ye", "ac.ae", "co.ae", "gov.ae", "net.ae", "org.ae",
+    "sch.ae", "com.bh", "org.bh", "co.at", "or.at", "ac.at", "gv.at",
+    "co.hu", "org.hu", "info.hu", "com.gr", "org.gr", "edu.gr",
+    "net.gr", "com.ro", "org.ro", "com.pt", "edu.pt", "gov.pt",
+    "org.pt", "net.pt", "com.es", "org.es", "nom.es", "edu.es",
+    "gob.es", "com.mt", "org.mt", "edu.mt", "gov.mt", "com.cy",
+    "org.cy", "co.gg", "org.gg", "net.gg", "co.je", "co.im",
+    "org.im", "co.rs", "org.rs", "edu.rs", "ac.rs", "gov.rs",
+    "in.rs", "com.mk", "org.mk", "com.al", "org.al", "edu.al",
+    "gov.al", "net.al", "com.ba", "org.ba", "co.me", "net.me",
+    "org.me", "edu.me", "ac.me", "gov.me", "com.ge", "org.ge",
+    "edu.ge", "gov.ge", "net.ge",
 )
+
+# 3-label normal rules (registrable = 4 labels)
+_MULTI_SUFFIXES_3 = (
+    "s3.amazonaws.com",
+)
+
+# wildcard rules "*.X" with a 1-label X: EVERY 2-label suffix under X
+# is a public suffix (registrable = 3 labels)
+_WILDCARD_TLDS = ("ck", "jm", "bd", "kw", "mm", "np", "er", "fk")
+
+# wildcard rules "*.X" with a 2-label X (the Japanese city zones):
+# every 3-label suffix under X is public (registrable = 4 labels)
+_WILDCARD_2LABEL = (
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+)
+
+# exception rules "!X": X itself IS a registrable domain despite a
+# covering wildcard
+_PSL_EXCEPTIONS_2 = ("www.ck",)
+_PSL_EXCEPTIONS_3 = tuple(
+    f"city.{c}" for c in _WILDCARD_2LABEL)
 
 
 def registrable_domain(host: Column) -> Column:
@@ -88,19 +141,43 @@ def registrable_domain(host: Column) -> Column:
     dedup should group by ('a.co.uk' and 'b.a.co.uk' are the same
     site; 'a.co.uk' and 'b.co.uk' are not).
 
-    Columnar: split on '.', take the last THREE labels when the last
-    two form a known multi-label public suffix (``_MULTI_SUFFIXES``),
-    else the last two.  Hosts with a single label (or raw IPs — dots
-    but all-numeric labels) pass through unchanged."""
+    Columnar implementation of the PSL algorithm over the snapshot rule
+    tables above, longest match first: exception rules (``!www.ck`` →
+    the exception itself is registrable), 2-label wildcards
+    (``*.kawasaki.jp`` → last four labels), 3-label normal rules,
+    1-label wildcards (``*.ck`` → last three), 2-label normal rules,
+    then the default last-two rule.  The rule sets compile into the
+    plan as literal ``isin`` tables — zero shuffles, zero Python.
+    Hosts with a single label (or raw IPs — dots but all-numeric
+    labels) pass through unchanged; a host that IS a public suffix has
+    no registrable domain per the PSL and passes through unchanged
+    (grouping-stable).
+    """
     parts = F.split(F.lower(host), r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2),
-                        F.element_at(parts, -1))
-    last3 = F.concat_ws(".", F.element_at(parts, -3),
-                        F.element_at(parts, -2), F.element_at(parts, -1))
+
+    def last_k(k: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.element_at(parts, -i) for i in range(k, 0, -1)])
+
+    last2, last3, last4 = last_k(2), last_k(3), last_k(4)
     is_ip = ~F.lower(host).rlike("[^0-9.]")
     return (
         F.when(host.isNull() | (n <= 1) | is_ip, F.lower(host))
+        # exception rules beat the wildcards that would cover them
+        .when(last2.isin(*_PSL_EXCEPTIONS_2)
+              | ((n >= 3) & last3.isin(*_PSL_EXCEPTIONS_3)),
+              F.when(last2.isin(*_PSL_EXCEPTIONS_2), last2)
+              .otherwise(last3))
+        # *.kawasaki.jp: x.kawasaki.jp is a public suffix
+        .when((n >= 4) & last2.isin(*_WILDCARD_2LABEL), last4)
+        # host IS the public suffix -> no registrable domain; pass
+        # through unchanged (grouping-stable)
+        .when((n == 3) & last2.isin(*_WILDCARD_2LABEL), last3)
+        .when((n >= 4) & last3.isin(*_MULTI_SUFFIXES_3), last4)
+        # *.ck: x.ck is a public suffix
+        .when((n >= 3) & F.element_at(parts, -1).isin(*_WILDCARD_TLDS),
+              last3)
         .when((n >= 3) & last2.isin(*_MULTI_SUFFIXES), last3)
         .otherwise(last2)
     )

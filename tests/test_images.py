@@ -689,12 +689,44 @@ def test_generate_thumbnails_jpeg_arm(spark):
         assert float(a[:, :24].mean()) < 30
     assert sizes["low"] < sizes["medium"] < sizes["high"]
 
-    # invalid quality falls back to medium; webp is an honest error
+    # invalid quality falls back to medium
     r = generate_thumbnails(media, output_format="jpeg",
                             quality="bogus").collect()
     assert all(x["status"] == "ok" for x in r)
-    with pytest.raises(ValueError, match="webp"):
-        generate_thumbnails(media, output_format="webp")
+
+
+def test_generate_thumbnails_webp_arm(spark):
+    """WEBP output (app/thumbnail_generator.py:60,229): lossless VP8L
+    bytes decode back to the box-downsampled pixels exactly, closing
+    the reference's PNG/JPEG/WEBP output triple; webp INPUT payloads
+    decode through the same sniff → codec chain."""
+    import numpy as np
+
+    from docvault_ocr_service_spark.extract.images import (
+        encode_png, resize_box)
+    from docvault_ocr_service_spark.extract.webp import (
+        decode_webp, encode_webp_lossless)
+    from docvault_ocr_service_spark.functions.multimodal import (
+        generate_thumbnails)
+
+    big = np.fromfunction(lambda y, x: (x * 2 + y) % 256,
+                          (200, 400)).astype(np.uint8)
+    rgb = np.dstack([big, big[::-1], np.full_like(big, 9)])
+    media = spark.createDataFrame(
+        [("g", encode_png(big)), ("c", encode_png(rgb)),
+         ("w", encode_webp_lossless(rgb))],
+        ["media_id", "payload"])
+    got = {r["media_id"]: r for r in generate_thumbnails(
+        media, max_size=128, output_format="webp").collect()}
+    for mid, src in (("g", big), ("c", rgb), ("w", rgb)):
+        r = got[mid]
+        assert r["status"] == "ok" and r["format"] == "webp", r
+        assert (r["width"], r["height"]) == (128, 64)
+        back = decode_webp(bytes(r["thumb"]))
+        want = resize_box(src, 128, 64)
+        if want.ndim == 2:
+            want = np.stack([want] * 3, axis=-1)
+        assert np.array_equal(back, want), mid
 
 
 def test_tiff_deflate_roundtrip():
@@ -797,3 +829,45 @@ def test_tiff_jpeg_compression7():
     got = decode_tiff(tif)
     assert got.shape == (h, w)
     assert np.abs(got.astype(int) - g.astype(int)).max() <= 8
+
+
+def test_tiff_old_style_jpeg_roundtrip():
+    """Compression=6 (TIFF 6.0 §22): the JPEGInterchangeFormat pointer
+    and the SOI-led-strip fallback both decode; the retracted
+    tables-split form raises honest Unsupported."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from docvault_ocr_service_spark.extract.images import (
+        UnsupportedImageError, count_tiff_frames, decode_tiff,
+        encode_tiff_gray, encode_tiff_rgb)
+
+    g = np.fromfunction(lambda y, x: (x * 3 + y * 2) % 256,
+                        (40, 56)).astype(np.uint8)
+    t = encode_tiff_gray([g], compression="jpeg_old")
+    back = decode_tiff(t)
+    assert back.shape == (40, 56)
+    assert abs(float(back.astype(float).mean()) - float(g.mean())) < 3
+
+    rgb = np.dstack([g, g[::-1], np.full_like(g, 30)])
+    t2 = encode_tiff_rgb([rgb, rgb], compression="jpeg_old")
+    assert count_tiff_frames(t2) == 2
+    b2 = decode_tiff(t2, frame=1)
+    assert b2.shape == (40, 56, 3)
+
+    # strip fallback: blank 513/514 so only SOI-led strips remain
+    raw = bytearray(t)
+    for tag in (513, 514):
+        i = raw.find(struct.pack("<HH", tag, 4))
+        raw[i:i + 2] = struct.pack("<H", 59000 + tag)
+    assert decode_tiff(bytes(raw)).shape == (40, 56)
+
+    # tables-split form (no interchange pointer, strips not SOI-led):
+    # corrupt the strip head too -> honest Unsupported
+    first_strip = 8  # _encode_tiff writes pixel strips right after header
+    raw2 = bytearray(raw)
+    raw2[first_strip:first_strip + 2] = b"\x00\x00"
+    with pytest.raises(UnsupportedImageError, match="tables-split"):
+        decode_tiff(bytes(raw2))

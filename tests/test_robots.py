@@ -195,6 +195,22 @@ def test_registrable_domain(spark):
         ("localhost", "localhost"),
         ("192.168.0.1", "192.168.0.1"),
         (None, None),
+        # PSL wildcard rules: *.ck / *.kawasaki.jp make the NEXT label
+        # part of the public suffix
+        ("shop.example.ck", "shop.example.ck"),
+        ("deep.shop.example.ck", "shop.example.ck"),
+        ("example.ck", "example.ck"),       # is itself a public suffix
+        ("a.b.example.kawasaki.jp", "b.example.kawasaki.jp"),
+        ("b.example.kawasaki.jp", "b.example.kawasaki.jp"),
+        # PSL exception rules: !www.ck / !city.kawasaki.jp are
+        # registrable despite the covering wildcard
+        ("www.ck", "www.ck"),
+        ("sub.www.ck", "www.ck"),
+        ("city.kawasaki.jp", "city.kawasaki.jp"),
+        ("x.city.kawasaki.jp", "city.kawasaki.jp"),
+        # 3-label normal rule
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        ("x.bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], ["host"])
     got = [r["d"] for r in
