@@ -1227,6 +1227,88 @@ def corpus_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count("*").alias("n_docs")))
 
 
+def pipeline_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSITION oracle: run_crawl_pipeline end to end (WARC →
+    robots → resumable extraction → curation → exact decontamination →
+    packing, plans/pipeline.py) over a deterministic 62-page WARC
+    fixture (60 seeded corpus rows + one robots-blocked page + one
+    mirror duplicate) with a benchmark equal to one surviving doc's
+    golden extracted text.  Every stage is individually oracle-checked
+    elsewhere; this row pins that the WIRING preserves the counts.
+    DuckDB carries the frozen VALUES twin (the numbers are functions of
+    the seeded corpus only — sf-independent, partitioning-independent;
+    same freeze discipline as corpus_extract_stats)."""
+    import json
+    import shutil
+    import tempfile
+    from datetime import datetime, timezone
+
+    from docvault_ocr_service_spark import corpus
+    from docvault_ocr_service_spark.plans.pipeline import (
+        run_crawl_pipeline)
+    from docvault_ocr_service_spark.sources.warc import encode_warc
+
+    ts = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    recs = []
+    for i in range(60):
+        r = corpus.generate_row(i)
+        recs.append({"url": r["url"], "warc_ts": ts,
+                     "html": r["html"] or (r["text"] or "").encode()})
+    recs.append({"url": "https://blocked.example/private/x",
+                 "warc_ts": ts,
+                 "html": b"<html><body><p>"
+                         + b"never fetched " * 30 + b"</p></body></html>"})
+    # mirror a doc that SURVIVES curation (row 23, contract_en) so the
+    # exact-dedup stage visibly removes one row in the funnel
+    r23 = corpus.generate_row(23)
+    recs.append({"url": "https://mirror.example/copy-of-23",
+                 "warc_ts": ts,
+                 "html": r23["html"] or (r23["text"] or "").encode()})
+
+    goldens = json.load(open("/root/repo/tests/goldens/"
+                             "corpus_goldens.json"))
+    # benchmark = a surviving doc's golden text -> the exact 8-gram
+    # screen must drop it (decontaminated >= 1)
+    bench_text = goldens["full_text"][recs[23]["url"]]
+
+    tmp = tempfile.mkdtemp(prefix="pipeline_oracle_")
+    try:
+        import os
+
+        warc_dir = os.path.join(tmp, "warc")
+        os.makedirs(warc_dir)
+        half = len(recs) // 2
+        with open(os.path.join(warc_dir, "a.warc.gz"), "wb") as f:
+            f.write(encode_warc(recs[:half], gzip_members=True))
+        with open(os.path.join(warc_dir, "b.warc.gz"), "wb") as f:
+            f.write(encode_warc(recs[half:], gzip_members=True))
+        robots = spark.createDataFrame(
+            [("blocked.example", "User-agent: *\nDisallow: /private\n")],
+            ["host", "robots_txt"])
+        bench = spark.createDataFrame([(bench_text,)], ["text"])
+        rep = run_crawl_pipeline(
+            spark, warc_dir, os.path.join(tmp, "state"),
+            os.path.join(tmp, "out"), robots_df=robots,
+            benchmark_df=bench, window=512)
+        funnel = {r["stage"]: r["n"] for r in spark.read.parquet(
+            os.path.join(tmp, "out", "funnel")).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    row = (rep.pages_in, rep.robots_blocked, rep.extracted_done,
+           rep.curated, rep.decontaminated, rep.total_tokens,
+           rep.n_windows, funnel["input"], funnel["non_null"],
+           funnel["quality_gated"], funnel["exact_unique"],
+           funnel["near_unique"])
+    return spark.createDataFrame(
+        [tuple(int(x) for x in row)],
+        "pages_in long, robots_blocked long, extracted_done long, "
+        "curated long, decontaminated long, total_tokens long, "
+        "n_windows long, funnel_input long, funnel_non_null long, "
+        "funnel_quality_gated long, funnel_exact_unique long, "
+        "funnel_near_unique long")
+
+
 def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, oracle-checked: deterministic 16×16 gray
     gradient PNGs are built per doc_id, decoded through the pure-Python
@@ -2612,68 +2694,15 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
-    # FIRST 50 entries.  Block 1 = queries that had no driver row through
-    # round 3 (r3 operators + media/codec/ANN stacks) plus the new
-    # round-4 queries; block 2 = representative previously-driver-green
-    # core (shrinks as block 1 grows);
-    # block 3 (>50) = remainder, all still covered by
-    # tools/check_oracles.py locally.
+    # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
+    # round so no entry's driver stamp goes stale): block 1 = the
+    # TPC-H/events/dedup/sampling core last driver-stamped on r2-r3
+    # code (44) + the six queries new or semantics-changed in round 5;
+    # block 2 (>50) = everything driver-stamped green in round 4 on
+    # unchanged (or value-identical, locally re-verified) code — all
+    # still covered by tools/check_oracles.py locally every round.
     return {
-        # -- block 1: first driver exposure (27 r3/never-checked) --------
-        "host_pagerank": host_pagerank,
-        "doc_substring_dedup": doc_substring_dedup,
-        "doc_temperature_mix": doc_temperature_mix,
-        "page_metadata_extraction": page_metadata_extraction,
-        "feed_item_extraction": feed_item_extraction,
-        "bpe_roundtrip_stats": bpe_roundtrip_stats,
-        "doc_lm_perplexity": doc_lm_perplexity,
-        "gopher_filter_stats": gopher_filter_stats,
-        "c4_filter_stats": c4_filter_stats,
-        "doc_mojibake_repair": doc_mojibake_repair,
-        "robots_sitemap_directives": robots_sitemap_directives,
-        "host_boilerplate_stats": host_boilerplate_stats,
-        "anchor_text_stats": anchor_text_stats,
-        "domain_blocklist_stats": domain_blocklist_stats,
-        "recrawl_batch": recrawl_batch,
-        "dedup_keep_best_stats": dedup_keep_best_stats,
-        "sitemap_lastmod_extraction": sitemap_lastmod_extraction,
-        "fuzzy_contamination_stats": fuzzy_contamination_stats,
-        "frontier_batch": frontier_batch,
-        "frontier_crawl_delay": frontier_crawl_delay,
-        "doc_pii_scrub": doc_pii_scrub,
-        "hocr_word_stats": hocr_word_stats,
-        "knn_lsh": knn_lsh,
-        "knn_ivf": knn_ivf,
-        "knn_lsh_recall": knn_lsh_recall,
-        "knn_ivf_recall": knn_ivf_recall,
-        "embedding_near_dup_recall": embedding_near_dup_recall,
-        "embedding_centroids": embedding_centroids,
-        "embedding_near_dups": embedding_near_dups,
-        "corpus_extract_stats": corpus_extract_stats,
-        "png_pixel_stats": png_pixel_stats,
-        "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
-        "jpeg_progressive_stats": jpeg_progressive_stats,
-        "tiff_compressed_stats": tiff_compressed_stats,
-        "tiff_jpeg6_stats": tiff_jpeg6_stats,
-        "tiff_g4_stats": tiff_g4_stats,
-        "media_preprocess_decisions": media_preprocess_decisions,
-        "wav_audio_stats": wav_audio_stats,
-        "mp3_audio_stats": mp3_audio_stats,
-        "url_registrable_domains": url_registrable_domains,
-        "thumbnail_dims": thumbnail_dims,
-        "thumbnail_jpeg_stats": thumbnail_jpeg_stats,
-        "webp_thumbnail_stats": webp_thumbnail_stats,
-        "warc_roundtrip_stats": warc_roundtrip_stats,
-        "stream_batch_equivalence": stream_batch_equivalence,
-        "media_feature_stats": media_feature_stats,
-        # -- block 2: representative driver-green core (fills to 50) -----
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_segment_revenue": q3_segment_revenue,
-        "q4_order_priority": q4_order_priority,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q18_large_orders": q18_large_orders,
-        "doc_categories": doc_categories,
-        # -- block 3: beyond the 50-row gate (check_oracles.py covers) ---
+        # -- block 1a: r2/r3-stamped core, rotated back into the gate ----
         "q_rollup_priority": q_rollup_priority,
         "q_pivot_segment": q_pivot_segment,
         "q_top_suppliers_window": q_top_suppliers_window,
@@ -2718,6 +2747,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "knn_bruteforce": knn_bruteforce,
         "knn_filtered": knn_filtered,
+        # -- block 1b: new or semantics-changed in round 5 (fills to 50) -
+        "pipeline_funnel_stats": pipeline_funnel_stats,
+        "webp_thumbnail_stats": webp_thumbnail_stats,
+        "tiff_jpeg6_stats": tiff_jpeg6_stats,
+        "url_registrable_domains": url_registrable_domains,
+        "sitemap_lastmod_extraction": sitemap_lastmod_extraction,
+        "bpe_roundtrip_stats": bpe_roundtrip_stats,
+        # -- block 2: r4-driver-green, unchanged or value-identical ------
+        "fuzzy_contamination_stats": fuzzy_contamination_stats,
+        "warc_roundtrip_stats": warc_roundtrip_stats,
+        "host_pagerank": host_pagerank,
+        "doc_substring_dedup": doc_substring_dedup,
+        "doc_temperature_mix": doc_temperature_mix,
+        "page_metadata_extraction": page_metadata_extraction,
+        "feed_item_extraction": feed_item_extraction,
+        "doc_lm_perplexity": doc_lm_perplexity,
+        "gopher_filter_stats": gopher_filter_stats,
+        "c4_filter_stats": c4_filter_stats,
+        "doc_mojibake_repair": doc_mojibake_repair,
+        "robots_sitemap_directives": robots_sitemap_directives,
+        "host_boilerplate_stats": host_boilerplate_stats,
+        "anchor_text_stats": anchor_text_stats,
+        "domain_blocklist_stats": domain_blocklist_stats,
+        "recrawl_batch": recrawl_batch,
+        "dedup_keep_best_stats": dedup_keep_best_stats,
+        "frontier_batch": frontier_batch,
+        "frontier_crawl_delay": frontier_crawl_delay,
+        "doc_pii_scrub": doc_pii_scrub,
+        "hocr_word_stats": hocr_word_stats,
+        "knn_lsh": knn_lsh,
+        "knn_ivf": knn_ivf,
+        "knn_lsh_recall": knn_lsh_recall,
+        "knn_ivf_recall": knn_ivf_recall,
+        "embedding_near_dup_recall": embedding_near_dup_recall,
+        "embedding_centroids": embedding_centroids,
+        "embedding_near_dups": embedding_near_dups,
+        "corpus_extract_stats": corpus_extract_stats,
+        "png_pixel_stats": png_pixel_stats,
+        "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
+        "jpeg_progressive_stats": jpeg_progressive_stats,
+        "tiff_compressed_stats": tiff_compressed_stats,
+        "tiff_g4_stats": tiff_g4_stats,
+        "media_preprocess_decisions": media_preprocess_decisions,
+        "wav_audio_stats": wav_audio_stats,
+        "mp3_audio_stats": mp3_audio_stats,
+        "thumbnail_dims": thumbnail_dims,
+        "thumbnail_jpeg_stats": thumbnail_jpeg_stats,
+        "stream_batch_equivalence": stream_batch_equivalence,
+        "media_feature_stats": media_feature_stats,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_segment_revenue": q3_segment_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q18_large_orders": q18_large_orders,
+        "doc_categories": doc_categories,
     }
 
 

@@ -281,3 +281,34 @@ def test_ccitt_codecs_roundtrip(h, w, seed):
     assert (decode_g4(encode_g4(img), w, h) == img).all()
     assert (decode_mh(encode_mh(img), w, h) == img).all()
     assert (decode_g3_1d(encode_g3_1d(img), w, h) == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 40))
+def test_decode_webp_total(seed, n_mut):
+    """decode_webp is total under byte mutation/truncation of a valid
+    VP8L stream: only ImageDecodeError (incl. UnsupportedImageError),
+    never IndexError/struct.error/TypeError (the CLAUDE.md codec
+    invariant)."""
+    import numpy as np
+
+    from docvault_ocr_service_spark.extract.images import (
+        ImageDecodeError)
+    from docvault_ocr_service_spark.extract.webp import (
+        decode_webp, encode_webp_lossless)
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, int(rng.integers(2, 256)),
+                       (int(rng.integers(1, 12)),
+                        int(rng.integers(1, 12)), 3)).astype(np.uint8)
+    data = bytearray(encode_webp_lossless(img))
+    if rng.integers(0, 2):
+        data = data[:int(rng.integers(0, len(data)))]   # truncate
+    for _ in range(n_mut):
+        if not data:
+            break
+        data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+    try:
+        decode_webp(bytes(data))
+    except ImageDecodeError:
+        pass
