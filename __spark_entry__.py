@@ -1486,9 +1486,10 @@ def tiff_jpeg6_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.BinaryType())
     def mk_tiff6(ids: pd.Series) -> pd.Series:
-        import struct
-
         import numpy as np
+
+        from docvault_ocr_service_spark.extract.images import (
+            retag_tiff_ifd)
 
         out = []
         for d in ids:
@@ -1496,14 +1497,11 @@ def tiff_jpeg6_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             pix = np.full((16, 24), (d * 7) % 256, dtype=np.uint8)
             t = encode_tiff_gray([pix], compression="jpeg_old")
             if d % 2:
-                # blank the interchange pointer tags: decode must fall
+                # blank the interchange pointer tags (proper IFD walk —
+                # a find() could hit strip bytes): decode must fall
                 # back to the strips-hold-a-full-stream layout some
                 # old-style writers produced
-                b = bytearray(t)
-                for tag in (513, 514):
-                    i = b.find(struct.pack("<HH", tag, 4))
-                    b[i:i + 2] = struct.pack("<H", 59000 + tag)
-                t = bytes(b)
+                t = retag_tiff_ifd(t, {513: 59513, 514: 59514})
             out.append(t)
         return pd.Series(out)
 
@@ -2408,6 +2406,11 @@ def thumbnail_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pdf["media_id"], pdf["status"], pdf["format"],
                     pdf["thumb"]):
                 d = int(mid)
+                if thumb is None:
+                    # a regression row surfaces as a value mismatch
+                    # (status + nulls), not a task-killing TypeError
+                    rows.append((d, status, fmt, None, None, False))
+                    continue
                 img = decode_jpeg(bytes(thumb))
                 src = fixture(d)
                 th, tw = img.shape[:2]
@@ -2485,6 +2488,11 @@ def webp_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pdf["media_id"], pdf["status"], pdf["format"],
                     pdf["thumb"]):
                 d = int(mid)
+                if thumb is None:
+                    # a regression row surfaces as a value mismatch
+                    # (status + nulls), not a task-killing TypeError
+                    rows.append((d, status, fmt, None, None, False))
+                    continue
                 img = decode_webp(bytes(thumb))
                 src = fixture(d)
                 th, tw = img.shape[:2]

@@ -532,6 +532,30 @@ def _encode_tiff(arrs: list[np.ndarray], spp: int, compression: str,
     return bytes(out)
 
 
+def retag_tiff_ifd(data: bytes, mapping: dict[int, int]) -> bytes:
+    """Rewrite IFD tag IDs per ``mapping`` by walking the directory
+    chain (little-endian TIFF only) — fixture surgery for building
+    old-style-JPEG layout variants.  Walking the IFD (instead of a
+    bytes.find over the whole file) guarantees the rewrite can never
+    touch strip bytes that happen to contain the tag pattern."""
+    if data[:4] != b"II*\x00":
+        raise ValueError("retag_tiff_ifd supports little-endian TIFF")
+    out = bytearray(data)
+    (offset,) = struct.unpack_from("<I", data, 4)
+    seen = set()
+    while offset and offset not in seen:
+        seen.add(offset)
+        (n_entries,) = struct.unpack_from("<H", data, offset)
+        for i in range(n_entries):
+            at = offset + 2 + 12 * i
+            (tag,) = struct.unpack_from("<H", data, at)
+            if tag in mapping:
+                out[at:at + 2] = struct.pack("<H", mapping[tag])
+        (offset,) = struct.unpack_from(
+            "<I", data, offset + 2 + 12 * n_entries)
+    return bytes(out)
+
+
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 7: 1}   # BYTE, SHORT, LONG, UNDEFINED
 
 

@@ -35,6 +35,10 @@ _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8,
 _GREEN_ALPHABET = 256 + 24          # literals + length codes (cache 0)
 _DIST_ALPHABET = 40
 _CACHE_MULT = 0x1E35A7BD
+# decode envelope: ~4M pixels (2048×2048) ≈ 8 s of pure-Python pixel
+# loop — beyond that the decoder raises honestly instead of stalling
+# an executor task for minutes on a crafted or merely huge file
+MAX_DECODE_PIXELS = 1 << 22
 
 
 # -- bit i/o (LSB-first stream, prefix-code bits written MSB-first) ----------
@@ -314,12 +318,22 @@ def encode_webp_lossless(pixels: np.ndarray) -> bytes:
     for k, ((cd, ln), ch) in enumerate(zip(codes_lengths[:4], flat)):
         codes[k::4] = np.asarray(cd, dtype=np.int64)[ch]
         lens[k::4] = np.asarray(ln, dtype=np.int64)[ch]
-    total = int(lens.sum())
-    sym_idx = np.repeat(np.arange(4 * n), lens)
-    starts = np.cumsum(lens) - lens
-    j = np.arange(total) - starts[sym_idx]          # bit pos within code
-    shift = lens[sym_idx] - 1 - j
-    payload_bits = ((codes[sym_idx] >> shift) & 1).astype(np.uint8)
+    # chunked bit expansion: the index arrays cost ~25 bytes per
+    # payload bit, so expand ~1M codes at a time and keep only the
+    # 1-byte-per-bit output — bounds encoder memory on large frames
+    chunks = []
+    CHUNK = 1 << 20
+    for c0 in range(0, 4 * n, CHUNK):
+        cc = codes[c0:c0 + CHUNK]
+        cl = lens[c0:c0 + CHUNK]
+        total_c = int(cl.sum())
+        sym_idx = np.repeat(np.arange(len(cc)), cl)
+        starts = np.cumsum(cl) - cl
+        j = np.arange(total_c) - starts[sym_idx]    # bit pos within code
+        shift = cl[sym_idx] - 1 - j
+        chunks.append(((cc[sym_idx] >> shift) & 1).astype(np.uint8))
+    payload_bits = (np.concatenate(chunks) if chunks
+                    else np.zeros(0, dtype=np.uint8))
     pending = np.array([(bw.acc >> k) & 1 for k in range(bw.n)],
                        dtype=np.uint8)
     bw.acc = bw.n = 0
@@ -450,38 +464,61 @@ def decode_webp(data: bytes) -> np.ndarray:
     dec_a = _read_prefix_code(br, 256)
     _read_prefix_code(br, _DIST_ALPHABET)     # distance tree (unused)
 
-    # table-based symbol reads over a pre-unpacked bit array — the
-    # per-bit tree walk is ~50× slower at thumbnail sizes
+    if h * w > MAX_DECODE_PIXELS:
+        # pure-Python decode envelope: a crafted header can declare up
+        # to 16384² (268M) pixels against a tiny payload — without a
+        # cap that is a decode bomb (minutes of CPU + GBs of output
+        # buffer) on every arbitrary-payload media path
+        raise UnsupportedImageError(
+            f"VP8L image {w}x{h} exceeds the {MAX_DECODE_PIXELS}-pixel "
+            f"pure-python decode envelope")
+
+    # table-based symbol reads over SEGMENTED window lists: window
+    # values are precomputed vectorized per ~256k-bit segment and
+    # converted to plain-Python lists for the hot loop (list indexing
+    # is ~10× numpy scalar indexing), but never for the whole payload
+    # at once — full-file Python-int windows cost ~300 bytes per
+    # payload BIT, which OOMs executors on multi-MB real-world files
     decoders = (dec_g, dec_r, dec_b, dec_a)
     for d in decoders:
         d.build_fast()
-    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8),
-                         bitorder="little")
-    nbits = len(bits)
+    nbits = len(payload) * 8
     max_l = max((d.max_len for d in decoders), default=0)
-    windows: dict[int, np.ndarray] = {}
-    if max_l:
+    lengths_needed = sorted({d.max_len for d in decoders if d.max_len})
+    pay_arr = np.frombuffer(payload, dtype=np.uint8)
+
+    SEG_BITS = 1 << 18
+    seg_lists: dict[int, list] = {}
+    seg_start = -(SEG_BITS + 1)
+
+    def load_segment(start_bit: int) -> None:
+        nonlocal seg_start, seg_lists
+        seg_start = start_bit
+        end_bit = min(start_bit + SEG_BITS, nbits)
+        lo_byte = start_bit >> 3
+        hi_byte = min((end_bit + max_l + 7) >> 3, len(pay_arr))
+        seg_bits = np.unpackbits(pay_arr[lo_byte:hi_byte],
+                                 bitorder="little")
+        off = start_bit - lo_byte * 8
+        count = end_bit - start_bit
         padded = np.concatenate(
-            [bits, np.zeros(max_l, dtype=np.uint8)]).astype(np.int32)
-        for length in {d.max_len for d in decoders if d.max_len}:
-            # shift-accumulate on contiguous arrays (a strided matmul
-            # here costs ~1 s at 128×128)
-            win = np.zeros(nbits, dtype=np.int32)
+            [seg_bits[off:],
+             np.zeros(max_l, dtype=np.uint8)]).astype(np.int32)
+        seg_lists = {}
+        for length in lengths_needed:
+            win = np.zeros(count, dtype=np.int32)
             for j in range(length):
-                win = (win << 1) | padded[j:j + nbits]
-            windows[length] = win
+                win = (win << 1) | padded[j:j + count]
+            seg_lists[length] = win.tolist()
 
     pos = br.pos * 8 - br.n
-
-    # plain-Python tables for the hot loop: list indexing is ~10× numpy
-    # scalar indexing at these sizes
-    win_list = {length: w.tolist() for length, w in windows.items()}
+    if max_l:
+        load_segment(pos)
 
     def plan(dec):
         if dec.single is not None:
             return None
-        return (win_list[dec.max_len], dec.fsym.tolist(),
-                dec.flen.tolist())
+        return (dec.max_len, dec.fsym.tolist(), dec.flen.tolist())
 
     plans = [plan(d) for d in decoders]
     singles = [d.single for d in decoders]
@@ -498,7 +535,9 @@ def decode_webp(data: bytes) -> np.ndarray:
             else:
                 if pos >= nbits:
                     raise ImageDecodeError("VP8L pixel stream truncated")
-                wv = p[0][pos]
+                if pos - seg_start >= SEG_BITS:
+                    load_segment(pos)
+                wv = seg_lists[p[0]][pos - seg_start]
                 s = p[1][wv]
                 if s < 0:
                     raise ImageDecodeError(

@@ -175,6 +175,7 @@ def registrable_domain(host: Column) -> Column:
         # through unchanged (grouping-stable)
         .when((n == 3) & last2.isin(*_WILDCARD_2LABEL), last3)
         .when((n >= 4) & last3.isin(*_MULTI_SUFFIXES_3), last4)
+        .when((n == 3) & last3.isin(*_MULTI_SUFFIXES_3), last3)
         # *.ck: x.ck is a public suffix
         .when((n >= 3) & F.element_at(parts, -1).isin(*_WILDCARD_TLDS),
               last3)

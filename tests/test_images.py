@@ -857,12 +857,12 @@ def test_tiff_old_style_jpeg_roundtrip():
     b2 = decode_tiff(t2, frame=1)
     assert b2.shape == (40, 56, 3)
 
-    # strip fallback: blank 513/514 so only SOI-led strips remain
-    raw = bytearray(t)
-    for tag in (513, 514):
-        i = raw.find(struct.pack("<HH", tag, 4))
-        raw[i:i + 2] = struct.pack("<H", 59000 + tag)
-    assert decode_tiff(bytes(raw)).shape == (40, 56)
+    # strip fallback: blank 513/514 (IFD walk) so only SOI-led strips
+    # remain
+    from docvault_ocr_service_spark.extract.images import retag_tiff_ifd
+
+    raw = retag_tiff_ifd(t, {513: 59513, 514: 59514})
+    assert decode_tiff(raw).shape == (40, 56)
 
     # tables-split form (no interchange pointer, strips not SOI-led):
     # corrupt the strip head too -> honest Unsupported

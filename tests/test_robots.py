@@ -211,6 +211,9 @@ def test_registrable_domain(spark):
         # 3-label normal rule
         ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
         ("x.bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        # host IS the 3-label public suffix: pass through unchanged,
+        # never grouped under the unrelated amazonaws.com
+        ("s3.amazonaws.com", "s3.amazonaws.com"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], ["host"])
     got = [r["d"] for r in

@@ -163,3 +163,33 @@ def test_dimension_limits():
         encode_webp_lossless(np.zeros((1, 16385), np.uint8))
     with pytest.raises(ValueError):
         encode_webp_lossless(np.zeros((0, 4), np.uint8))
+
+
+def test_decode_bomb_rejected_fast():
+    """A ~40-byte crafted VP8L header declaring 16384×16384 with
+    zero-bit-per-pixel codes must be rejected by the decode-envelope
+    guard BEFORE the pixel loop, not after minutes of CPU."""
+    import time
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(16383, 14)
+    bw.write(16383, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)          # no transform
+    bw.write(0, 1)          # no cache
+    bw.write(0, 1)          # no meta
+    for sym in (1, 2, 3, 4, 0):    # five 1-symbol simple codes
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(sym, 8)
+    p = bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(p)) + p
+    riff = b"WEBP" + chunk
+    bomb = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    t0 = time.monotonic()
+    with pytest.raises(UnsupportedImageError, match="decode envelope"):
+        decode_webp(bomb)
+    assert time.monotonic() - t0 < 1.0
