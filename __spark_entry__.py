@@ -1309,6 +1309,63 @@ def pipeline_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "funnel_near_unique long")
 
 
+def semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py::semdedup — Abbas et al.
+    2023): 200 deterministic md5-derived 8-dim vectors (pinned max
+    pairwise cosine 0.9678 between distinct docs — tests/test_semdedup
+    .py) plus an EXACT clone (id+100000) for every doc_id % 3 == 0.
+    At min_cosine 0.9999 the duplicate groups are exactly the planted
+    clone pairs regardless of how k-means clusters (identical vectors
+    always share a cluster and tie on centroid distance, so the
+    keep-lowest-id tiebreak fires) — DuckDB recomputes the kept set as
+    the originals."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.operators.similarity import semdedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def mk_vec(ids: pd.Series) -> pd.Series:
+        import hashlib
+
+        return pd.Series([
+            [float(int(hashlib.md5(f"{int(d)}:{k}".encode())
+                       .hexdigest()[:8], 16) % 2001 - 1000)
+             for k in range(8)]
+            for d in ids])
+
+    base = docs.select(F.col("doc_id").cast("long").alias("vec_id"),
+                       mk_vec("doc_id").alias("embedding"))
+    clones = base.where(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = base.unionByName(clones)
+    kept = semdedup(corpus, dim=8, n_centroids=4, min_cosine=0.9999)
+    return kept.select("vec_id").orderBy("vec_id")
+
+
+def dsir_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (functions/dsir.py — Xie et al.
+    2023): raw = documents < 400, target = the doc_id % 7 == 0 slice;
+    hashed unigram+bigram buckets (md5-prefix, 256-bucket space),
+    add-1-smoothed log ratios, per-doc importance, Gumbel-top-50.
+    DuckDB replays the whole computation value-for-value (md5-prefix
+    bucketing and the multiplicative-hash Gumbel keys are
+    engine-portable by construction)."""
+    from docvault_ocr_service_spark.functions.dsir import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .where(F.col("doc_id") < 400)
+    target = docs.where(F.col("doc_id") % 7 == 0).select("text")
+    picked = dsir_resample(docs, target, "doc_id", k=50, hex_chars=2)
+    return picked.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("importance", 6).alias("importance"),
+        F.round("score", 6).alias("score"),
+    ).orderBy(F.col("score").desc(), "doc_id")
+
+
 def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, oracle-checked: deterministic 16×16 gray
     gradient PNGs are built per doc_id, decoded through the pure-Python
@@ -2762,6 +2819,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_registrable_domains": url_registrable_domains,
         "sitemap_lastmod_extraction": sitemap_lastmod_extraction,
         "bpe_roundtrip_stats": bpe_roundtrip_stats,
+        # -- block 2a: born after the round-5 gate froze (check_oracles
+        # verified this round; first in line for the round-6 rotation) -
+        "semdedup_stats": semdedup_stats,
+        "dsir_resample_stats": dsir_resample_stats,
         # -- block 2: r4-driver-green, unchanged or value-identical ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,

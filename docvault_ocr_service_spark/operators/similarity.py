@@ -336,3 +336,78 @@ def embedding_near_dup_pairs(corpus: DataFrame, dim: int,
                                         F.col("vb").cast("array<double>")))
             .where(F.col("score") >= min_cosine)
             .select("a", "b", "score"))
+
+
+def semdedup(corpus: DataFrame, dim: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, min_cosine: float = 0.95,
+             max_cluster: int = 100_000, keep: str = "far",
+             seed: int = 42) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding — cluster the corpus with the IVF coarse
+    quantizer, find within-cluster pairs above ``min_cosine``, and keep
+    ONE representative per duplicate group.  ``keep='far'`` keeps the
+    member farthest from its cluster centroid (the paper's choice —
+    prototypical members carry the least marginal information);
+    ``keep='near'`` keeps the closest.  Ties (exact duplicates) keep
+    the lowest id.  Returns the KEPT corpus rows.
+
+    Scale shape — the published recipe IS the scalable one: centroids
+    train on a bounded driver sample and broadcast
+    (``train_ivf_centroids``); cluster assignment is one Arrow pass;
+    the pairwise compare is confined within clusters (a self-join on
+    ``list_id``), so the quadratic term is bounded by
+    (corpus/n_centroids)² per cluster — at 10^12 docs you raise
+    ``n_centroids`` with the corpus exactly as the paper does (they use
+    ~10⁵ clusters for LAION-scale).  Clusters above ``max_cluster``
+    rows are excluded from pairing (kept as-is) rather than going
+    quadratic; the cap is a loud knob, not a silent truncation — raise
+    ``n_centroids`` when it triggers.  Duplicate groups resolve through
+    the SAME bounded connected-components + quality-window machinery
+    the MinHash path uses (``dedup_keep_best``)."""
+    from .dedup import dedup_keep_best
+
+    t = dict(corpus.dtypes).get(id_col)
+    if t not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(f"semdedup needs a numeric id column "
+                         f"(got {id_col}: {t}); derive one first, "
+                         f"e.g. xxhash64(url)")
+    centroids = train_ivf_centroids(corpus, vec_col, dim, n_centroids,
+                                    seed=seed)
+    assign = _ivf_assign_udf(centroids, 1)
+    cent_rows = [(int(i), [float(x) for x in c])
+                 for i, c in enumerate(centroids)]
+    cent_df = corpus.sparkSession.createDataFrame(
+        cent_rows, "list_id int, __cent array<double>")
+
+    base = (corpus.withColumn(
+                "list_id", F.element_at(assign(F.col(vec_col)), 1))
+            .join(F.broadcast(cent_df), "list_id")
+            .withColumn("__cent_sim",
+                        cosine(F.col(vec_col).cast("array<double>"),
+                               F.col("__cent")))
+            .drop("__cent"))
+    base = base.persist()
+
+    sizes = base.groupBy("list_id").agg(F.count("*").alias("__n"))
+    pairable = (base.join(
+        F.broadcast(sizes.where(F.col("__n") <= max_cluster)),
+        "list_id").select("list_id", F.col(id_col).alias("doc"),
+                          F.col(vec_col).alias("vec")))
+    pairs = (
+        pairable.alias("l").join(
+            pairable.alias("r"),
+            (F.col("l.list_id") == F.col("r.list_id"))
+            & (F.col("l.doc") < F.col("r.doc")))
+        .withColumn("__cos",
+                    cosine(F.col("l.vec").cast("array<double>"),
+                           F.col("r.vec").cast("array<double>")))
+        .where(F.col("__cos") >= min_cosine)
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b")))
+
+    quality = (F.col("__cent_sim") if keep == "near"
+               else -F.col("__cent_sim"))
+    kept = dedup_keep_best(base.withColumn("__q", quality),
+                           pairs, id_col, "__q")
+    out = kept.drop("__q", "__cent_sim", "list_id")
+    return out
