@@ -1476,6 +1476,47 @@ def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        prog_vs_base(F.col("doc_id")).alias("n_mismatch"))
 
 
+def jpeg_arith_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic-coded JPEG (SOF9 — extract/jpeg_arith.py, T.81 QM
+    coder + Annex F statistics) under the driver gate: per doc a
+    deterministic image is encoded arithmetic (subsampling / restart
+    interval keyed on doc_id) and baseline Huffman; both encoders
+    share the quantized-coefficient front half, so the decoded pixel
+    mismatch count is exactly 0 for every doc."""
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 120)
+
+    @F.pandas_udf(T.LongType())
+    def arith_vs_huffman(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from docvault_ocr_service_spark.extract.jpeg import (
+            decode_jpeg, encode_jpeg)
+        from docvault_ocr_service_spark.extract.jpeg_arith import (
+            encode_jpeg_arith)
+
+        out = []
+        for d in ids:
+            d = int(d)
+            gray = np.clip(np.fromfunction(
+                lambda y, x: (d * 17) % 180 + 35 * np.sin(x / 4 + d)
+                + 25 * np.cos(y / 3), (16, 24)), 0, 255).astype(np.uint8)
+            img = np.dstack([gray[:16, :16]] * 3) if d % 5 == 0 else gray
+            sub = "420" if d % 5 == 0 and d % 2 == 0 else "444"
+            ri = (0, 0, 2, 0, 3)[d % 5]
+            arith = decode_jpeg(encode_jpeg_arith(
+                img, quality=80, subsampling=sub, restart_interval=ri))
+            huff = decode_jpeg(encode_jpeg(img, quality=80,
+                                           subsampling=sub))
+            out.append(int((arith != huff).sum()))
+        return pd.Series(out)
+
+    return docs.select("doc_id",
+                       arith_vs_huffman(F.col("doc_id")).alias("n_mismatch"))
+
+
 def tiff_compressed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-TIFF codecs under the driver gate: per doc, a
     deterministic 16×16 gradient is written as LZW, PackBits,
@@ -2823,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified this round; first in line for the round-6 rotation) -
         "semdedup_stats": semdedup_stats,
         "dsir_resample_stats": dsir_resample_stats,
+        "jpeg_arith_stats": jpeg_arith_stats,
         # -- block 2: r4-driver-green, unchanged or value-identical ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,

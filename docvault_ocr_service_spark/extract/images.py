@@ -38,8 +38,9 @@ class ImageDecodeError(ValueError):
 
 class UnsupportedImageError(ImageDecodeError):
     """Structurally valid image, but a variant outside this engine's
-    codec envelope (arithmetic-coded JPEG, 16-bit PNG, compressed
-    TIFF…) — callers should label it unsupported, not corrupted."""
+    codec envelope (progressive-arithmetic JPEG, 16-bit PNG,
+    hierarchical frames…) — callers should label it unsupported, not
+    corrupted."""
 
 
 def sniff_image_format(head: bytes) -> str | None:

@@ -1,11 +1,13 @@
 """Pure-Python JPEG codec (no libjpeg/PIL in this container).
 
-Decoder: sequential baseline DCT (SOF0/1) AND progressive (SOF2 —
+Decoder: sequential baseline DCT (SOF0/1), progressive (SOF2 —
 spectral selection, successive approximation, EOB runs, refinement
-correction bits), 8-bit, grayscale or YCbCr with any sampling factors
-up to 2×2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, byte stuffing.
-Encoders: the baseline fixture writer and a scan-script-parameterized
-progressive writer proving round-trips.
+correction bits), AND sequential arithmetic-coded (SOF9 — QM coder +
+Annex F statistics, extract/jpeg_arith.py), 8-bit, grayscale or YCbCr
+with any sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0), restart
+markers, byte stuffing.  Encoders: the baseline fixture writer, a
+scan-script-parameterized progressive writer, and an arithmetic
+writer, proving round-trips.
 
 Validation stance (stated honestly): there is no libjpeg in this
 environment to differential-test against, so correctness rests on
@@ -210,8 +212,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     Sequential baseline (SOF0/1) and progressive (SOF2: spectral
     selection + successive approximation, EOB runs, refinement scans,
-    restart markers).  Arithmetic-coded and hierarchical frames stay
-    honestly unsupported.
+    restart markers) and sequential arithmetic (SOF9, via
+    extract/jpeg_arith.py).  Progressive-arithmetic (SOF10),
+    hierarchical, and lossless frames stay honestly unsupported.
     """
     if not data.startswith(b"\xff\xd8"):
         raise ImageDecodeError("missing JPEG SOI")
@@ -220,6 +223,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     progressive = False
+    arith = False
+    conditioning: dict = {}                     # DAC: (class, id) -> L/U, Kx
     coefs: list[np.ndarray] | None = None       # per-comp zigzag coef grids
     restart_interval = 0
     while pos + 2 <= len(data):
@@ -266,7 +271,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(seg[p + 17:p + 17 + n])
                 htables[(tc, th)] = _build_decode_table(bits, values)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1, SOF2 prog,
+            # SOF9 sequential arithmetic (extract/jpeg_arith.py)
             if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
                 raise ImageDecodeError("truncated SOF segment")
             precision, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), \
@@ -280,7 +286,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            arith = marker == 0xC9
+        elif marker == 0xCC:                    # DAC (arith conditioning)
+            from .jpeg_arith import parse_dac
+            parse_dac(seg, conditioning)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
                 f"unsupported JPEG coding process (SOF{marker - 0xC0})")
@@ -301,6 +311,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 for i in range(ns):
                     cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                     scan_tables[cs] = (tt >> 4, tt & 0x0F)
+                if arith:
+                    from .jpeg_arith import decode_scan_arith
+                    planes, hmax, vmax = decode_scan_arith(
+                        data, pos + seg_len, frame, scan_tables, qtables,
+                        conditioning, restart_interval)
+                    return _planes_to_image(frame, planes, hmax, vmax)
                 return _decode_scan(data, pos + seg_len, frame, scan_tables,
                                     qtables, htables, restart_interval)
             scan = _parse_progressive_sos(seg, frame)
