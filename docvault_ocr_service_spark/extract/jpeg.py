@@ -279,9 +279,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 seg[5]
             if precision != 8:
                 raise UnsupportedImageError("non-8-bit JPEG")
+            if nc == 0:
+                raise ImageDecodeError("SOF with zero components")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                if hv >> 4 == 0 or hv & 0x0F == 0:
+                    raise ImageDecodeError("zero sampling factor")
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
@@ -601,8 +605,12 @@ def _decode_scan(data, pos, frame, scan_tables, qtables, htables,
             for ci, c in enumerate(comps):
                 tsel = scan_tables.get(c["id"])
                 if tsel is None:
-                    raise ImageDecodeError(
-                        f"scan omits frame component {c['id']}")
+                    # legal per T.81 (non-interleaved one-scan-per-
+                    # component files) but outside this engine's
+                    # single-interleaved-scan envelope
+                    raise UnsupportedImageError(
+                        f"non-interleaved scan (omits component "
+                        f"{c['id']})")
                 dc_t = htables.get((0, tsel[0]))
                 ac_t = htables.get((1, tsel[1]))
                 q = qtables.get(c["tq"])

@@ -481,7 +481,11 @@ def decode_scan_arith(data: bytes, pos: int, frame: dict,
     for c in comps:
         tsel = scan_tables.get(c["id"])
         if tsel is None:
-            raise ImageDecodeError(f"scan omits frame component {c['id']}")
+            # legal per T.81 (non-interleaved sequential files) but
+            # outside this engine's single-interleaved-scan envelope
+            from .images import UnsupportedImageError
+            raise UnsupportedImageError(
+                f"non-interleaved scan (omits component {c['id']})")
         td, ta = tsel
         if td not in dc_stats:
             dc_stats[td] = _Stats(DC_STAT_BINS)

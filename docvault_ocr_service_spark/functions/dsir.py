@@ -73,10 +73,12 @@ def dsir_log_ratios(raw: DataFrame, target: DataFrame,
 
     t = counts(target, "t_n")
     r = counts(raw, "r_n")
-    t_total = target.select(F.coalesce(F.sum(F.size(hashed_features(
-        F.col(text_col), hex_chars))), F.lit(0)).alias("t_total"))
-    r_total = raw.select(F.coalesce(F.sum(F.size(hashed_features(
-        F.col(text_col), hex_chars))), F.lit(0)).alias("r_total"))
+    # totals are the sums of the already-aggregated (bucket-space-
+    # bounded) count tables — no second pass over either corpus
+    t_total = t.select(F.coalesce(F.sum("t_n"), F.lit(0))
+                       .alias("t_total"))
+    r_total = r.select(F.coalesce(F.sum("r_n"), F.lit(0))
+                       .alias("r_total"))
     joined = (t.join(r, "bucket", "full_outer")
               .select("bucket",
                       F.coalesce("t_n", F.lit(0)).alias("t_n"),

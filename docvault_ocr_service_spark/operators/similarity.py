@@ -410,4 +410,10 @@ def semdedup(corpus: DataFrame, dim: int,
     kept = dedup_keep_best(base.withColumn("__q", quality),
                            pairs, id_col, "__q")
     out = kept.drop("__q", "__cent_sim", "list_id")
+    # materialize the kept set eagerly so the cached assignment frame
+    # can be released — otherwise repeated calls in one session pin
+    # corpus-sized partitions for the session lifetime (same
+    # discipline as fuzzy_contamination)
+    out = out.localCheckpoint(eager=True)
+    base.unpersist(blocking=False)
     return out

@@ -155,6 +155,46 @@ def test_decode_sof9_total(seed, n_mut):
             pass
 
 
+def _sof9_offset(data: bytes) -> int:
+    i = data.find(b"\xff\xc9")
+    assert i > 0
+    return i
+
+
+def test_zero_components_sof_is_decode_error():
+    data = bytearray(encode_jpeg_arith(np.zeros((8, 8), dtype=np.uint8)))
+    i = _sof9_offset(data)
+    data[i + 2 + 2 + 5] = 0                 # Nc byte -> 0
+    with pytest.raises(ImageDecodeError, match="zero components"):
+        decode_jpeg(bytes(data))
+
+
+def test_zero_sampling_factor_is_decode_error():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg_arith(img))
+    i = _sof9_offset(data)
+    # component 2's H/V byte: SOF9 seg = len(2) P(1) Y(2) X(2) Nc(1)
+    # then 3 bytes per component (id, HV, Tq)
+    data[i + 2 + 2 + 6 + 3 * 1 + 1] = 0x00
+    with pytest.raises(ImageDecodeError, match="sampling factor"):
+        decode_jpeg(bytes(data))
+
+
+def test_non_interleaved_scan_is_unsupported():
+    """One-scan-per-component sequential files are legal per T.81 but
+    outside the engine's envelope — unsupported, not corrupted."""
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg_arith(img))
+    i = data.find(b"\xff\xda")
+    # rewrite SOS: Ns=3 -> Ns=1 (keep component 1 only), shrinking the
+    # segment; splice a fresh 1-component SOS header in place
+    seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+    new_sos = b"\x00\x08\x01\x01\x00\x00\x3f\x00"
+    data = data[:i + 2] + new_sos + data[i + 2 + seg_len:]
+    with pytest.raises(UnsupportedImageError, match="non-interleaved"):
+        decode_jpeg(bytes(data))
+
+
 def test_media_pipeline_accepts_sof9():
     """The media feature path decodes SOF9 payloads end to end."""
     from docvault_ocr_service_spark.functions.multimodal import _decode_row
