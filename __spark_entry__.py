@@ -1366,6 +1366,43 @@ def dsir_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("score").desc(), "doc_id")
 
 
+def quality_classifier_stats(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Trained fastText-style quality classifier (functions/
+    quality_classifier.py): positives = documents < 200 verbatim,
+    negatives = the same docs with word order REVERSED (identical
+    unigrams — only the bigram buckets separate the classes), 3
+    full-batch integer-quantized GD iterations over the 256-bucket
+    space, then map-only scoring of the originals.  Because every
+    cross-row accumulation is an exact scaled-integer sum and the
+    update uses truncating division, DuckDB replays the entire
+    training trajectory value-for-value (3 unrolled iterations)."""
+    from docvault_ocr_service_spark.functions.quality_classifier import (
+        score_quality, train_quality_classifier)
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text")) \
+        .where(F.col("doc_id") < 200)
+    reversed_text = F.array_join(
+        F.reverse(F.split(F.btrim("text"), r"\s+")), " ")
+    labeled = docs.select(
+        F.col("doc_id").cast("long").alias("id"), "text",
+        F.lit(1).cast("long").alias("label")
+    ).unionByName(docs.select(
+        (F.col("doc_id") + 100000).cast("long").alias("id"),
+        reversed_text.alias("text"),
+        F.lit(0).cast("long").alias("label")))
+    model = train_quality_classifier(labeled, "id", iters=3,
+                                     hex_chars=2)
+    scored = score_quality(docs.where(F.col("doc_id") < 60),
+                           model, "doc_id", hex_chars=2)
+    return scored.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("quality_margin", 6).alias("quality_margin"),
+        F.round("quality_score", 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
 def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, oracle-checked: deterministic 16×16 gray
     gradient PNGs are built per doc_id, decoded through the pure-Python
@@ -2803,10 +2840,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
     # round so no entry's driver stamp goes stale): block 1 = the
     # TPC-H/events/dedup/sampling core last driver-stamped on r2-r3
-    # code (44) + the six queries new or semantics-changed in round 5;
-    # block 2 (>50) = everything driver-stamped green in round 4 on
-    # unchanged (or value-identical, locally re-verified) code — all
-    # still covered by tools/check_oracles.py locally every round.
+    # code (40 of 44; see below) + the TEN queries new or semantics-
+    # changed in round 5 (brand-new queries always gate in their birth
+    # round); block 2 (>50) = everything driver-stamped green in round
+    # 4 on unchanged (or value-identical, locally re-verified) code —
+    # all still covered by tools/check_oracles.py locally every round.
+    # 54 candidates for 50 slots: the four displaced r2/r3-core
+    # entries (q_distinct_part_types, q_customers_without_orders,
+    # doc_sample_tenth, doc_token_stats — trivial single-shuffle SQL
+    # twins, each also pinned by deterministic pytest) lead block 2
+    # for round 6.
     return {
         # -- block 1a: r2/r3-stamped core, rotated back into the gate ----
         "q_rollup_priority": q_rollup_priority,
@@ -2816,7 +2859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": events_sessions,
         "events_asof_purchase": events_asof_purchase,
         "events_value_quantiles": events_value_quantiles,
-        "doc_token_stats": doc_token_stats,
         "doc_exact_dups": doc_exact_dups,
         "source_quality_stats": source_quality_stats,
         "doc_langid": doc_langid,
@@ -2832,8 +2874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": q14_promo_share,
         "q19_bracket_revenue": q19_bracket_revenue,
         "q15_top_supplier": q15_top_supplier,
-        "q_customers_without_orders": q_customers_without_orders,
-        "q_distinct_part_types": q_distinct_part_types,
         "doc_stopword_punct": doc_stopword_punct,
         "url_host_stats": url_host_stats,
         "doc_nfc_stats": doc_nfc_stats,
@@ -2841,7 +2881,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_url_extraction": sitemap_url_extraction,
         "pack_windows": pack_windows,
         "doc_fingerprints": doc_fingerprints,
-        "doc_sample_tenth": doc_sample_tenth,
         "doc_stratified_sample": doc_stratified_sample,
         "categorize_orders_docs": categorize_orders_docs,
         "simhash_dup_pairs": simhash_dup_pairs,
@@ -2860,11 +2899,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_registrable_domains": url_registrable_domains,
         "sitemap_lastmod_extraction": sitemap_lastmod_extraction,
         "bpe_roundtrip_stats": bpe_roundtrip_stats,
-        # -- block 2a: born after the round-5 gate froze (check_oracles
-        # verified this round; first in line for the round-6 rotation) -
         "semdedup_stats": semdedup_stats,
         "dsir_resample_stats": dsir_resample_stats,
         "jpeg_arith_stats": jpeg_arith_stats,
+        "quality_classifier_stats": quality_classifier_stats,
+        # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
+        # each pinned by deterministic pytest + local oracle replica) --
+        "q_customers_without_orders": q_customers_without_orders,
+        "q_distinct_part_types": q_distinct_part_types,
+        "doc_sample_tenth": doc_sample_tenth,
+        "doc_token_stats": doc_token_stats,
         # -- block 2: r4-driver-green, unchanged or value-identical ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,

@@ -1,0 +1,186 @@
+"""fastText-style document quality classifier — the discriminative
+companion to the generative DSIR log-ratio scorer (functions/dsir.py):
+a logistic regression over hashed unigram+bigram bucket counts,
+trained full-batch by distributed gradient descent and applied as a
+map-only scoring pass.  This is the "quality classifier" stage of the
+published pretraining-data recipes (CCNet / LLaMA / FineWeb-Edu train
+a linear fastText model on labeled pages, then keep the corpus slice
+above a score threshold).
+
+Why integer-quantized training: the driver gate hash-compares Spark
+results against a DuckDB replay, and cross-row float sums are
+order-dependent (partition count would change the result).  All
+cross-row accumulation here is over exact scaled integers:
+
+- weights live as ``w_q`` longs at ``W_SCALE`` (1e9) resolution,
+- per-doc margins are exact long sums of ``w_q`` (+ bias) / W_SCALE,
+- residuals quantize to ``R_SCALE`` (1e6) longs by truncation toward
+  zero (Spark ``cast(long)`` == DuckDB ``trunc()``),
+- per-bucket gradients are exact long sums of residuals,
+- the update ``w_q += (grad * lr_num * (W_SCALE/R_SCALE))
+  div (lr_den * n_docs)`` uses truncating integer division, which
+  Spark's ``div`` and DuckDB's ``//`` both implement.
+
+The only float op is the sigmoid itself, and its output is quantized
+before it crosses rows — so the whole training trajectory is
+bit-reproducible across partitionings AND replayable in SQL.
+
+Scale shape: the bucket space is fixed (16^hex_chars — the weight
+table broadcasts no matter the corpus size); each iteration is one
+broadcast join + a per-doc aggregation + a bucket-space-bounded
+gradient aggregation, and the feature explosion is computed once and
+cached across iterations.  Training is meant to run on a bounded
+labeled SAMPLE (fastText itself trains on ~1e6 docs in minutes); the
+100 TB path is: sample labels, train here, then ``score_quality`` the
+full corpus map-only with the broadcast weight table.  The gradient
+accumulator holds sum(|resid_q|) <= n_occurrences * 1e6 per bucket —
+fine for any sane training sample, not for a 1e12-doc full corpus
+(which you would never full-batch-train on anyway).
+
+Reference anchor: this generalizes the reference's static
+quality_score gate (app/quality.py analogues in
+functions/textstats.py) into a *trained* scorer; there is no direct
+reference counterpart — it is part of the training-data-pipeline
+surface this engine adds (SURVEY §2 "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docvault_ocr_service_spark.functions.dsir import hashed_features
+
+W_SCALE = 1_000_000_000      # weight resolution (1e-9)
+R_SCALE = 1_000_000          # residual resolution (1e-6)
+_W_OVER_R = W_SCALE // R_SCALE
+
+BIAS_BUCKET = "__bias__"
+
+
+def _sigmoid(margin: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+
+
+def _occurrences(labeled: DataFrame, id_col: str, text_col: str,
+                 hex_chars: int) -> DataFrame:
+    """(id, bucket) with one row per feature OCCURRENCE (duplicates
+    kept — bag-of-buckets counts, like DSIR)."""
+    return labeled.select(
+        F.col(id_col).alias("__id"),
+        F.explode(hashed_features(F.col(text_col), hex_chars))
+        .alias("bucket"))
+
+
+def train_quality_classifier(labeled: DataFrame, id_col: str,
+                             text_col: str = "text",
+                             label_col: str = "label",
+                             hex_chars: int = 2, iters: int = 5,
+                             lr_num: int = 1, lr_den: int = 2
+                             ) -> DataFrame:
+    """Train the logistic model; returns a small DataFrame
+    ``(bucket string, w_q long, weight double)`` — one row per bucket
+    ever touched by a gradient plus a ``__bias__`` row.  Broadcast it
+    into ``score_quality``.
+
+    ``labeled`` needs a 0/1 integer ``label_col``.  ``lr = lr_num /
+    lr_den`` as an exact rational so the update stays in integer
+    arithmetic.  The weight table is bucket-space-bounded
+    (16^hex_chars + 1 rows) and collected per iteration — the same
+    bounded-collect contract as the IVF centroid trainer
+    (operators/similarity.py).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if lr_num < 1 or lr_den < 1:
+        raise ValueError("learning rate must be a positive rational")
+    spark = labeled.sparkSession
+
+    docs = labeled.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("long").alias("__label"))
+    occ = _occurrences(labeled, id_col, text_col, hex_chars)
+    occ = occ.persist()
+    docs = docs.persist()
+    try:
+        n_docs = docs.count()
+        if n_docs == 0:
+            raise ValueError("empty training set")
+        weights: dict[str, int] = {}   # bucket -> w_q (long)
+        bias_q = 0
+        for _ in range(iters):
+            if weights:
+                w_df = spark.createDataFrame(
+                    sorted(weights.items()), "bucket string, w_q long")
+                joined = occ.join(F.broadcast(w_df), "bucket", "left")
+            else:
+                joined = occ.withColumn("w_q", F.lit(None).cast("long"))
+            # exact per-doc margin (long sum of w_q, + bias once)
+            margins = (docs.join(
+                joined.groupBy("__id")
+                .agg(F.sum(F.coalesce("w_q", F.lit(0)))
+                     .alias("__sum_wq")),
+                "__id", "left")
+                .select("__id", "__label",
+                        ((F.coalesce("__sum_wq", F.lit(0))
+                          + F.lit(bias_q)) / F.lit(W_SCALE))
+                        .alias("__margin")))
+            resid = margins.select(
+                "__id",
+                ((F.col("__label") - _sigmoid(F.col("__margin")))
+                 * F.lit(R_SCALE)).cast("long").alias("__resid_q"))
+            resid = resid.persist()
+            grads = (occ.join(resid, "__id")
+                     .groupBy("bucket")
+                     .agg(F.sum("__resid_q").alias("__grad_q"))
+                     .collect())
+            bias_grad = resid.agg(
+                F.coalesce(F.sum("__resid_q"), F.lit(0))
+                .alias("g")).collect()[0]["g"]
+            resid.unpersist()
+            denom = lr_den * n_docs
+            for row in grads:
+                num = row["__grad_q"] * lr_num * _W_OVER_R
+                # truncating integer division == Spark `div`,
+                # DuckDB `//` (both round toward zero)
+                delta = abs(num) // denom * (1 if num >= 0 else -1)
+                weights[row["bucket"]] = \
+                    weights.get(row["bucket"], 0) + delta
+            bnum = bias_grad * lr_num * _W_OVER_R
+            bias_q += abs(bnum) // denom * (1 if bnum >= 0 else -1)
+    finally:
+        occ.unpersist()
+        docs.unpersist()
+
+    rows = sorted(weights.items()) + [(BIAS_BUCKET, bias_q)]
+    out = spark.createDataFrame(rows, "bucket string, w_q long")
+    return out.withColumn("weight",
+                          F.col("w_q") / F.lit(float(W_SCALE)))
+
+
+def score_quality(df: DataFrame, model: DataFrame, id_col: str,
+                  text_col: str = "text", hex_chars: int = 2
+                  ) -> DataFrame:
+    """``df`` + (``quality_margin``, ``quality_score``): map-only
+    scoring with the broadcast weight table — margin is the exact
+    long-sum of bucket weights (+ bias) at W_SCALE, score the
+    sigmoid.  ``hex_chars`` must match training."""
+    w = model.where(F.col("bucket") != BIAS_BUCKET) \
+        .select("bucket", "w_q")
+    bias = model.where(F.col("bucket") == BIAS_BUCKET) \
+        .select(F.col("w_q").alias("__bias_q"))
+    occ = _occurrences(df, id_col, text_col, hex_chars)
+    sums = (occ.join(F.broadcast(w), "bucket", "left")
+            .groupBy("__id")
+            .agg(F.sum(F.coalesce("w_q", F.lit(0)))
+                 .alias("__sum_wq")))
+    margin = ((F.coalesce("__sum_wq", F.lit(0))
+               + F.coalesce("__bias_q", F.lit(0)))
+              / F.lit(W_SCALE))
+    return (df.join(sums, df[id_col] == sums["__id"], "left")
+            .drop("__id")
+            .crossJoin(F.broadcast(bias))
+            .withColumn("quality_margin", margin)
+            .withColumn("quality_score",
+                        _sigmoid(F.col("quality_margin")))
+            .drop("__sum_wq", "__bias_q"))
