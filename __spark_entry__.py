@@ -1514,27 +1514,35 @@ def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def jpeg_arith_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arithmetic-coded JPEG (SOF9 — extract/jpeg_arith.py, T.81 QM
-    coder + Annex F statistics) under the driver gate: per doc a
-    deterministic image is encoded arithmetic (subsampling / restart
-    interval keyed on doc_id) and baseline Huffman; both encoders
-    share the quantized-coefficient front half, so the decoded pixel
-    mismatch count is exactly 0 for every doc."""
+    """Arithmetic-coded JPEG (extract/jpeg_arith.py, T.81 QM coder)
+    under the driver gate — BOTH processes: per doc a deterministic
+    image is encoded sequential-arithmetic (SOF9, Annex F statistics;
+    subsampling / restart interval keyed on doc_id) AND
+    progressive-arithmetic (SOF10, Annex G.2 models; scan script /
+    successive-approximation depth keyed on doc_id), plus baseline
+    Huffman.  All encoders share the quantized-coefficient front
+    half, so both decoded pixel mismatch counts are exactly 0 for
+    every doc."""
     from pyspark.sql import types as T
 
     docs = _t(spark, sf_dir, "documents").select("doc_id") \
         .where(F.col("doc_id") < 120)
 
-    @F.pandas_udf(T.LongType())
-    def arith_vs_huffman(ids: pd.Series) -> pd.Series:
+    schema = T.StructType([
+        T.StructField("n_mismatch", T.LongType()),
+        T.StructField("n_mismatch_prog", T.LongType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def arith_vs_huffman(ids: pd.Series) -> pd.DataFrame:
         import numpy as np
 
         from docvault_ocr_service_spark.extract.jpeg import (
             decode_jpeg, encode_jpeg)
         from docvault_ocr_service_spark.extract.jpeg_arith import (
-            encode_jpeg_arith)
+            encode_jpeg_arith, encode_jpeg_progressive_arith)
 
-        out = []
+        seq_out, prog_out = [], []
         for d in ids:
             d = int(d)
             gray = np.clip(np.fromfunction(
@@ -1543,15 +1551,23 @@ def jpeg_arith_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             img = np.dstack([gray[:16, :16]] * 3) if d % 5 == 0 else gray
             sub = "420" if d % 5 == 0 and d % 2 == 0 else "444"
             ri = (0, 0, 2, 0, 3)[d % 5]
-            arith = decode_jpeg(encode_jpeg_arith(
-                img, quality=80, subsampling=sub, restart_interval=ri))
             huff = decode_jpeg(encode_jpeg(img, quality=80,
                                            subsampling=sub))
-            out.append(int((arith != huff).sum()))
-        return pd.Series(out)
+            arith = decode_jpeg(encode_jpeg_arith(
+                img, quality=80, subsampling=sub, restart_interval=ri))
+            seq_out.append(int((arith != huff).sum()))
+            bands = (((1, 63),), ((1, 5), (6, 63)),
+                     ((1, 2), (3, 20), (21, 63)))[d % 3]
+            prog = decode_jpeg(encode_jpeg_progressive_arith(
+                img, quality=80, subsampling=sub, restart_interval=ri,
+                bands=bands, dc_al=d % 3, ac_al=(d + 1) % 3))
+            prog_out.append(int((prog != huff).sum()))
+        return pd.DataFrame({"n_mismatch": seq_out,
+                             "n_mismatch_prog": prog_out})
 
-    return docs.select("doc_id",
-                       arith_vs_huffman(F.col("doc_id")).alias("n_mismatch"))
+    return docs.select("doc_id", arith_vs_huffman(F.col("doc_id"))
+                       .alias("r")).select("doc_id", "r.n_mismatch",
+                                           "r.n_mismatch_prog")
 
 
 def tiff_compressed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

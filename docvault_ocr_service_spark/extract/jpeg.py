@@ -210,11 +210,11 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes → uint8 (H,W) gray or (H,W,3) RGB.
 
-    Sequential baseline (SOF0/1) and progressive (SOF2: spectral
+    Sequential baseline (SOF0/1), progressive (SOF2: spectral
     selection + successive approximation, EOB runs, refinement scans,
-    restart markers) and sequential arithmetic (SOF9, via
-    extract/jpeg_arith.py).  Progressive-arithmetic (SOF10),
-    hierarchical, and lossless frames stay honestly unsupported.
+    restart markers), and arithmetic-coded frames both sequential
+    (SOF9) and progressive (SOF10), via extract/jpeg_arith.py.
+    Hierarchical and lossless frames stay honestly unsupported.
     """
     if not data.startswith(b"\xff\xd8"):
         raise ImageDecodeError("missing JPEG SOI")
@@ -271,8 +271,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(seg[p + 17:p + 17 + n])
                 htables[(tc, th)] = _build_decode_table(bits, values)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1, SOF2 prog,
-            # SOF9 sequential arithmetic (extract/jpeg_arith.py)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # SOF0/1, SOF2
+            # prog, SOF9/SOF10 arithmetic (extract/jpeg_arith.py)
             if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
                 raise ImageDecodeError("truncated SOF segment")
             precision, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), \
@@ -289,12 +289,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
         elif marker == 0xCC:                    # DAC (arith conditioning)
             from .jpeg_arith import parse_dac
             parse_dac(seg, conditioning)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
                 f"unsupported JPEG coding process (SOF{marker - 0xC0})")
@@ -326,8 +326,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = _parse_progressive_sos(seg, frame)
             if coefs is None:
                 coefs = _alloc_coef_grids(frame)
-            end = _decode_progressive_scan(data, pos + seg_len, frame, scan,
-                                           htables, coefs, restart_interval)
+            if arith:
+                from .jpeg_arith import decode_progressive_scan_arith
+                end = decode_progressive_scan_arith(
+                    data, pos + seg_len, frame, scan, conditioning,
+                    coefs, restart_interval)
+            else:
+                end = _decode_progressive_scan(data, pos + seg_len, frame,
+                                               scan, htables, coefs,
+                                               restart_interval)
             pos = _next_marker(data, end)
             continue
         pos += seg_len

@@ -1,4 +1,4 @@
-"""Arithmetic-coded JPEG (SOF9 — extended sequential DCT, QM coder).
+"""Arithmetic-coded JPEG (SOF9 sequential + SOF10 progressive, QM coder).
 
 Closes the last reference-visible D2 decode gap that is implementable
 in this sandbox: the reference's PIL path decodes arithmetic-coded
@@ -364,7 +364,14 @@ class _DcModel:
 
 
 class _AcModel:
-    """AC coder over one stats area (per table), conditioned on k."""
+    """AC coder over one stats area (per table), conditioned on k.
+
+    The band/point-transform parameters (``ss``, ``se``, ``al``)
+    default to the full sequential spectrum; progressive scans (Annex
+    G.2) pass their spectral-selection window and successive-
+    approximation shift.  Statistics areas are per SCAN in progressive
+    mode (the caller allocates fresh ones), matching G.2's per-scan
+    initialization."""
 
     def __init__(self, stats: _Stats, kx: int):
         self.stats = stats
@@ -372,19 +379,22 @@ class _AcModel:
         self.fixed = _Stats(1)
         self.fixed.idx[0] = _FIXED_STATE
 
-    def decode_block(self, dec: ArithDecoder, zz: np.ndarray) -> None:
-        """Fill zigzag-order coefficients 1..63 of ``zz`` in place."""
+    def decode_block(self, dec: ArithDecoder, zz: np.ndarray,
+                     ss: int = 1, se: int = 63, al: int = 0) -> None:
+        """Fill zigzag-order coefficients ``ss..se`` of ``zz`` in
+        place, each decoded value left-shifted by ``al`` (G.2.3; the
+        sequential call is the ss=1, se=63, al=0 special case)."""
         s = self.stats
-        k = 1
-        while k <= 63:
+        k = ss
+        while k <= se:
             st = 3 * (k - 1)
             if dec.decode(s, st):
                 return                      # EOB
             while dec.decode(s, st + 1) == 0:
                 st += 3
                 k += 1
-                if k > 63:
-                    raise ImageDecodeError("AC index past block end")
+                if k > se:
+                    raise ImageDecodeError("AC index past band end")
             sign = dec.decode(self.fixed, 0)
             st += 2
             m = dec.decode(s, st)
@@ -404,18 +414,19 @@ class _AcModel:
                 if mm and dec.decode(s, stm):
                     v |= mm
             v += 1
-            zz[k] = -v if sign else v
+            zz[k] = (-v if sign else v) << al
             k += 1
 
-    def encode_block(self, enc: ArithEncoder, zz: np.ndarray) -> None:
+    def encode_block(self, enc: ArithEncoder, zz: np.ndarray,
+                     ss: int = 1, se: int = 63, al: int = 0) -> None:
         s = self.stats
-        nz = [k for k in range(1, 64) if zz[k]]
-        eob = nz[-1] + 1 if nz else 1
-        k = 1
+        nz = [k for k in range(ss, se + 1) if abs(int(zz[k])) >> al]
+        eob = nz[-1] + 1 if nz else ss
+        k = ss
         while k < eob:
             st = 3 * (k - 1)
             enc.encode(0, s, st)            # not EOB yet
-            while zz[k] == 0:
+            while abs(int(zz[k])) >> al == 0:
                 enc.encode(0, s, st + 1)
                 st += 3
                 k += 1
@@ -423,7 +434,7 @@ class _AcModel:
             v = int(zz[k])
             enc.encode(1 if v < 0 else 0, self.fixed, 0)
             st += 2
-            a = abs(v) - 1
+            a = (abs(v) >> al) - 1
             if a == 0:
                 enc.encode(0, s, st)
             else:
@@ -446,8 +457,80 @@ class _AcModel:
                         if mm:
                             enc.encode(1 if a & mm else 0, s, stm)
             k += 1
-        if eob <= 63:
+        if eob <= se:
             enc.encode(1, s, 3 * (eob - 1))  # EOB decision
+
+    # -- AC refinement scans (G.2.4; the decision layout also appears
+    # in the IJG's jdarith.c/jcarith.c).  Unlike Huffman refinement,
+    # NO correction bits follow the EOB decision, and the correction
+    # bit itself is a coded decision at st+2 (conditioned on k), not a
+    # raw bit.  The EOB search is band-bounded: equivalent to the
+    # whole-block search for any position the scan can reach (a
+    # below-band kex only ever means "EOB decisions start at Ss").
+
+    def decode_refine(self, dec: ArithDecoder, zz: np.ndarray,
+                      ss: int, se: int, al: int) -> None:
+        s = self.stats
+        p1 = 1 << al
+        kex = ss - 1                        # last history-nonzero in band
+        for k in range(se, ss - 1, -1):
+            if int(zz[k]):
+                kex = k
+                break
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if k > kex and dec.decode(s, st):
+                return                      # EOB: no trailing corrections
+            while True:
+                c = int(zz[k])
+                if c:                       # history-nonzero: correction
+                    if dec.decode(s, st + 2):
+                        zz[k] = c + (p1 if c >= 0 else -p1)
+                    break
+                if dec.decode(s, st + 1):   # newly nonzero
+                    zz[k] = -p1 if dec.decode(self.fixed, 0) else p1
+                    break
+                st += 3
+                k += 1
+                if k > se:
+                    raise ImageDecodeError("AC refinement past band end")
+            k += 1
+
+    def encode_refine(self, enc: ArithEncoder, zz: np.ndarray,
+                      ss: int, se: int, al: int) -> None:
+        s = self.stats
+        ke = ss - 1                         # EOB index at this precision
+        for k in range(se, ss - 1, -1):
+            if abs(int(zz[k])) >> al:
+                ke = k
+                break
+        kex = ss - 1                        # EOB index BEFORE this scan
+        for k in range(min(ke, se), ss - 1, -1):
+            if abs(int(zz[k])) >> (al + 1):
+                kex = k
+                break
+        k = ss
+        while k <= ke:
+            st = 3 * (k - 1)
+            if k > kex:
+                enc.encode(0, s, st)        # not EOB yet
+            while True:
+                t = abs(int(zz[k])) >> al
+                if t:
+                    if t >> 1:              # history-nonzero: one bit
+                        enc.encode(t & 1, s, st + 2)
+                    else:                   # newly nonzero
+                        enc.encode(1, s, st + 1)
+                        enc.encode(1 if int(zz[k]) < 0 else 0,
+                                   self.fixed, 0)
+                    break
+                enc.encode(0, s, st + 1)
+                st += 3
+                k += 1
+            k += 1
+        if ke < se:
+            enc.encode(1, s, 3 * ke)        # EOB decision for k = ke+1
 
 
 # -- scan decode (mirrors jpeg._decode_scan) ----------------------------------
@@ -550,6 +633,94 @@ def _sync_restart_arith(data: bytes, dec: ArithDecoder) -> ArithDecoder:
     return ArithDecoder(data, pos + 2)
 
 
+def decode_progressive_scan_arith(data: bytes, pos: int, frame: dict,
+                                  scan: dict, conditioning: dict,
+                                  coefs: list, restart_interval: int
+                                  ) -> int:
+    """One progressive-arithmetic SOS (SOF10 — T.81 Annex G.2):
+    accumulate into the per-component zigzag coefficient grids
+    allocated by ``jpeg._alloc_coef_grids``; returns the stream offset
+    just past the consumed entropy bytes.
+
+    Statistics areas are fresh per scan (G.2 start-of-scan
+    initialization) and reset again at every restart marker.  DC first
+    scans reuse the sequential DC model over point-transformed values
+    (stored ``pred << Al``); DC refinements are one fixed-bin decision
+    per block OR-ing in ``1 << Al``; AC first scans are the sequential
+    AC model over the scan's band with the ``<< Al`` store; AC
+    refinements use the Annex G.2 correction model (coded decisions,
+    no trailing correction bits after EOB).
+    """
+    from .jpeg import _comp_block_dims
+
+    comps = frame["comps"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    sel = scan["comps"]
+    dec = ArithDecoder(data, pos)
+    unit = 0
+
+    if ss == 0:                             # DC scan
+        dc_stats: dict[int, _Stats] = {}
+        models: dict[int, _DcModel] = {}
+        if ah == 0:
+            for ci, td, _ in sel:
+                stats = dc_stats.setdefault(td, _Stats(DC_STAT_BINS))
+                low, up = conditioning.get((0, td), (0, 1))
+                models[ci] = _DcModel(stats, low, up)
+        fixed = _Stats(1)
+        fixed.idx[0] = _FIXED_STATE
+        p1 = 1 << al
+        if len(sel) > 1:                    # interleaved MCU order
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            units = [[(ci, my * comps[ci]["v"] + by,
+                       mx * comps[ci]["h"] + bx)
+                      for ci, _, _ in sel
+                      for by in range(comps[ci]["v"])
+                      for bx in range(comps[ci]["h"])]
+                     for my in range(-(-frame["h"] // (8 * vmax)))
+                     for mx in range(-(-frame["w"] // (8 * hmax)))]
+        else:
+            ci0 = sel[0][0]
+            bh, bw = _comp_block_dims(frame, comps[ci0])
+            units = [[(ci0, by, bx)]
+                     for by in range(bh) for bx in range(bw)]
+        for blocks in units:
+            if restart_interval and unit and \
+                    unit % restart_interval == 0:
+                dec = _sync_restart_arith(data, dec)
+                for stats in dc_stats.values():
+                    stats.reset()
+                for m in models.values():
+                    m.reset()
+            unit += 1
+            for ci, by, bx in blocks:
+                blk = coefs[ci][by, bx]
+                if ah == 0:
+                    blk[0] = models[ci].decode(dec) << al
+                elif dec.decode(fixed, 0):
+                    blk[0] = int(blk[0]) | p1
+    else:                                   # AC scan: one component
+        ci, _, ta = sel[0]
+        kx = conditioning.get((1, ta), 5)
+        ac_stats = _Stats(AC_STAT_BINS)
+        model = _AcModel(ac_stats, kx)
+        bh, bw = _comp_block_dims(frame, comps[ci])
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    dec = _sync_restart_arith(data, dec)
+                    ac_stats.reset()
+                unit += 1
+                blk = coefs[ci][by, bx]
+                if ah == 0:
+                    model.decode_block(dec, blk, ss, se, al)
+                else:
+                    model.decode_refine(dec, blk, ss, se, al)
+    return dec.marker_pos if dec.marker_pos is not None else dec.pos
+
+
 def parse_dac(seg: bytes, conditioning: dict) -> None:
     """DAC segment (B.2.4.3) → conditioning dict entries."""
     p = 0
@@ -640,5 +811,142 @@ def encode_jpeg_arith(pixels: np.ndarray, quality: int = 90,
                         dc_models[ci].encode(enc, int(zz[0]))
                         ac_models[ci].encode_block(enc, zz)
     out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_arith(pixels: np.ndarray, quality: int = 90,
+                                  subsampling: str = "444",
+                                  restart_interval: int = 0,
+                                  bands: tuple = ((1, 5), (6, 63)),
+                                  dc_al: int = 1, ac_al: int = 1
+                                  ) -> bytes:
+    """Progressive arithmetic-coded JPEG (SOF10) fixture writer: the
+    same parameterized scan script as the Huffman progressive encoder
+    (interleaved DC first at ``dc_al`` + per-bit refinements, then per
+    component the AC ``bands`` first at ``ac_al`` refined bit-by-bit
+    to 0), entropy-coded by the Annex D QM coder with the Annex G.2
+    progressive models.  Encodes the same quantized coefficients as
+    ``encode_jpeg``, so all encoder variants decode to identical
+    pixels.  Statistics areas are fresh per scan; restart markers
+    flush the coder and reset statistics (numbering restarts per
+    scan)."""
+    from .jpeg import ZIGZAG, _quantized_zigzag
+
+    grids, meta = _quantized_zigzag(np.asarray(pixels, dtype=np.uint8),
+                                    quality, subsampling)
+    h, w = meta["h"], meta["w"]
+    nc = len(grids)
+    samp, qmap = meta["samp"], meta["qmap"]
+
+    out = bytearray(b"\xff\xd8")
+    tabs = ((0, meta["ql"]),) + (((1, meta["qc"]),) if nc == 3 else ())
+    for tq, tbl in tabs:
+        zz = tbl.reshape(64)[ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
+            + bytes(int(v) for v in zz)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, samp[i][0] << 4 | samp[i][1], qmap[i]])
+    out += b"\xff\xca" + struct.pack(">H", len(sof) + 2) + sof  # SOF10
+    dac = b""
+    for tb in sorted(set(qmap)):
+        dac += bytes([0x00 | tb, (1 << 4) | 0]) + bytes([0x10 | tb, 5])
+    out += b"\xff\xcc" + struct.pack(">H", len(dac) + 2) + dac
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def emit_sos(comps_tt: list, ss: int, se: int, ah: int,
+                 al: int) -> None:
+        sos = bytes([len(comps_tt)])
+        for cid, tt in comps_tt:
+            sos += bytes([cid, tt])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
+
+    mcus = [(my, mx) for my in range(meta["mcus_y"])
+            for mx in range(meta["mcus_x"])]
+
+    def comp_blocks(ci: int) -> list:
+        ch, cv = samp[ci]
+        comp_w = -(-w * ch // meta["hmax"])
+        comp_h = -(-h * cv // meta["vmax"])
+        bw_, bh_ = -(-comp_w // 8), -(-comp_h // 8)
+        return [(by, bx) for by in range(bh_) for bx in range(bw_)]
+
+    def run_scan(units: list, per_unit, reset) -> None:
+        """Entropy-code one scan: ``per_unit(enc, u)`` per restart
+        unit, flushing + RSTn + statistics reset every interval."""
+        enc = ArithEncoder()
+        rst = 0
+        for i, u in enumerate(units):
+            if restart_interval and i and i % restart_interval == 0:
+                out.extend(enc.flush())
+                out.extend(bytes([0xFF, 0xD0 + rst % 8]))
+                rst += 1
+                enc = ArithEncoder()
+                reset()
+            per_unit(enc, u)
+        out.extend(enc.flush())
+
+    def mcu_blocks(my: int, mx: int) -> list:
+        return [(ci, my * samp[ci][1] + by, mx * samp[ci][0] + bx)
+                for ci in range(nc)
+                for by in range(samp[ci][1])
+                for bx in range(samp[ci][0])]
+
+    all_comps_dc = [(i + 1, qmap[i] << 4) for i in range(nc)]
+
+    # DC first scan (interleaved, point transform dc_al)
+    emit_sos(all_comps_dc, 0, 0, 0, dc_al)
+    dc_stats = {t: _Stats(DC_STAT_BINS) for t in set(qmap)}
+    dc_models = [_DcModel(dc_stats[qmap[i]], 0, 1) for i in range(nc)]
+
+    def dc_first(enc: ArithEncoder, u) -> None:
+        for ci, by, bx in mcu_blocks(*u):
+            dc_models[ci].encode(enc, int(grids[ci][by, bx, 0]) >> dc_al)
+
+    def dc_reset() -> None:
+        for stats in dc_stats.values():
+            stats.reset()
+        for m in dc_models:
+            m.reset()
+
+    run_scan(mcus, dc_first, dc_reset)
+
+    # DC refinements, one bit per block per scan
+    for a in range(dc_al - 1, -1, -1):
+        emit_sos(all_comps_dc, 0, 0, a + 1, a)
+        fixed = _Stats(1)
+        fixed.idx[0] = _FIXED_STATE
+
+        def dc_refine(enc: ArithEncoder, u, _a=a, _f=fixed) -> None:
+            for ci, by, bx in mcu_blocks(*u):
+                enc.encode((int(grids[ci][by, bx, 0]) >> _a) & 1, _f, 0)
+
+        run_scan(mcus, dc_refine, lambda: None)
+
+    # AC band scans: first pass at ac_al, then per-bit refinements
+    def ac_scan(ci: int, ss: int, se: int, ah: int, a: int) -> None:
+        emit_sos([(ci + 1, qmap[ci])], ss, se, ah, a)
+        stats = _Stats(AC_STAT_BINS)
+        model = _AcModel(stats, 5)
+
+        def body(enc: ArithEncoder, u) -> None:
+            blk = grids[ci][u[0], u[1]]
+            if ah == 0:
+                model.encode_block(enc, blk, ss, se, a)
+            else:
+                model.encode_refine(enc, blk, ss, se, a)
+
+        run_scan(comp_blocks(ci), body, stats.reset)
+
+    for ci in range(nc):
+        for ss, se in bands:
+            ac_scan(ci, ss, se, 0, ac_al)
+    for a in range(ac_al - 1, -1, -1):
+        for ci in range(nc):
+            for ss, se in bands:
+                ac_scan(ci, ss, se, a + 1, a)
     out += b"\xff\xd9"
     return bytes(out)

@@ -556,18 +556,19 @@ def test_thumbnail_unsupported_vs_corrupted(spark):
     pos = 2
     while data[pos + 1] != 0xC0:
         pos += 2 + st.unpack_from(">H", data, pos + 2)[0]
-    # SOF10 progressive-arithmetic stays honestly unsupported;
-    # sequential arithmetic (SOF9) decodes since round 5, so a
-    # mislabeled Huffman stream no longer short-circuits here
-    data[pos + 1] = 0xCA
+    # SOF3 lossless stays honestly unsupported; both arithmetic
+    # processes (SOF9 sequential, SOF10 progressive) decode since
+    # round 5, so a mislabeled Huffman stream no longer
+    # short-circuits here
+    data[pos + 1] = 0xC3
     media = spark.createDataFrame(
-        [("prog_arith", bytes(data)),
+        [("lossless", bytes(data)),
          ("trunc", bytes(encode_jpeg(_gray())[:30])),
          ("prog", encode_jpeg_progressive(_gray()))],  # decodes since r3
         ["media_id", "payload"])
     got = {r["media_id"]: r["status"]
            for r in generate_thumbnails(media).collect()}
-    assert got["prog_arith"].startswith("unsupported:")
+    assert got["lossless"].startswith("unsupported:")
     assert got["trunc"].startswith("corrupted:")
     assert got["prog"] == "ok"
 

@@ -1,5 +1,5 @@
-"""Arithmetic-coded JPEG (SOF9): QM coder + Annex F statistical
-models (extract/jpeg_arith.py)."""
+"""Arithmetic-coded JPEG (SOF9 sequential + SOF10 progressive): QM
+coder + Annex F/G statistical models (extract/jpeg_arith.py)."""
 
 import numpy as np
 import pytest
@@ -11,7 +11,7 @@ from docvault_ocr_service_spark.extract.images import (
 from docvault_ocr_service_spark.extract.jpeg import decode_jpeg, encode_jpeg
 from docvault_ocr_service_spark.extract.jpeg_arith import (
     _FIXED_STATE, _QE_TAB, ArithDecoder, ArithEncoder, _Stats,
-    encode_jpeg_arith, parse_dac)
+    encode_jpeg_arith, encode_jpeg_progressive_arith, parse_dac)
 
 
 def test_qe_table_structure():
@@ -121,13 +121,87 @@ def test_dac_parsing():
         parse_dac(bytes([0x10, 0x00]), {})
 
 
-def test_sof10_progressive_arith_still_unsupported():
+def test_lossless_sof3_still_unsupported():
     data = bytearray(encode_jpeg_arith(
         np.zeros((8, 8), dtype=np.uint8)))
     i = data.find(b"\xff\xc9")
-    data[i + 1] = 0xCA                      # rewrite SOF9 -> SOF10
-    with pytest.raises(UnsupportedImageError, match="SOF10"):
+    data[i + 1] = 0xC3                      # rewrite SOF9 -> SOF3
+    with pytest.raises(UnsupportedImageError, match="SOF3"):
         decode_jpeg(bytes(data))
+
+
+@pytest.mark.parametrize("shape,sub,kwargs", [
+    ((16, 16), "444", {}),
+    ((24, 31), "444", {"dc_al": 2, "ac_al": 2}),
+    ((33, 17, 3), "444", {"bands": ((1, 2), (3, 20), (21, 63))}),
+    ((40, 40, 3), "420", {"restart_interval": 3}),
+    ((32, 32), "444", {"dc_al": 0, "ac_al": 0}),
+])
+def test_sof10_matches_huffman_decode(shape, sub, kwargs):
+    """Progressive-arithmetic must reproduce EXACTLY the pixels the
+    baseline Huffman path yields for the same quantized coefficients
+    (all encoders share _quantized_zigzag) — across scan scripts,
+    successive-approximation depths, and restart intervals."""
+    rng = np.random.default_rng(hash(shape) % 2**32)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    prog = decode_jpeg(encode_jpeg_progressive_arith(
+        img, quality=85, subsampling=sub, **kwargs))
+    huff = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+    assert prog.shape == huff.shape
+    np.testing.assert_array_equal(prog, huff)
+
+
+def test_sof10_scan_script_invariance():
+    """Different progressive structures of the same image decode
+    identically (the scan script is presentation, not content)."""
+    rng = np.random.default_rng(1234)
+    img = rng.integers(0, 256, (29, 35, 3), dtype=np.uint8)
+    ref = decode_jpeg(encode_jpeg_progressive_arith(img, quality=80))
+    for kwargs in ({"bands": ((1, 63),), "dc_al": 0, "ac_al": 0},
+                   {"bands": ((1, 5), (6, 20), (21, 63)), "dc_al": 3,
+                    "ac_al": 2},
+                   {"restart_interval": 2}):
+        got = decode_jpeg(encode_jpeg_progressive_arith(
+            img, quality=80, **kwargs))
+        np.testing.assert_array_equal(got, ref)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 40))
+def test_decode_sof10_total(seed, n_mut):
+    """decode_jpeg on mutated/truncated SOF10 streams stays total:
+    only ImageDecodeError/UnsupportedImageError ever escape (the
+    CLAUDE.md codec invariant)."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(16, 24), dtype=np.uint8)
+    data = bytearray(encode_jpeg_progressive_arith(
+        img, restart_interval=2))
+    for _ in range(n_mut):
+        op = rng.randint(3)
+        if op == 0 and len(data) > 4:
+            data = data[:rng.randint(2, len(data))]
+        elif op == 1 and len(data) > 2:
+            data[rng.randint(len(data))] = rng.randint(256)
+        else:
+            at = rng.randint(len(data) + 1)
+            data = data[:at] + bytes(rng.randint(
+                0, 256, 4, dtype=np.uint8).tolist()) + data[at:]
+        try:
+            decode_jpeg(bytes(data))
+        except (ImageDecodeError, UnsupportedImageError):
+            pass
+
+
+def test_media_pipeline_accepts_sof10():
+    from docvault_ocr_service_spark.functions.multimodal import _decode_row
+
+    img = (np.arange(32 * 32, dtype=np.uint32) % 256) \
+        .astype(np.uint8).reshape(32, 32)
+    row = _decode_row("m1", "image",
+                      encode_jpeg_progressive_arith(img, quality=95))
+    assert row["decode_status"] == "ok"
+    assert row["format"] == "jpeg"
+    assert row["width"] == 32 and row["height"] == 32
 
 
 @settings(max_examples=40, deadline=None)
@@ -151,7 +225,9 @@ def test_decode_sof9_total(seed, n_mut):
                 0, 256, 4, dtype=np.uint8).tolist()) + data[at:]
         try:
             decode_jpeg(bytes(data))
-        except ImageDecodeError:
+        except (ImageDecodeError, UnsupportedImageError):
+            # a mutation may rewrite the SOF marker into an honestly
+            # unsupported process — both taxonomy errors are total
             pass
 
 
