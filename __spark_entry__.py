@@ -1403,6 +1403,62 @@ def quality_classifier_stats(spark: SparkSession, sf_dir: str
     ).orderBy("doc_id")
 
 
+def justext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText main-content extraction (functions/justext.py,
+    Pomikálek 2011) under the driver gate: a deterministic HTML page
+    is built per doc — nav links (bad), a stopword filler paragraph
+    whose repeat count sweeps the length thresholds (short → neargood
+    → good), the doc's own ASCII-projected text prefix (class
+    data-dependent), an occasional short "Edit" stub, a second filler
+    on a different cadence, and a copyright footer (bad) — then
+    classified context-free + context-sensitively.  The DuckDB twin
+    replays the FULL pipeline (segmentation regexes, densities, both
+    window passes) value-for-value; main_len applies the \\n\\n-join
+    length formula."""
+    from docvault_ocr_service_spark.functions.justext import (
+        justext_classify)
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "text").where(F.col("doc_id") < 150)
+    body = F.regexp_replace(
+        F.regexp_replace(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120),
+            "[^ -~]", " "),
+        "[<>&]", " ")
+    unit = "the fox ran to the den and it was dark in the pit "
+    filler1 = F.repeat(F.lit(unit), (F.col("doc_id") % 5 + 1).cast("int"))
+    filler2 = F.repeat(F.lit(unit),
+                       ((F.col("doc_id") * 3 + 1) % 5 + 1).cast("int"))
+    html = F.concat(
+        F.lit('<div><a href="/">Home</a> <a href="/a">About pages</a>'
+              '</div>'),
+        F.lit("<p>"), filler1, F.lit("</p>"),
+        F.lit("<p>"), body, F.lit("</p>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("<p>Edit this</p>")).otherwise(F.lit("")),
+        F.lit("<p>"), filler2, F.lit("</p>"),
+        F.lit("<p>© 2024 Example Corp</p>"))
+    paras = justext_classify(docs.select("doc_id", html.alias("html")))
+    n_good = F.sum((F.col("class") == "good").cast("long"))
+    return (paras.groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_paragraphs"),
+                 n_good.alias("n_good"),
+                 F.sum((F.col("class") == "bad").cast("long"))
+                 .alias("n_bad"),
+                 F.sum((F.col("cf_class") == "short").cast("long"))
+                 .alias("n_short_cf"),
+                 F.sum((F.col("cf_class") == "neargood").cast("long"))
+                 .alias("n_neargood_cf"),
+                 (F.sum(F.when(F.col("class") == "good",
+                               F.col("length")).otherwise(F.lit(0)))
+                  + 2 * F.greatest(n_good - 1, F.lit(0)))
+                 .cast("long").alias("main_len"))
+            .select(F.col("id").cast("long").alias("doc_id"),
+                    "n_paragraphs", "n_good", "n_bad", "n_short_cf",
+                    "n_neargood_cf", "main_len")
+            .orderBy("doc_id"))
+
+
 def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, oracle-checked: deterministic 16×16 gray
     gradient PNGs are built per doc_id, decoded through the pure-Python
@@ -2891,7 +2947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_bracket_revenue": q19_bracket_revenue,
         "q15_top_supplier": q15_top_supplier,
         "doc_stopword_punct": doc_stopword_punct,
-        "url_host_stats": url_host_stats,
         "doc_nfc_stats": doc_nfc_stats,
         "doc_token_budget_mix": doc_token_budget_mix,
         "sitemap_url_extraction": sitemap_url_extraction,
@@ -2919,8 +2974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample_stats": dsir_resample_stats,
         "jpeg_arith_stats": jpeg_arith_stats,
         "quality_classifier_stats": quality_classifier_stats,
+        "justext_stats": justext_stats,
         # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
         # each pinned by deterministic pytest + local oracle replica) --
+        "url_host_stats": url_host_stats,
         "q_customers_without_orders": q_customers_without_orders,
         "q_distinct_part_types": q_distinct_part_types,
         "doc_sample_tenth": doc_sample_tenth,
