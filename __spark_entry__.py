@@ -2377,6 +2377,42 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro"))
 
 
+def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/linkgraph.py::hits) under the
+    driver gate, on the same deterministic 20-host fixture graph as
+    host_pagerank: host doc_id%20 links to hosts (doc_id*7+k)%20,
+    k=1..3, through the REAL pipeline (columnar href extraction →
+    weighted multigraph → 3 L1-normalized HITS iterations) while
+    DuckDB recomputes the edges analytically and unrolls the same 3
+    iterations in SQL.  Scores quantized to micro-units (BIGINT) so
+    sum-order FP drift can't flip the hash."""
+    from docvault_ocr_service_spark.operators.linkgraph import (
+        extract_links, hits, host_edges)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def host_of(e):
+        return F.concat(F.lit("host"), (e % 20).cast("long").cast("string"),
+                        F.lit(".example"))
+
+    anchors = [
+        F.concat(F.lit('<a href="https://'),
+                 host_of(F.col("doc_id") * 7 + k),
+                 F.lit(f'/x{k}">l</a> '))
+        for k in (1, 2, 3)
+    ]
+    page = docs.select(
+        F.concat(F.lit("https://"), host_of(F.col("doc_id")),
+                 F.lit("/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(*anchors).alias("html_text"))
+    hs = hits(host_edges(extract_links(page)), iters=3)
+    return hs.select(
+        "host",
+        F.round(F.col("hub") * 1e6, 0).cast("long").alias("hub_micro"),
+        F.round(F.col("auth") * 1e6, 0).cast("long").alias("auth_micro"),
+    ).orderBy("host")
+
+
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction audit over the real documents table: per-type match
     counts + scrubbed-text length, aggregated per source.  DuckDB applies
@@ -2947,7 +2983,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_bracket_revenue": q19_bracket_revenue,
         "q15_top_supplier": q15_top_supplier,
         "doc_stopword_punct": doc_stopword_punct,
-        "doc_nfc_stats": doc_nfc_stats,
         "doc_token_budget_mix": doc_token_budget_mix,
         "sitemap_url_extraction": sitemap_url_extraction,
         "pack_windows": pack_windows,
@@ -2975,9 +3010,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_arith_stats": jpeg_arith_stats,
         "quality_classifier_stats": quality_classifier_stats,
         "justext_stats": justext_stats,
+        "host_hits": host_hits,
         # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
         # each pinned by deterministic pytest + local oracle replica) --
         "url_host_stats": url_host_stats,
+        "doc_nfc_stats": doc_nfc_stats,
         "q_customers_without_orders": q_customers_without_orders,
         "q_distinct_part_types": q_distinct_part_types,
         "doc_sample_tenth": doc_sample_tenth,

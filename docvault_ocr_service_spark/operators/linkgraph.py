@@ -141,6 +141,81 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     return out
 
 
+def hits(edges: DataFrame, iters: int = 5,
+         node_col_out: str = "host") -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the weighted host
+    multigraph (src_host, dst_host, n_links) — the complementary
+    authority signal to ``pagerank`` (good hubs find good content;
+    good authorities deserve crawl priority).
+
+    Fixed-iteration, L1-normalized form (each vector divided by its
+    SUM rather than the classical L2 norm — identical ranking, and
+    the SQL oracle can replay the arithmetic without sqrt):
+
+        auth'(v) = Σ_{u→v} w(u,v) · hub(u)     then auth' /= Σ auth'
+        hub'(u)  = Σ_{u→v} w(u,v) · auth'(v)   then hub'  /= Σ hub'
+
+    Scale shape mirrors ``pagerank``: per iteration two slim
+    (node, score) shuffles plus two scalar norm aggs; state is one
+    row per node, starting from uniform hub = 1/N.  Each half-step is
+    ``localCheckpoint``-ed — hits alternates TWO mutually-recursive
+    join+agg layers per iteration (vs pagerank's one), and without
+    truncation the nested adaptive plans make plan-string generation
+    (emitted with every execution event) super-linear in iteration
+    count; checkpointing keeps the per-step plan O(1) like the BPE
+    trainer's round loop.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col("src_host").alias("src"),
+                     F.col("dst_host").alias("dst"),
+                     F.col("n_links").cast("double").alias("w")) \
+        .persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        return spark.createDataFrame(
+            [], f"{node_col_out} string, hub double, auth double")
+
+    hub = nodes.select("node", F.lit(1.0 / n).alias("hub")) \
+        .localCheckpoint(eager=True)
+    auth = hub.select("node", F.lit(0.0).alias("auth"))
+    for _ in range(iters):
+        raw_a = (e.join(hub, e["src"] == hub["node"])
+                 .groupBy("dst")
+                 .agg(F.sum(F.col("w") * F.col("hub")).alias("s")))
+        auth_un = (nodes.join(raw_a, nodes["node"] == raw_a["dst"],
+                              "left")
+                   .select("node",
+                           F.coalesce(F.col("s"), F.lit(0.0))
+                           .alias("s"))
+                   .localCheckpoint(eager=True))
+        tot_a = auth_un.agg(F.sum("s")).first()[0]
+        auth = auth_un.select(
+            "node",
+            (F.col("s") / F.lit(tot_a if tot_a else 1.0)).alias("auth"))
+        raw_h = (e.join(auth, e["dst"] == auth["node"])
+                 .groupBy("src")
+                 .agg(F.sum(F.col("w") * F.col("auth")).alias("s")))
+        hub_un = (nodes.join(raw_h, nodes["node"] == raw_h["src"],
+                             "left")
+                  .select("node",
+                          F.coalesce(F.col("s"), F.lit(0.0))
+                          .alias("s"))
+                  .localCheckpoint(eager=True))
+        tot_h = hub_un.agg(F.sum("s")).first()[0]
+        hub = hub_un.select(
+            "node",
+            (F.col("s") / F.lit(tot_h if tot_h else 1.0)).alias("hub"))
+
+    out = (hub.join(auth, "node")
+           .select(F.col("node").alias(node_col_out), "hub", "auth"))
+    e.unpersist()
+    return out
+
+
 # backreference covers both quote styles, matching HREF_RE's behavior
 ANCHOR_RE = (r"(?is)<a\b[^>]*href\s*=\s*([\"'])([^\"'#][^\"']*)\1"
              r"[^>]*>(.*?)</a>")

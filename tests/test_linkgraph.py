@@ -87,3 +87,64 @@ def test_pagerank_empty(spark):
     df = spark.createDataFrame([], "src_host string, dst_host string, "
                                    "n_links long")
     assert pagerank(df).count() == 0
+
+
+def _py_hits(edges, iters):
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    hub = {v: 1.0 / len(nodes) for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(iters):
+        auth = {v: sum(w * hub[u] for u, d, w in edges if d == v)
+                for v in nodes}
+        t = sum(auth.values()) or 1.0
+        auth = {v: a / t for v, a in auth.items()}
+        hub = {u: sum(w * auth[d] for s, d, w in edges if s == u)
+               for u in nodes}
+        t = sum(hub.values()) or 1.0
+        hub = {u: h / t for u, h in hub.items()}
+    return hub, auth
+
+
+def test_hits_matches_python_reference(spark):
+    from docvault_ocr_service_spark.operators.linkgraph import hits
+
+    edges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 1.0),
+             ("d", "a", 1.0), ("b", "d", 2.0)]
+    df = spark.createDataFrame(edges,
+                               ["src_host", "dst_host", "n_links"])
+    got = {r["host"]: (r["hub"], r["auth"])
+           for r in hits(df, iters=4).collect()}
+    hub, auth = _py_hits(edges, iters=4)
+    assert set(got) == set(hub)
+    for v in hub:
+        assert got[v][0] == pytest.approx(hub[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(auth[v], abs=1e-12)
+    # L1 normalization: both vectors sum to 1
+    assert sum(h for h, _ in got.values()) == pytest.approx(1.0, 1e-9)
+    assert sum(a for _, a in got.values()) == pytest.approx(1.0, 1e-9)
+
+
+def test_hits_hub_vs_authority_roles(spark):
+    from docvault_ocr_service_spark.operators.linkgraph import hits
+
+    # h links to every authority; s is linked by everyone: h should be
+    # the top hub with near-zero authority, s the top authority with
+    # zero hub score
+    edges = [("h", "x", 1.0), ("h", "y", 1.0), ("h", "s", 1.0),
+             ("x", "s", 1.0), ("y", "s", 1.0)]
+    df = spark.createDataFrame(edges,
+                               ["src_host", "dst_host", "n_links"])
+    got = {r["host"]: (r["hub"], r["auth"])
+           for r in hits(df, iters=8).collect()}
+    assert got["h"][0] == max(h for h, _ in got.values())
+    assert got["s"][1] == max(a for _, a in got.values())
+    assert got["s"][0] == 0.0          # s has no out-links
+    assert got["h"][1] == 0.0          # nothing links to h
+
+
+def test_hits_empty(spark):
+    from docvault_ocr_service_spark.operators.linkgraph import hits
+
+    df = spark.createDataFrame([], "src_host string, dst_host string, "
+                                   "n_links long")
+    assert hits(df).count() == 0
