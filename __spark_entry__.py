@@ -2946,18 +2946,19 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
-    # round so no entry's driver stamp goes stale): block 1 = the
-    # TPC-H/events/dedup/sampling core last driver-stamped on r2-r3
-    # code (40 of 44; see below) + the TEN queries new or semantics-
-    # changed in round 5 (brand-new queries always gate in their birth
-    # round); block 2 (>50) = everything driver-stamped green in round
-    # 4 on unchanged (or value-identical, locally re-verified) code —
-    # all still covered by tools/check_oracles.py locally every round.
-    # 54 candidates for 50 slots: the four displaced r2/r3-core
-    # entries (q_distinct_part_types, q_customers_without_orders,
-    # doc_sample_tenth, doc_token_stats — trivial single-shuffle SQL
-    # twins, each also pinned by deterministic pytest) lead block 2
-    # for round 6.
+    # round so no entry's driver stamp goes stale): block 1 = 38 of
+    # the 44 TPC-H/events/dedup/sampling-core queries last driver-
+    # stamped on r2-r3 code (slots 1-38) + the TWELVE queries new or
+    # semantics-changed in round 5 (slots 39-50; brand-new queries
+    # always gate in their birth round); block 2 (>50) = everything
+    # driver-stamped green in round 4 on unchanged (or value-
+    # identical, locally re-verified) code — all still covered by
+    # tools/check_oracles.py locally every round.  The SIX displaced
+    # r2/r3-core entries (url_host_stats, doc_nfc_stats,
+    # q_customers_without_orders, q_distinct_part_types,
+    # doc_sample_tenth, doc_token_stats — trivial single-/zero-
+    # shuffle SQL twins, each also pinned by deterministic pytest)
+    # lead block 2a for round 6.
     return {
         # -- block 1a: r2/r3-stamped core, rotated back into the gate ----
         "q_rollup_priority": q_rollup_priority,

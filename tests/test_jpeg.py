@@ -77,9 +77,9 @@ def test_unsupported_and_corrupted_taxonomy(smooth):
     pos = 2                                    # walk real segment bounds
     while data[pos + 1] != 0xC0:
         pos += 2 + struct.unpack_from(">H", data, pos + 2)[0]
-    # SOF9 (sequential arithmetic) is supported since round 5; SOF10
-    # (progressive arithmetic) remains outside the envelope
-    data[pos + 1] = 0xCA
+    # SOF9/SOF10 (arithmetic) are supported since round 5; SOF3
+    # (lossless) remains outside the envelope
+    data[pos + 1] = 0xC3
     with pytest.raises(UnsupportedImageError):
         decode_jpeg(bytes(data))
     with pytest.raises(ImageDecodeError):
