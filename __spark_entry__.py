@@ -2413,6 +2413,43 @@ def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host")
 
 
+_BM25_QUERIES = [
+    (1, "fast hash join"),
+    (2, "window agg merge"),
+    (3, "customer query line"),
+    (4, "big vector scan table"),
+]
+
+
+def bm25_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators/search.py) over the real documents
+    table: four fixed queries, top-5 each.  Scores are exact BIGINT
+    sums of micro-quantized per-term contributions (quantized BEFORE
+    the cross-row sum, so partitioning can't reorder float adds);
+    DuckDB rebuilds the postings/lengths/df tables and replays the
+    same Lucene-shaped formula, ties broken on doc_id both sides."""
+    from docvault_ocr_service_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query_text string")
+    return bm25_topk(docs, queries, top_k=5) \
+        .orderBy("query_id", "rank")
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 bigram collocations by PMI over the real documents table
+    (functions/collocations.py): exact integer counts, one fixed
+    double expression for the PMI, micro-quantized before the
+    deterministic (pmi_micro, w1, w2) ordering — DuckDB rebuilds the
+    unigram/bigram count tables and replays the identical formula."""
+    from docvault_ocr_service_spark.functions.collocations import (
+        bigram_pmi)
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_pmi(docs, min_count=5, top_k=40)
+
+
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction audit over the real documents table: per-type match
     counts + scrubbed-text length, aggregated per source.  DuckDB applies
@@ -2997,8 +3034,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": doc_repetition_stats,
         "image_near_dup_recall": image_near_dup_recall,
         "ngram_jaccard_dups": ngram_jaccard_dups,
-        "knn_bruteforce": knn_bruteforce,
-        "knn_filtered": knn_filtered,
         # -- block 1b: new or semantics-changed in round 5 (fills to 50) -
         "pipeline_funnel_stats": pipeline_funnel_stats,
         "webp_thumbnail_stats": webp_thumbnail_stats,
@@ -3012,8 +3047,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_stats": quality_classifier_stats,
         "justext_stats": justext_stats,
         "host_hits": host_hits,
+        "bm25_search_stats": bm25_search_stats,
+        "pmi_collocations": pmi_collocations,
         # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
         # each pinned by deterministic pytest + local oracle replica) --
+        "knn_bruteforce": knn_bruteforce,
+        "knn_filtered": knn_filtered,
         "url_host_stats": url_host_stats,
         "doc_nfc_stats": doc_nfc_stats,
         "q_customers_without_orders": q_customers_without_orders,

@@ -1,0 +1,108 @@
+"""Bigram collocation mining (pointwise mutual information) — corpus
+vocabulary analytics.
+
+Why it belongs in a training-data engine: collocation tables are the
+standard corpus-diagnostics artifact (tokenizer-vocabulary candidates,
+boilerplate-phrase discovery, domain drift between crawl snapshots —
+"which word pairs are glued together in THIS corpus").  The reference
+service is per-document; this is part of the corpus-analytics surface
+layered on top (SURVEY §2 "beyond the reference").
+
+Scale shape: two aggregations (unigram counts, bigram counts — both
+map-side combined) + two joins of the bigram table against the
+unigram table on a single word key.  Every shuffled row is a slim
+(word, count) or (w1, w2, count) tuple; the ``min_count`` filter is
+applied BEFORE the joins so the join input is the candidate set, not
+the full bigram universe.  Global top-k goes through orderBy+limit
+(Spark's distributed TakeOrdered — no single-partition window).
+
+Determinism: PMI is evaluated as ONE fixed expression over exact
+integer counts
+
+    pmi = ln( (c_xy · T1 · T1) / (T2 · c_x · c_y) )     [doubles]
+
+then quantized to micro-units; ordering uses the quantized value with
+(w1, w2) tie-breaks, so a SQL replay selects the identical top-k.
+(The products are formed in doubles — exact for counts below 2^53,
+which covers any corpus this engine will see; the log argument is a
+ratio near 1e-6..1e6, far from double range limits.)
+
+Tokenization is the corpus-wide convention (lowercased ``\\s+`` split,
+empty tokens dropped) shared with the dedup/shingle/DSIR/BM25 stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PMI_SCALE = 1_000_000
+
+
+def _tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped (shared corpus
+    convention — see functions/dsir.py::_tokens)."""
+    raw = F.split(F.btrim(F.lower(text)), r"\s+")
+    out = F.filter(raw, lambda t: t != "")
+    return F.when(text.isNull(), F.array().cast("array<string>")) \
+        .otherwise(out)
+
+
+def _bigrams(toks: Column) -> Column:
+    """Adjacent (w1, w2) pairs within a document as "w1 w2" strings;
+    documents with fewer than two tokens contribute none."""
+    n = F.size(toks)
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i.cast("int")),
+                              F.element_at(toks, (i + 1).cast("int"))))
+    return F.when(n >= 2, pairs) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def bigram_pmi(docs: DataFrame, text_col: str = "text", *,
+               min_count: int = 5, top_k: int = 50) -> DataFrame:
+    """Top-``top_k`` adjacent-word collocations by PMI, among bigrams
+    occurring at least ``min_count`` times corpus-wide.
+
+    Returns (w1, w2, pair_count, pmi_micro) ordered by
+    (pmi_micro desc, w1, w2).  Bigrams never cross document
+    boundaries.
+    """
+    toks = docs.select(_tokens(F.col(text_col)).alias("toks"))
+
+    uni = (toks.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    bi = (toks.select(F.explode(_bigrams(F.col("toks"))).alias("p"))
+          .groupBy("p").agg(F.count("*").alias("c_xy"))
+          .where(F.col("c_xy") >= min_count))
+
+    # totals are sums over the already-aggregated count tables
+    t1 = uni.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t1"))
+    t2 = (toks.select((F.greatest(F.size("toks") - 1, F.lit(0)))
+                      .cast("long").alias("n"))
+          .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("t2")))
+
+    cand = bi.select(
+        F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("w2"),
+        "c_xy")
+    joined = (cand
+              .join(uni.withColumnRenamed("w", "w1")
+                    .withColumnRenamed("c", "c_x"), "w1")
+              .join(uni.withColumnRenamed("w", "w2")
+                    .withColumnRenamed("c", "c_y"), "w2")
+              .crossJoin(F.broadcast(t1))
+              .crossJoin(F.broadcast(t2)))
+
+    pmi = F.log((F.col("c_xy").cast("double") * F.col("t1")
+                 * F.col("t1"))
+                / (F.col("t2").cast("double") * F.col("c_x")
+                   * F.col("c_y")))
+    return (joined
+            .select("w1", "w2",
+                    F.col("c_xy").alias("pair_count"),
+                    F.round(pmi * F.lit(float(PMI_SCALE)), 0)
+                    .cast("long").alias("pmi_micro"))
+            .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+            .limit(top_k))

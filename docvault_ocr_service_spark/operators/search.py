@@ -1,0 +1,138 @@
+"""BM25 full-text retrieval over the corpus — inverted index build +
+query scoring.
+
+Why it belongs in a training-data engine: corpus-scale retrieval is the
+workhorse behind several curation stages that pure filtering can't do —
+nearest-benchmark probes ("which training docs answer eval questions
+almost verbatim"), targeted quality audits ("pull the top docs for
+medical queries"), and retrieval-based data selection.  The reference
+service is per-document and has no search stage; this is part of the
+web-scale surface layered on top (SURVEY §2 "beyond the reference").
+
+Scale shape:
+
+- the inverted index is ONE shuffle: explode(tokens) → groupBy
+  (term, doc_id) with map-side partial aggregation; postings rows are
+  slim (term, doc_id, tf) triples;
+- queries are broadcast (a query workload is KB-sized next to a corpus);
+  every corpus-side join in the scoring path is a broadcast join on
+  ``term``, so the corpus is touched map-only after the index build;
+- document frequencies are computed from the postings restricted to
+  query terms (semi-join first), never over the full vocabulary;
+- corpus-level scalars (N, total token length) reduce to one row and
+  are attached with a scalar crossJoin (broadcast, no driver loop).
+
+Determinism (driver-gate contract): per (query, doc, term)
+contributions are quantized to micro-units (BIGINT) BEFORE the
+cross-row sum, so the final score is an exact integer sum — immune to
+float reassociation across partitionings — and DuckDB can replay it
+value-for-value.  Ranking ties break on doc_id.
+
+Tokenization is the corpus-wide convention (lowercased ``\\s+`` split,
+empty tokens dropped) shared with the dedup/shingle/DSIR stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SCORE_SCALE = 1_000_000      # micro-unit quantization for contributions
+
+
+def _tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens with empties dropped (the
+    ``split(btrim(lower()), \\s+)`` corpus convention; a whitespace-only
+    or null text yields an empty array, not [""])."""
+    raw = F.split(F.btrim(F.lower(text)), r"\s+")
+    out = F.filter(raw, lambda t: t != "")
+    return F.when(text.isNull(), F.array().cast("array<string>")) \
+        .otherwise(out)
+
+
+def build_postings(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Inverted index: one (term, doc_id, tf) row per distinct term per
+    document.  One shuffle (map-side combined groupBy)."""
+    return (docs
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(_tokens(F.col(text_col))).alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf")))
+
+
+def doc_lengths(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, dl): token count per document (empties excluded) —
+    map-only."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("dl"))
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, *,
+              id_col: str = "doc_id", text_col: str = "text",
+              query_id_col: str = "query_id",
+              query_text_col: str = "query_text",
+              k1: float = 1.2, b: float = 0.75,
+              top_k: int = 10) -> DataFrame:
+    """Top-``top_k`` documents per query under BM25.
+
+    Lucene-shaped formulation (idf is always positive):
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        norm(t) = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+        score   = Σ_{distinct query terms} idf·norm
+
+    Query terms are deduplicated (classic BM25 ignores query-side term
+    multiplicity).  Returns (query_id, rank, doc_id, score_micro) where
+    score_micro is the exact BIGINT sum of per-term micro-quantized
+    contributions; rank ties break on doc_id ascending.
+    """
+    postings = build_postings(docs, id_col, text_col)
+    lengths = doc_lengths(docs, id_col, text_col)
+
+    qterms = (queries
+              .select(F.col(query_id_col).alias("query_id"),
+                      F.explode(F.array_distinct(
+                          _tokens(F.col(query_text_col)))).alias("term")))
+
+    # corpus scalars: N and avgdl (exact long sum / long count → double)
+    stats = lengths.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
+
+    # restrict postings to query terms before computing df — work is
+    # proportional to the matched postings, not the vocabulary
+    matched = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term")
+    dfs = matched.groupBy("term").agg(F.count("*").alias("df"))
+
+    hits = (matched
+            .join(F.broadcast(qterms), "term")
+            .join(lengths, "doc_id")
+            .join(F.broadcast(dfs), "term")
+            .crossJoin(F.broadcast(stats)))
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    norm = (F.col("tf") * F.lit(k1 + 1.0)
+            / (F.col("tf")
+               + F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * F.col("dl") / avgdl)))
+    contrib = F.round(idf * norm * F.lit(float(SCORE_SCALE)), 0) \
+        .cast("long")
+
+    scored = (hits
+              .select("query_id", "doc_id", contrib.alias("c"))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("c").alias("score_micro")))
+
+    w = Window.partitionBy("query_id") \
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select("query_id", "rank", "doc_id", "score_micro"))

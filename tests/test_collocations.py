@@ -1,0 +1,69 @@
+"""Bigram PMI collocations vs a pure-Python reference."""
+
+import math
+from collections import Counter
+
+from docvault_ocr_service_spark.functions.collocations import (
+    PMI_SCALE, bigram_pmi)
+
+DOCS = [
+    "new york is a big city",
+    "new york new york",
+    "the city is big",
+    "a trip to new york",
+    "big city lights in the big city",
+    "",
+    None,
+    "single",
+]
+
+
+def _py_pmi(docs, min_count, top_k):
+    uni, bi = Counter(), Counter()
+    t2 = 0
+    for t in docs:
+        ts = (t or "").lower().split()
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+        t2 += max(len(ts) - 1, 0)
+    t1 = sum(uni.values())
+    rows = []
+    for (w1, w2), c in bi.items():
+        if c < min_count:
+            continue
+        pmi = math.log((c * t1 * t1) / (t2 * uni[w1] * uni[w2]))
+        rows.append((w1, w2, c, int(round(pmi * PMI_SCALE))))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:top_k]
+
+
+def test_pmi_matches_python_reference(spark):
+    df = spark.createDataFrame([(t,) for t in DOCS], "text string")
+    got = [(r["w1"], r["w2"], r["pair_count"], r["pmi_micro"])
+           for r in bigram_pmi(df, min_count=2, top_k=10).collect()]
+    assert got == _py_pmi(DOCS, 2, 10)
+    # "new york" is the strongest collocation in this corpus
+    assert got[0][:2] == ("new", "york")
+
+
+def test_pmi_min_count_filters(spark):
+    df = spark.createDataFrame([(t,) for t in DOCS], "text string")
+    got = bigram_pmi(df, min_count=3, top_k=10).collect()
+    assert all(r["pair_count"] >= 3 for r in got)
+    pairs = {(r["w1"], r["w2"]) for r in got}
+    assert ("new", "york") in pairs
+    assert ("big", "city") in pairs
+
+
+def test_pmi_no_cross_document_bigrams(spark):
+    # "alpha" ends doc 1 and "beta" starts doc 2: the pair must not count
+    df = spark.createDataFrame(
+        [("x alpha",), ("beta y",)] * 3, "text string")
+    got = bigram_pmi(df, min_count=1, top_k=20).collect()
+    assert ("alpha", "beta") not in {(r["w1"], r["w2"]) for r in got}
+
+
+def test_pmi_empty_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [("",), (None,), ("  ",), ("one",)], "text string")
+    assert bigram_pmi(df, min_count=1).count() == 0
