@@ -2437,6 +2437,26 @@ def bm25_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "rank")
 
 
+def bloom_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom screen-then-verify decontamination
+    (operators/contamination.py::bloom_contamination) with the
+    benchmark drawn deterministically from the corpus itself
+    (doc_id % 83 == 0 → 7 docs at sf0.01), so exact hits are
+    guaranteed and the observable false-positive split is a pure
+    function of the text.  hex_chars=4 (65536-slot filter) + k=2
+    keeps a visible-but-small FP band.  DuckDB rebuilds the filter's
+    position set from the same md5 prefixes and replays the
+    all-k-positions-set membership test bit-for-bit."""
+    from docvault_ocr_service_spark.operators.contamination import (
+        bloom_contamination)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 83 == 0).select("text")
+    return bloom_contamination(docs, bench, "doc_id", "text",
+                               n=13, hex_chars=4, k=2) \
+        .orderBy("doc_id")
+
+
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-40 bigram collocations by PMI over the real documents table
     (functions/collocations.py): exact integer counts, one fixed
@@ -2983,19 +3003,19 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
-    # round so no entry's driver stamp goes stale): block 1 = 38 of
+    # round so no entry's driver stamp goes stale): block 1 = 35 of
     # the 44 TPC-H/events/dedup/sampling-core queries last driver-
-    # stamped on r2-r3 code (slots 1-38) + the TWELVE queries new or
-    # semantics-changed in round 5 (slots 39-50; brand-new queries
+    # stamped on r2-r3 code (slots 1-35) + the FIFTEEN queries new or
+    # semantics-changed in round 5 (slots 36-50; brand-new queries
     # always gate in their birth round); block 2 (>50) = everything
     # driver-stamped green in round 4 on unchanged (or value-
     # identical, locally re-verified) code — all still covered by
-    # tools/check_oracles.py locally every round.  The SIX displaced
-    # r2/r3-core entries (url_host_stats, doc_nfc_stats,
+    # tools/check_oracles.py locally every round.  The NINE displaced
+    # r2/r3-core entries (ngram_jaccard_dups, knn_bruteforce,
+    # knn_filtered, url_host_stats, doc_nfc_stats,
     # q_customers_without_orders, q_distinct_part_types,
-    # doc_sample_tenth, doc_token_stats — trivial single-/zero-
-    # shuffle SQL twins, each also pinned by deterministic pytest)
-    # lead block 2a for round 6.
+    # doc_sample_tenth, doc_token_stats — each a bounded SQL twin
+    # also pinned by deterministic pytest) lead block 2a for round 6.
     return {
         # -- block 1a: r2/r3-stamped core, rotated back into the gate ----
         "q_rollup_priority": q_rollup_priority,
@@ -3033,7 +3053,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": benchmark_contamination,
         "doc_repetition_stats": doc_repetition_stats,
         "image_near_dup_recall": image_near_dup_recall,
-        "ngram_jaccard_dups": ngram_jaccard_dups,
         # -- block 1b: new or semantics-changed in round 5 (fills to 50) -
         "pipeline_funnel_stats": pipeline_funnel_stats,
         "webp_thumbnail_stats": webp_thumbnail_stats,
@@ -3049,8 +3068,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": host_hits,
         "bm25_search_stats": bm25_search_stats,
         "pmi_collocations": pmi_collocations,
+        "bloom_contamination_stats": bloom_contamination_stats,
         # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
         # each pinned by deterministic pytest + local oracle replica) --
+        "ngram_jaccard_dups": ngram_jaccard_dups,
         "knn_bruteforce": knn_bruteforce,
         "knn_filtered": knn_filtered,
         "url_host_stats": url_host_stats,

@@ -139,3 +139,83 @@ def decontaminate_fuzzy(corpus: DataFrame, benchmark: DataFrame,
         bench_text_col, min_jaccard=min_jaccard) \
         .select(F.col(id_col)).distinct()
     return corpus.join(bad, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter screen — memory-bounded contamination pre-filter
+# ---------------------------------------------------------------------------
+
+def bloom_positions(benchmark: DataFrame, bench_text_col: str = "text",
+                    n: int = 13, hex_chars: int = 5,
+                    k: int = 3) -> DataFrame:
+    """The Bloom filter's set-bit table: one row per DISTINCT position
+    touched by any benchmark n-gram under ``k`` salted hashes.
+
+    Positions are md5 hex prefixes (``hex_chars`` chars → a
+    16^hex_chars-slot bit space), so the table is bounded by the bit
+    space REGARDLESS of benchmark size — that is the point of the
+    Bloom screen over the exact broadcast of ``ngram_contamination``:
+    a 16^5 = 1M-slot filter stays ~30 MB as a position table even for
+    an eval corpus whose distinct 13-gram set would not broadcast.
+    md5-prefix hashing is bit-identical across engines (the same
+    scheme as functions/dsir.py), so a SQL twin can rebuild the exact
+    filter, false positives included.
+    """
+    grams = benchmark.select(
+        F.explode(word_shingles(F.col(bench_text_col), n))
+        .alias("__gram")).distinct()
+    salted = grams.select(F.explode(F.array(
+        *[F.substring(F.md5(F.concat(F.col("__gram"), F.lit(f"#{i}"))),
+                      1, hex_chars) for i in range(k)])).alias("pos"))
+    return salted.distinct()
+
+
+def bloom_contamination(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str, text_col: str,
+                        bench_text_col: str = "text",
+                        n: int = 13, hex_chars: int = 5,
+                        k: int = 3) -> DataFrame:
+    """Two-phase screen-then-verify decontamination:
+
+    1. **Screen** (Bloom): a corpus n-gram is *flagged* iff all ``k``
+       of its salted md5-prefix positions are set in the benchmark's
+       filter.  Implemented as ``k`` successive broadcast semi-joins
+       against the position table — the corpus side stays MAP-ONLY
+       (no corpus-scale shuffle; each join prunes further, so join 2
+       sees only join 1's survivors).  False positives are possible
+       (that is the Bloom trade-off), false negatives are not.
+    2. **Verify** (exact): flagged grams — a tiny slice by contract —
+       join the benchmark's true distinct gram set to split true hits
+       from filter noise.
+
+    Returns (id_col, n_flagged_grams, n_exact_grams) per corpus doc
+    with ≥1 flagged gram: ``n_exact_grams`` ≤ ``n_flagged_grams``;
+    rows with ``n_exact_grams = 0`` are pure false positives (the
+    observable FP rate of the chosen ``hex_chars``/``k``).  Both
+    counts are deterministic — the filter's bit layout is a pure
+    function of the benchmark text.
+    """
+    positions = bloom_positions(benchmark, bench_text_col, n,
+                                hex_chars, k)
+
+    g = corpus.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__gram"))
+    for i in range(k):
+        pos_i = F.substring(
+            F.md5(F.concat(F.col("__gram"), F.lit(f"#{i}"))),
+            1, hex_chars)
+        g = g.join(F.broadcast(positions),
+                   pos_i == positions["pos"], "left_semi")
+
+    bench_grams = benchmark.select(
+        F.explode(word_shingles(F.col(bench_text_col), n))
+        .alias("__gram")).distinct() \
+        .withColumn("__exact", F.lit(1))
+    verified = g.join(bench_grams, "__gram", "left")
+    return (verified
+            .groupBy("__doc")
+            .agg(F.count("*").cast("long").alias("n_flagged_grams"),
+                 F.coalesce(F.sum("__exact"), F.lit(0)).cast("long")
+                 .alias("n_exact_grams"))
+            .withColumnRenamed("__doc", id_col))
