@@ -2437,6 +2437,51 @@ def bm25_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "rank")
 
 
+def html_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML <table> extraction (functions/tables_html.py) over pages
+    synthesized deterministically from the documents table: every doc
+    gets a specs table with a <th> header row + 1+doc_id%3 data rows
+    carrying planted entities (&amp;, &nbsp;, &#39;) and markup, docs
+    with doc_id%7==0 an empty spacer <tr></tr> (dropped), docs with
+    doc_id%5==0 a second upper-case single-row table.  DuckDB builds
+    the identical strings and replays the RE2-compatible regex
+    pipeline (lazy table/row/cell matches, tag-strip, entity order,
+    whitespace collapse) byte-for-byte."""
+    from docvault_ocr_service_spark.functions.tables_html import (
+        extract_tables)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    data_rows = F.array_join(F.transform(
+        F.sequence(F.lit(0), (i % 3).cast("int")),
+        lambda j: F.concat(
+            F.lit("<tr><td>k&amp;"), i.cast("string"), F.lit("-"),
+            j.cast("string"),
+            F.lit("</td><td><b>v</b>&nbsp;"),
+            (i * 7 + j).cast("string"),
+            F.lit("&#39;</td></tr>"))), "")
+    spacer = F.when(i % 7 == 0, F.lit("<tr></tr>")).otherwise(F.lit(""))
+    second = F.when(
+        i % 5 == 0,
+        F.concat(F.lit("<TABLE><TR><TD>x"), i.cast("string"),
+                 F.lit("</TD></TR></TABLE>"))).otherwise(F.lit(""))
+    page = docs.select(
+        F.concat(F.lit("https://t.example/p"), i.cast("string"))
+        .alias("url"),
+        F.concat(
+            F.lit("<html><body><table class=\"specs\">"
+                  "<tr><th>Name</th><th>Value</th></tr>"),
+            spacer, data_rows,
+            F.lit("</table><p>gap</p>"), second,
+            F.lit("</body></html>")).alias("html_text"))
+    return (extract_tables(page)
+            .select("url", "table_idx", "row_idx",
+                    F.col("n_cells"),
+                    "is_header",
+                    F.array_join("cells", "|").alias("cells_joined"))
+            .orderBy("url", "table_idx", "row_idx"))
+
+
 def bloom_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom screen-then-verify decontamination
     (operators/contamination.py::bloom_contamination) with the
@@ -3003,15 +3048,15 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
-    # round so no entry's driver stamp goes stale): block 1 = 35 of
+    # round so no entry's driver stamp goes stale): block 1 = 34 of
     # the 44 TPC-H/events/dedup/sampling-core queries last driver-
-    # stamped on r2-r3 code (slots 1-35) + the FIFTEEN queries new or
-    # semantics-changed in round 5 (slots 36-50; brand-new queries
+    # stamped on r2-r3 code (slots 1-34) + the SIXTEEN queries new or
+    # semantics-changed in round 5 (slots 35-50; brand-new queries
     # always gate in their birth round); block 2 (>50) = everything
     # driver-stamped green in round 4 on unchanged (or value-
     # identical, locally re-verified) code — all still covered by
-    # tools/check_oracles.py locally every round.  The NINE displaced
-    # r2/r3-core entries (ngram_jaccard_dups, knn_bruteforce,
+    # tools/check_oracles.py locally every round.  The TEN displaced
+    # r2/r3-core entries (image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
     # knn_filtered, url_host_stats, doc_nfc_stats,
     # q_customers_without_orders, q_distinct_part_types,
     # doc_sample_tenth, doc_token_stats — each a bounded SQL twin
@@ -3052,7 +3097,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental_recall": minhash_incremental_recall,
         "benchmark_contamination": benchmark_contamination,
         "doc_repetition_stats": doc_repetition_stats,
-        "image_near_dup_recall": image_near_dup_recall,
         # -- block 1b: new or semantics-changed in round 5 (fills to 50) -
         "pipeline_funnel_stats": pipeline_funnel_stats,
         "webp_thumbnail_stats": webp_thumbnail_stats,
@@ -3069,8 +3113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_stats": bm25_search_stats,
         "pmi_collocations": pmi_collocations,
         "bloom_contamination_stats": bloom_contamination_stats,
+        "html_table_extraction": html_table_extraction,
         # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
         # each pinned by deterministic pytest + local oracle replica) --
+        "image_near_dup_recall": image_near_dup_recall,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "knn_bruteforce": knn_bruteforce,
         "knn_filtered": knn_filtered,
