@@ -1080,6 +1080,24 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", "rank")
 
 
+def knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized top-k (operators/similarity.py::int8_topk) on
+    the same query/corpus split as knn_bruteforce.  Per-vector scales
+    cancel in the cosine, so scoring is an exact BIGINT dot product +
+    integer square norms; the one float ratio per pair is micro-
+    quantized before ranking.  DuckDB replays quantization, integer
+    dot and ranking value-for-value."""
+    from docvault_ocr_service_spark.operators.similarity import (
+        int8_topk)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return int8_topk(corpus, queries, k=5) \
+        .orderBy("query_id", "rank")
+
+
 def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered vector search, oracle-checked: each query's
     top-3 among corpus vectors sharing its label (the predicate joins
@@ -3048,15 +3066,15 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
-    # round so no entry's driver stamp goes stale): block 1 = 34 of
+    # round so no entry's driver stamp goes stale): block 1 = 33 of
     # the 44 TPC-H/events/dedup/sampling-core queries last driver-
-    # stamped on r2-r3 code (slots 1-34) + the SIXTEEN queries new or
-    # semantics-changed in round 5 (slots 35-50; brand-new queries
+    # stamped on r2-r3 code (slots 1-33) + the SEVENTEEN queries new or
+    # semantics-changed in round 5 (slots 34-50; brand-new queries
     # always gate in their birth round); block 2 (>50) = everything
     # driver-stamped green in round 4 on unchanged (or value-
     # identical, locally re-verified) code — all still covered by
-    # tools/check_oracles.py locally every round.  The TEN displaced
-    # r2/r3-core entries (image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
+    # tools/check_oracles.py locally every round.  The ELEVEN displaced
+    # r2/r3-core entries (doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
     # knn_filtered, url_host_stats, doc_nfc_stats,
     # q_customers_without_orders, q_distinct_part_types,
     # doc_sample_tenth, doc_token_stats — each a bounded SQL twin
@@ -3096,7 +3114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall": simhash_recall,
         "minhash_incremental_recall": minhash_incremental_recall,
         "benchmark_contamination": benchmark_contamination,
-        "doc_repetition_stats": doc_repetition_stats,
         # -- block 1b: new or semantics-changed in round 5 (fills to 50) -
         "pipeline_funnel_stats": pipeline_funnel_stats,
         "webp_thumbnail_stats": webp_thumbnail_stats,
@@ -3114,8 +3131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": pmi_collocations,
         "bloom_contamination_stats": bloom_contamination_stats,
         "html_table_extraction": html_table_extraction,
+        "knn_int8": knn_int8,
         # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
         # each pinned by deterministic pytest + local oracle replica) --
+        "doc_repetition_stats": doc_repetition_stats,
         "image_near_dup_recall": image_near_dup_recall,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "knn_bruteforce": knn_bruteforce,

@@ -417,3 +417,88 @@ def semdedup(corpus: DataFrame, dim: int,
     out = out.localCheckpoint(eager=True)
     base.unpersist(blocking=False)
     return out
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the memory/bandwidth tier under IVF/LSH
+# ---------------------------------------------------------------------------
+
+def quantize_int8(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector max-abs scalar quantization:
+
+        scale = max|v_i| / 127      codes_i = round(v_i / scale)
+
+    → (id, codes array<int> in [-127, 127], scale double).  4× smaller
+    per element than float32 (and 8× vs the float64 the distance math
+    would otherwise promote to) — at 10^12 vectors the codes table is
+    the difference between an in-memory scan and a spilled one.
+    The all-zero vector quantizes to all-zero codes with scale 1.
+
+    The quantization is a pure per-row expression (round is half-away-
+    from-zero in both Spark and DuckDB), so a SQL twin reproduces the
+    codes bit-for-bit.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.transform(v, lambda x: F.round(x / scale, 0).cast("int"))
+        .alias("codes"),
+        scale.alias("scale"))
+
+
+def int8_topk(corpus: DataFrame, queries: DataFrame, k: int,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k by cosine over int8 codes.
+
+    Both sides quantize per-vector, and the per-vector scales CANCEL
+    in the cosine:
+
+        cos(a, b) ≈ Σ qa_i·qb_i / (√Σ qa_i² · √Σ qb_i²)
+
+    so scoring is an exact BIGINT dot product + two integer square
+    norms per pair — the float appears only in the final per-row
+    ratio, which is micro-quantized for deterministic ranking
+    (ties → id ascending).  Returns (query_id, id, sim_micro, rank).
+
+    Scale shape mirrors ``brute_force_topk`` (broadcast queries, one
+    corpus scan) but moves 4× less data per element and keeps the
+    accumulation integer; the same codes feed an IVF/LSH bucket stage
+    unchanged for the sub-linear path.
+    """
+    cq = quantize_int8(queries, query_id_col, vec_col) \
+        .select(F.col(query_id_col), F.col("codes").alias("__qc"))
+    cc = quantize_int8(corpus, id_col, vec_col) \
+        .select(F.col(id_col), F.col("codes").alias("__cc"))
+
+    def idot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    def inorm2(a: Column) -> Column:
+        return F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    scored = (cc.crossJoin(F.broadcast(cq))
+              .select(F.col(query_id_col), F.col(id_col),
+                      idot(F.col("__qc"), F.col("__cc")).alias("__d"),
+                      inorm2(F.col("__qc")).alias("__nq"),
+                      inorm2(F.col("__cc")).alias("__nc")))
+    sim = F.when(
+        (F.col("__nq") > 0) & (F.col("__nc") > 0),
+        F.col("__d")
+        / (F.sqrt(F.col("__nq").cast("double"))
+           * F.sqrt(F.col("__nc").cast("double")))).otherwise(F.lit(0.0))
+    scored = scored.select(
+        query_id_col, id_col,
+        F.round(sim * F.lit(1e6), 0).cast("long").alias("sim_micro"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim_micro").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, "sim_micro", "rank"))
