@@ -2506,17 +2506,23 @@ def bloom_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark drawn deterministically from the corpus itself
     (doc_id % 83 == 0 → 7 docs at sf0.01), so exact hits are
     guaranteed and the observable false-positive split is a pure
-    function of the text.  hex_chars=4 (65536-slot filter) + k=2
-    keeps a visible-but-small FP band.  DuckDB rebuilds the filter's
+    function of the text.  hex_chars=5 (1M-slot filter) + k=2 keeps
+    the filter sparse (FP band visible but small at any sf).  DuckDB rebuilds the filter's
     position set from the same md5 prefixes and replays the
     all-k-positions-set membership test bit-for-bit."""
     from docvault_ocr_service_spark.operators.contamination import (
         bloom_contamination)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the screen is shuffle-free until its final groupBy, so its
+    # parallelism is the INPUT partitioning; a single small parquet
+    # file would serialize the whole shingle+md5 pass on one core
+    # (real corpora bring many splits — this repartition stands in
+    # for them at bench scale)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .repartition(32, "doc_id")
     bench = docs.where(F.col("doc_id") % 83 == 0).select("text")
     return bloom_contamination(docs, bench, "doc_id", "text",
-                               n=13, hex_chars=4, k=2) \
+                               n=13, hex_chars=5, k=2) \
         .orderBy("doc_id")
 
 

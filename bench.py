@@ -119,6 +119,17 @@ HEADLINE = (
     "host_boilerplate_stats",
     "anchor_text_stats",
     "recrawl_batch",
+    # round-5 operators (semdedup_stats stays gate-only: its in-query
+    # IVF clustering costs ~18 s at sf0.1 and would dominate the suite)
+    "justext_stats",
+    "quality_classifier_stats",
+    "dsir_resample_stats",
+    "host_hits",
+    "bm25_search_stats",
+    "pmi_collocations",
+    "bloom_contamination_stats",
+    "html_table_extraction",
+    "knn_int8",
 )
 
 

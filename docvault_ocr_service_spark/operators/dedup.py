@@ -50,13 +50,17 @@ def _hash_permutations(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram array, fully columnar (transform over indices)."""
+    """Distinct word n-gram array, fully columnar (transform over
+    indices).  Higher-order lambdas run interpreted (outside
+    whole-stage codegen), so the inner body is ONE slice + ONE join
+    per gram instead of n element_at calls — ~6× less interpreted
+    expression evaluation at n=13, byte-identical gram strings."""
     toks = F.split(F.btrim(F.lower(text)), r"\s+")
     k = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
-                                     for j in range(n)]),
+        lambda i: F.array_join(
+            F.slice(toks, (i + 1).cast("int"), n), " "),
     )
     return F.when(k > 0, F.array_distinct(grams)) \
             .otherwise(F.array().cast("array<string>"))
