@@ -36,16 +36,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import lower_tokens as _tokens
+
 PMI_SCALE = 1_000_000
-
-
-def _tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens, empties dropped (shared corpus
-    convention — see functions/dsir.py::_tokens)."""
-    raw = F.split(F.btrim(F.lower(text)), r"\s+")
-    out = F.filter(raw, lambda t: t != "")
-    return F.when(text.isNull(), F.array().cast("array<string>")) \
-        .otherwise(out)
 
 
 def _bigrams(toks: Column) -> Column:

@@ -46,6 +46,18 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def lower_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens with empties dropped — the
+    corpus-wide tokenization convention shared by the BM25 /
+    collocation / dedup-shingle / DSIR stack
+    (``split(btrim(lower(text)), \\s+)``; null or whitespace-only
+    text yields an empty array, never ``[""]``)."""
+    raw = F.split(F.btrim(F.lower(text)), r"\s+")
+    out = F.filter(raw, lambda t: t != "")
+    return F.when(text.isNull(), F.array().cast("array<string>")) \
+        .otherwise(out)
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish count: split on whitespace AND letter/digit/punct
     boundaries (a cheap, deterministic BPE stand-in for budget estimates)."""

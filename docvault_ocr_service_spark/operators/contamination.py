@@ -161,9 +161,21 @@ def bloom_positions(benchmark: DataFrame, bench_text_col: str = "text",
     scheme as functions/dsir.py), so a SQL twin can rebuild the exact
     filter, false positives included.
     """
-    grams = benchmark.select(
+    grams = _bench_grams(benchmark, bench_text_col, n)
+    return _positions_from_grams(grams, hex_chars, k)
+
+
+def _bench_grams(benchmark: DataFrame, bench_text_col: str,
+                 n: int) -> DataFrame:
+    """The benchmark's distinct n-gram set — the single source both
+    the position table and the exact-verify side derive from."""
+    return benchmark.select(
         F.explode(word_shingles(F.col(bench_text_col), n))
         .alias("__gram")).distinct()
+
+
+def _positions_from_grams(grams: DataFrame, hex_chars: int,
+                          k: int) -> DataFrame:
     salted = grams.select(F.explode(F.array(
         *[F.substring(F.md5(F.concat(F.col("__gram"), F.lit(f"#{i}"))),
                       1, hex_chars) for i in range(k)])).alias("pos"))
@@ -195,8 +207,12 @@ def bloom_contamination(corpus: DataFrame, benchmark: DataFrame,
     counts are deterministic — the filter's bit layout is a pure
     function of the benchmark text.
     """
-    positions = bloom_positions(benchmark, bench_text_col, n,
-                                hex_chars, k)
+    # one benchmark scan: the distinct gram set is materialized once
+    # (bench-bounded by contract) and feeds BOTH the position table
+    # and the exact-verify join
+    bench_grams = _bench_grams(benchmark, bench_text_col, n) \
+        .localCheckpoint(eager=True)
+    positions = _positions_from_grams(bench_grams, hex_chars, k)
 
     g = corpus.select(
         F.col(id_col).alias("__doc"),
@@ -208,11 +224,8 @@ def bloom_contamination(corpus: DataFrame, benchmark: DataFrame,
         g = g.join(F.broadcast(positions),
                    pos_i == positions["pos"], "left_semi")
 
-    bench_grams = benchmark.select(
-        F.explode(word_shingles(F.col(bench_text_col), n))
-        .alias("__gram")).distinct() \
-        .withColumn("__exact", F.lit(1))
-    verified = g.join(bench_grams, "__gram", "left")
+    verified = g.join(bench_grams.withColumn("__exact", F.lit(1)),
+                      "__gram", "left")
     return (verified
             .groupBy("__doc")
             .agg(F.count("*").cast("long").alias("n_flagged_grams"),

@@ -13,10 +13,11 @@ Scale shape:
 
 - the inverted index is ONE shuffle: explode(tokens) → groupBy
   (term, doc_id) with map-side partial aggregation; postings rows are
-  slim (term, doc_id, tf) triples;
+  slim (term, doc_id, tf, dl) tuples — the doc length rides along
+  from the same scan, so scoring never rejoins a corpus-sized table;
 - queries are broadcast (a query workload is KB-sized next to a corpus);
-  every corpus-side join in the scoring path is a broadcast join on
-  ``term``, so the corpus is touched map-only after the index build;
+  every join in the scoring path is a broadcast join on ``term``; the
+  only other corpus touch is the scalar (N, Σdl) reduction;
 - document frequencies are computed from the postings restricted to
   query terms (semi-join first), never over the full vocabulary;
 - corpus-level scalars (N, total token length) reduce to one row and
@@ -34,31 +35,30 @@ empty tokens dropped) shared with the dedup/shingle/DSIR stack.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.textstats import lower_tokens as _tokens
+
 SCORE_SCALE = 1_000_000      # micro-unit quantization for contributions
-
-
-def _tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens with empties dropped (the
-    ``split(btrim(lower()), \\s+)`` corpus convention; a whitespace-only
-    or null text yields an empty array, not [""])."""
-    raw = F.split(F.btrim(F.lower(text)), r"\s+")
-    out = F.filter(raw, lambda t: t != "")
-    return F.when(text.isNull(), F.array().cast("array<string>")) \
-        .otherwise(out)
 
 
 def build_postings(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Inverted index: one (term, doc_id, tf) row per distinct term per
-    document.  One shuffle (map-side combined groupBy)."""
-    return (docs
-            .select(F.col(id_col).alias("doc_id"),
-                    F.explode(_tokens(F.col(text_col))).alias("term"))
+    document, carrying the document's token length ``dl`` (computed in
+    the SAME scan, so the scoring path never has to rejoin a separate
+    corpus-sized lengths table).  One shuffle (map-side combined
+    groupBy)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       _tokens(F.col(text_col)).alias("__toks"))
+    return (toks
+            .select("doc_id",
+                    F.size("__toks").cast("long").alias("dl"),
+                    F.explode("__toks").alias("term"))
             .groupBy("term", "doc_id")
-            .agg(F.count("*").alias("tf")))
+            .agg(F.count("*").alias("tf"),
+                 F.first("dl").alias("dl")))
 
 
 def doc_lengths(docs: DataFrame, id_col: str = "doc_id",
@@ -90,7 +90,6 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *,
     contributions; rank ties break on doc_id ascending.
     """
     postings = build_postings(docs, id_col, text_col)
-    lengths = doc_lengths(docs, id_col, text_col)
 
     qterms = (queries
               .select(F.col(query_id_col).alias("query_id"),
@@ -98,19 +97,19 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *,
                           _tokens(F.col(query_text_col)))).alias("term")))
 
     # corpus scalars: N and avgdl (exact long sum / long count → double)
-    stats = lengths.agg(
+    stats = doc_lengths(docs, id_col, text_col).agg(
         F.count("*").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
 
     # restrict postings to query terms before computing df — work is
-    # proportional to the matched postings, not the vocabulary
+    # proportional to the matched postings, not the vocabulary; dl
+    # rides along in the postings rows, so no corpus-sized rejoin
     matched = postings.join(
         F.broadcast(qterms.select("term").distinct()), "term")
     dfs = matched.groupBy("term").agg(F.count("*").alias("df"))
 
     hits = (matched
             .join(F.broadcast(qterms), "term")
-            .join(lengths, "doc_id")
             .join(F.broadcast(dfs), "term")
             .crossJoin(F.broadcast(stats)))
 

@@ -469,11 +469,6 @@ def int8_topk(corpus: DataFrame, queries: DataFrame, k: int,
     accumulation integer; the same codes feed an IVF/LSH bucket stage
     unchanged for the sub-linear path.
     """
-    cq = quantize_int8(queries, query_id_col, vec_col) \
-        .select(F.col(query_id_col), F.col("codes").alias("__qc"))
-    cc = quantize_int8(corpus, id_col, vec_col) \
-        .select(F.col(id_col), F.col("codes").alias("__cc"))
-
     def idot(a: Column, b: Column) -> Column:
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
@@ -484,11 +479,20 @@ def int8_topk(corpus: DataFrame, queries: DataFrame, k: int,
             F.transform(a, lambda x: (x * x).cast("long")),
             F.lit(0).cast("long"), lambda acc, v: acc + v)
 
+    # square norms are per-VECTOR projections, computed before the
+    # pair join — only the O(dim) dot product runs per pair (the
+    # interpreted higher-order aggregate is the expensive part)
+    cq = quantize_int8(queries, query_id_col, vec_col) \
+        .select(F.col(query_id_col), F.col("codes").alias("__qc"),
+                inorm2(F.col("codes")).alias("__nq"))
+    cc = quantize_int8(corpus, id_col, vec_col) \
+        .select(F.col(id_col), F.col("codes").alias("__cc"),
+                inorm2(F.col("codes")).alias("__nc"))
+
     scored = (cc.crossJoin(F.broadcast(cq))
               .select(F.col(query_id_col), F.col(id_col),
                       idot(F.col("__qc"), F.col("__cc")).alias("__d"),
-                      inorm2(F.col("__qc")).alias("__nq"),
-                      inorm2(F.col("__cc")).alias("__nc")))
+                      F.col("__nq"), F.col("__nc")))
     sim = F.when(
         (F.col("__nq") > 0) & (F.col("__nc") > 0),
         F.col("__d")
