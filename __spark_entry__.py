@@ -2526,6 +2526,56 @@ def bloom_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+def cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-J index planning (sources/cdx.py) through the REAL text
+    pipeline: two crawl snapshots per doc are serialized as CDX-J
+    lines (plus planted garbage lines), parsed back with parse_cdxj,
+    reduced to latest captures and digest-anti-joined against the
+    first snapshot's digests — surviving rows are exactly the docs
+    whose content changed (doc_id%3==0) minus 404s (%11) and non-text
+    mimes (%13).  DuckDB computes the surviving set analytically
+    (same arithmetic, same md5 digests)."""
+    from docvault_ocr_service_spark.sources.cdx import (
+        parse_cdxj, plan_fetch, surt_key)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (i % 20).cast("string"),
+                   F.lit(".example/d"), i.cast("string"))
+    key = surt_key(url)
+    digest1 = F.concat(F.lit("sha1:"), F.md5(i.cast("string")))
+    digest2 = F.when(i % 3 == 0, F.concat(digest1, F.lit("-new"))) \
+        .otherwise(digest1)
+    status = F.when(i % 11 == 0, F.lit("404")).otherwise(F.lit("200"))
+    mime = F.when(i % 13 == 0, F.lit("application/pdf")) \
+        .otherwise(F.lit("text/html"))
+
+    def line(ts, digest, length, offset, fname):
+        return F.concat(
+            key, F.lit(" "), F.lit(ts), F.lit(' {"url": "'), url,
+            F.lit('", "mime": "'), mime, F.lit('", "status": "'),
+            status, F.lit('", "digest": "'), digest,
+            F.lit('", "length": "'), length.cast("string"),
+            F.lit('", "offset": "'), offset.cast("string"),
+            F.lit('", "filename": "'), F.lit(fname), F.lit('"}'))
+
+    lines = docs.select(F.explode(F.array(
+        line("20240101000000", digest1, i + 100, i * 1000, "w1.warc.gz"),
+        line("20240601000000", digest2, i + 200, i * 1000 + 1,
+             "w2.warc.gz"),
+        F.concat(F.lit("garbage "), i.cast("string")),
+    )).alias("line"))
+
+    captures = parse_cdxj(lines)
+    seen = docs.select(
+        F.concat(F.lit("sha1:"), F.md5(i.cast("string")))
+        .alias("digest"))
+    return (plan_fetch(captures, seen)
+            .select("urlkey", "ts", "digest", "length", "offset",
+                    "filename")
+            .orderBy("urlkey"))
+
+
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-40 bigram collocations by PMI over the real documents table
     (functions/collocations.py): exact integer counts, one fixed
@@ -3072,15 +3122,15 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
-    # round so no entry's driver stamp goes stale): block 1 = 33 of
+    # round so no entry's driver stamp goes stale): block 1 = 32 of
     # the 44 TPC-H/events/dedup/sampling-core queries last driver-
-    # stamped on r2-r3 code (slots 1-33) + the SEVENTEEN queries new or
-    # semantics-changed in round 5 (slots 34-50; brand-new queries
+    # stamped on r2-r3 code (slots 1-32) + the EIGHTEEN queries new or
+    # semantics-changed in round 5 (slots 33-50; brand-new queries
     # always gate in their birth round); block 2 (>50) = everything
     # driver-stamped green in round 4 on unchanged (or value-
     # identical, locally re-verified) code — all still covered by
-    # tools/check_oracles.py locally every round.  The ELEVEN displaced
-    # r2/r3-core entries (doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
+    # tools/check_oracles.py locally every round.  The TWELVE displaced
+    # r2/r3-core entries (benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
     # knn_filtered, url_host_stats, doc_nfc_stats,
     # q_customers_without_orders, q_distinct_part_types,
     # doc_sample_tenth, doc_token_stats — each a bounded SQL twin
@@ -3119,7 +3169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": simhash_dup_pairs,
         "simhash_recall": simhash_recall,
         "minhash_incremental_recall": minhash_incremental_recall,
-        "benchmark_contamination": benchmark_contamination,
         # -- block 1b: new or semantics-changed in round 5 (fills to 50) -
         "pipeline_funnel_stats": pipeline_funnel_stats,
         "webp_thumbnail_stats": webp_thumbnail_stats,
@@ -3138,8 +3187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contamination_stats": bloom_contamination_stats,
         "html_table_extraction": html_table_extraction,
         "knn_int8": knn_int8,
+        "cdx_fetch_plan": cdx_fetch_plan,
         # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
         # each pinned by deterministic pytest + local oracle replica) --
+        "benchmark_contamination": benchmark_contamination,
         "doc_repetition_stats": doc_repetition_stats,
         "image_near_dup_recall": image_near_dup_recall,
         "ngram_jaccard_dups": ngram_jaccard_dups,
