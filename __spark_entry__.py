@@ -2526,6 +2526,36 @@ def bloom_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+def page_outline_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-outline extraction (functions/pagemeta.py::
+    extract_outline) over pages synthesized from the documents table:
+    an <h1> with a planted entity, 1+doc_id%4 <h2> sections (one with
+    nested markup), an empty <h3> (dropped, slot preserved) and a
+    conditional <h6>.  DuckDB builds identical strings and replays
+    the regex + cleaning chain."""
+    from docvault_ocr_service_spark.functions.pagemeta import (
+        extract_outline)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    sections = F.array_join(F.transform(
+        F.sequence(F.lit(0), (i % 4).cast("int")),
+        lambda j: F.concat(
+            F.lit("<h2>Part&nbsp;"), (i * 3 + j).cast("string"),
+            F.lit(" <b>of</b> doc</h2>"))), "")
+    tail = F.when(i % 6 == 0,
+                  F.concat(F.lit("<h6>tail "), i.cast("string"),
+                           F.lit("</h6>"))).otherwise(F.lit(""))
+    page = docs.select(
+        F.concat(F.lit("https://o.example/p"), i.cast("string"))
+        .alias("url"),
+        F.concat(F.lit("<html><body><h1>Doc &amp; "), i.cast("string"),
+                 F.lit("</h1><p>x</p>"), sections,
+                 F.lit("<h3>  </h3>"), tail,
+                 F.lit("</body></html>")).alias("html_text"))
+    return extract_outline(page).orderBy("url", "heading_idx")
+
+
 def cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX-J index planning (sources/cdx.py) through the REAL text
     pipeline: two crawl snapshots per doc are serialized as CDX-J
@@ -3122,15 +3152,15 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
-    # round so no entry's driver stamp goes stale): block 1 = 32 of
+    # round so no entry's driver stamp goes stale): block 1 = 31 of
     # the 44 TPC-H/events/dedup/sampling-core queries last driver-
-    # stamped on r2-r3 code (slots 1-32) + the EIGHTEEN queries new or
-    # semantics-changed in round 5 (slots 33-50; brand-new queries
+    # stamped on r2-r3 code (slots 1-31) + the NINETEEN queries new or
+    # semantics-changed in round 5 (slots 32-50; brand-new queries
     # always gate in their birth round); block 2 (>50) = everything
     # driver-stamped green in round 4 on unchanged (or value-
     # identical, locally re-verified) code — all still covered by
-    # tools/check_oracles.py locally every round.  The TWELVE displaced
-    # r2/r3-core entries (benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
+    # tools/check_oracles.py locally every round.  The THIRTEEN displaced
+    # r2/r3-core entries (minhash_incremental_recall, benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
     # knn_filtered, url_host_stats, doc_nfc_stats,
     # q_customers_without_orders, q_distinct_part_types,
     # doc_sample_tenth, doc_token_stats — each a bounded SQL twin
@@ -3168,7 +3198,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorize_orders_docs": categorize_orders_docs,
         "simhash_dup_pairs": simhash_dup_pairs,
         "simhash_recall": simhash_recall,
-        "minhash_incremental_recall": minhash_incremental_recall,
         # -- block 1b: new or semantics-changed in round 5 (fills to 50) -
         "pipeline_funnel_stats": pipeline_funnel_stats,
         "webp_thumbnail_stats": webp_thumbnail_stats,
@@ -3188,8 +3217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_table_extraction": html_table_extraction,
         "knn_int8": knn_int8,
         "cdx_fetch_plan": cdx_fetch_plan,
+        "page_outline_extraction": page_outline_extraction,
         # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
         # each pinned by deterministic pytest + local oracle replica) --
+        "minhash_incremental_recall": minhash_incremental_recall,
         "benchmark_contamination": benchmark_contamination,
         "doc_repetition_stats": doc_repetition_stats,
         "image_near_dup_recall": image_near_dup_recall,

@@ -84,3 +84,45 @@ def extract_feed_items(df: DataFrame, xml_col: str = "xml",
          .alias("item_link"),
         F.regexp_extract(b, _DATE_RE, 1).alias("item_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# heading outline
+# ---------------------------------------------------------------------------
+
+_HEADING_RE = r"(?is)<h([1-6])\b[^>]*>(.*?)</h[1-6]\s*>"
+
+
+def extract_outline(df: DataFrame, url_col: str = "url",
+                    html_col: str = "html_text") -> DataFrame:
+    """The page's heading outline: one row per ``<h1>``–``<h6>`` in
+    document order —
+
+        (url, heading_idx, level int, heading)
+
+    heading text is tag-stripped, entity-unescaped and whitespace-
+    collapsed (the same cleaning chain as the table extractor); empty
+    headings (decorative/anchor-only) are dropped but keep their slot
+    in ``heading_idx``.  RE2-compatible: the closing tag matches ANY
+    ``</hN>`` (backreferences don't exist in RE2 — for well-formed
+    pages the two are identical, for crossed heading tags the match
+    ends at the first close).  Map-only, zero shuffles.
+
+    Why: the outline is the page's own summary — section-aware
+    chunking for retrieval, title-vs-body consistency checks, and
+    heading-density spam signals all start here.
+    """
+    from .tables_html import _clean_cell
+
+    pairs = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.regexp_extract_all(
+            F.col(html_col), F.lit(_HEADING_RE), 0))
+        .alias("heading_idx", "__m"))
+    return (pairs
+            .select("url", "heading_idx",
+                    F.regexp_extract(F.col("__m"), _HEADING_RE, 1)
+                    .cast("int").alias("level"),
+                    _clean_cell(F.regexp_extract(
+                        F.col("__m"), _HEADING_RE, 2)).alias("heading"))
+            .where(F.col("heading") != ""))
