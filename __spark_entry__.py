@@ -2526,6 +2526,35 @@ def bloom_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+_CODE_SNIPPET = ("int sum(int[] arr) {\n    int total = 0;\n"
+                 "    for (i = 0; i < n; i++) {\n"
+                 "        total += arr[i];\n    }\n"
+                 "    return total;\n}\n")
+
+
+def doc_code_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose signals (functions/textstats.py::code_signals)
+    over the documents table with planted source code: docs with
+    doc_id%9==0 are replaced by 1+doc_id%3 repetitions of a C-ish
+    snippet (every line ends ;{}, indented body, keyword hits), the
+    rest keep their prose — the composite gate must fire exactly on
+    the planted set.  DuckDB replays every signal from the identical
+    construction."""
+    from docvault_ocr_service_spark.functions.textstats import (
+        code_signals)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    t = F.when(i % 9 == 0,
+               F.repeat(F.lit(_CODE_SNIPPET), (1 + i % 3).cast("int"))) \
+        .otherwise(F.col("text"))
+    return (code_signals(docs.select("doc_id", t.alias("text")))
+            .select("doc_id", "symbol_char_frac_micro",
+                    "semicolon_eol_frac_micro", "indent_frac_micro",
+                    "keyword_count", "is_code_like")
+            .orderBy("doc_id"))
+
+
 def page_outline_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heading-outline extraction (functions/pagemeta.py::
     extract_outline) over pages synthesized from the documents table:
@@ -3152,15 +3181,15 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
-    # round so no entry's driver stamp goes stale): block 1 = 31 of
+    # round so no entry's driver stamp goes stale): block 1 = 30 of
     # the 44 TPC-H/events/dedup/sampling-core queries last driver-
-    # stamped on r2-r3 code (slots 1-31) + the NINETEEN queries new or
-    # semantics-changed in round 5 (slots 32-50; brand-new queries
+    # stamped on r2-r3 code (slots 1-30) + the TWENTY queries new or
+    # semantics-changed in round 5 (slots 31-50; brand-new queries
     # always gate in their birth round); block 2 (>50) = everything
     # driver-stamped green in round 4 on unchanged (or value-
     # identical, locally re-verified) code — all still covered by
-    # tools/check_oracles.py locally every round.  The THIRTEEN displaced
-    # r2/r3-core entries (minhash_incremental_recall, benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
+    # tools/check_oracles.py locally every round.  The FOURTEEN displaced
+    # r2/r3-core entries (simhash_recall, minhash_incremental_recall, benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
     # knn_filtered, url_host_stats, doc_nfc_stats,
     # q_customers_without_orders, q_distinct_part_types,
     # doc_sample_tenth, doc_token_stats — each a bounded SQL twin
@@ -3197,7 +3226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": doc_stratified_sample,
         "categorize_orders_docs": categorize_orders_docs,
         "simhash_dup_pairs": simhash_dup_pairs,
-        "simhash_recall": simhash_recall,
         # -- block 1b: new or semantics-changed in round 5 (fills to 50) -
         "pipeline_funnel_stats": pipeline_funnel_stats,
         "webp_thumbnail_stats": webp_thumbnail_stats,
@@ -3218,8 +3246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_int8": knn_int8,
         "cdx_fetch_plan": cdx_fetch_plan,
         "page_outline_extraction": page_outline_extraction,
+        "doc_code_signals": doc_code_signals,
         # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
         # each pinned by deterministic pytest + local oracle replica) --
+        "simhash_recall": simhash_recall,
         "minhash_incremental_recall": minhash_incremental_recall,
         "benchmark_contamination": benchmark_contamination,
         "doc_repetition_stats": doc_repetition_stats,

@@ -507,3 +507,59 @@ def fix_mojibake(text: Column, max_passes: int = 3) -> Column:
         return s.map(one)
 
     return _fix(text)
+
+
+# ---------------------------------------------------------------------------
+# code-vs-prose signals
+# ---------------------------------------------------------------------------
+
+_CODE_KEYWORD_RE = (r"(?m)\b(def|class|import|return|function|var|let|"
+                    r"const|void|int|float|public|private|static|"
+                    r"include|struct|impl|fn|elif|lambda)\b")
+
+
+def code_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document code-vs-prose signals — the curation axis that
+    separates source code from natural language before language-ID or
+    quality scoring runs (both misbehave on code):
+
+    - ``symbol_char_frac``: ``{}();=<>[]`` characters per char
+    - ``semicolon_eol_frac``: non-empty lines ending ``;`` ``{`` ``}``
+    - ``indent_frac``: lines starting with ≥4 spaces or a tab
+    - ``keyword_count``: hits of the common code-keyword set
+    - ``is_code_like``: the composite gate (≥2 of: symbol frac >
+      0.03, eol frac > 0.2, indent frac > 0.3, keywords ≥ 5)
+
+    Fractions are micro-quantized BIGINTs (driver-gate convention).
+    Fully columnar, map-only; every regex RE2-compatible, so a SQL
+    twin replays the exact values.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    sym = F.length(t) - F.length(
+        F.regexp_replace(t, r"[{}();=<>\[\]]", ""))
+    eol = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r"[;{}]$")))
+    ind = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^(    |\t)")))
+    kw = F.regexp_count(t, F.lit(_CODE_KEYWORD_RE))
+
+    def frac_micro(num, den):
+        return F.when(den > 0,
+                      F.round(num.cast("double") / den * 1e6, 0)
+                      .cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sym_f = frac_micro(sym, n_chars)
+    eol_f = frac_micro(eol, n_lines)
+    ind_f = frac_micro(ind, n_lines)
+    votes = ((sym_f > 30000).cast("int") + (eol_f > 200000).cast("int")
+             + (ind_f > 300000).cast("int") + (kw >= 5).cast("int"))
+    return df.withColumns({
+        "symbol_char_frac_micro": sym_f,
+        "semicolon_eol_frac_micro": eol_f,
+        "indent_frac_micro": ind_f,
+        "keyword_count": kw.cast("long"),
+        "is_code_like": votes >= 2,
+    })
