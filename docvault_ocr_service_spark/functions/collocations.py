@@ -64,8 +64,12 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text", *,
     """
     toks = docs.select(_tokens(F.col(text_col)).alias("toks"))
 
+    # the unigram table is consumed three times (t1 total + both join
+    # sides); Spark re-executes uncached subtrees per consumer, so
+    # materialize the vocab-bounded aggregate once
     uni = (toks.select(F.explode("toks").alias("w"))
-           .groupBy("w").agg(F.count("*").alias("c")))
+           .groupBy("w").agg(F.count("*").alias("c"))
+           .localCheckpoint(eager=True))
     bi = (toks.select(F.explode(_bigrams(F.col("toks"))).alias("p"))
           .groupBy("p").agg(F.count("*").alias("c_xy"))
           .where(F.col("c_xy") >= min_count))

@@ -103,14 +103,18 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *,
 
     # restrict postings to query terms before computing df — work is
     # proportional to the matched postings, not the vocabulary; dl
-    # rides along in the postings rows, so no corpus-sized rejoin
+    # rides along in the postings rows, so no corpus-sized rejoin.
+    # df comes from a count over Window.partitionBy(term) on the SAME
+    # frame: a separate groupBy+join would make `matched` (and the
+    # whole postings build under it) execute twice — Spark does not
+    # reuse uncached subtrees — i.e. two full corpus index builds.
     matched = postings.join(
         F.broadcast(qterms.select("term").distinct()), "term")
-    dfs = matched.groupBy("term").agg(F.count("*").alias("df"))
+    matched = matched.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")))
 
     hits = (matched
             .join(F.broadcast(qterms), "term")
-            .join(F.broadcast(dfs), "term")
             .crossJoin(F.broadcast(stats)))
 
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
