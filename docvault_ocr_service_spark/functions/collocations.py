@@ -66,10 +66,12 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text", *,
 
     # the unigram table is consumed three times (t1 total + both join
     # sides); Spark re-executes uncached subtrees per consumer, so
-    # materialize the vocab-bounded aggregate once
+    # cache the vocab-bounded aggregate — the cache is released below
+    # after the (≤ top_k-row) result is materialized, following the
+    # fuzzy_contamination precedent
     uni = (toks.select(F.explode("toks").alias("w"))
            .groupBy("w").agg(F.count("*").alias("c"))
-           .localCheckpoint(eager=True))
+           .persist())
     bi = (toks.select(F.explode(_bigrams(F.col("toks"))).alias("p"))
           .groupBy("p").agg(F.count("*").alias("c_xy"))
           .where(F.col("c_xy") >= min_count))
@@ -96,10 +98,13 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text", *,
                  * F.col("t1"))
                 / (F.col("t2").cast("double") * F.col("c_x")
                    * F.col("c_y")))
-    return (joined
-            .select("w1", "w2",
-                    F.col("c_xy").alias("pair_count"),
-                    F.round(pmi * F.lit(float(PMI_SCALE)), 0)
-                    .cast("long").alias("pmi_micro"))
-            .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
-            .limit(top_k))
+    out = (joined
+           .select("w1", "w2",
+                   F.col("c_xy").alias("pair_count"),
+                   F.round(pmi * F.lit(float(PMI_SCALE)), 0)
+                   .cast("long").alias("pmi_micro"))
+           .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+           .limit(top_k)
+           .localCheckpoint(eager=True))
+    uni.unpersist(blocking=False)
+    return out

@@ -112,7 +112,7 @@ def extract_outline(df: DataFrame, url_col: str = "url",
     chunking for retrieval, title-vs-body consistency checks, and
     heading-density spam signals all start here.
     """
-    from .tables_html import _clean_cell
+    from .tables_html import clean_html_text
 
     pairs = df.select(
         F.col(url_col).alias("url"),
@@ -123,6 +123,6 @@ def extract_outline(df: DataFrame, url_col: str = "url",
             .select("url", "heading_idx",
                     F.regexp_extract(F.col("__m"), _HEADING_RE, 1)
                     .cast("int").alias("level"),
-                    _clean_cell(F.regexp_extract(
+                    clean_html_text(F.regexp_extract(
                         F.col("__m"), _HEADING_RE, 2)).alias("heading"))
             .where(F.col("heading") != ""))

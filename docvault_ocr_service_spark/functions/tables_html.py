@@ -41,8 +41,10 @@ CELL_RE = r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh]\s*>"
 TH_ONLY_RE = r"(?is)<td\b"
 
 
-def _clean_cell(c: Column) -> Column:
-    """Tag-strip + minimal entity unescape + whitespace collapse.
+def clean_html_text(c: Column) -> Column:
+    """Tag-strip + minimal entity unescape + whitespace collapse —
+    the shared cleaning chain of the table and outline extractors
+    (both oracles replay it, so changes here must update BOTH twins).
     &amp; is replaced LAST so double-escaped entities survive one
     level (the same ordering rule the kernel parser follows)."""
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
@@ -75,7 +77,7 @@ def extract_tables(df: DataFrame, url_col: str = "url",
             F.col("tbody"), F.lit(ROW_RE), 1)).alias("row_idx", "trow"))
     cells = F.transform(
         F.regexp_extract_all(F.col("trow"), F.lit(CELL_RE), 1),
-        _clean_cell)
+        clean_html_text)
     return (rows
             .select("url", "table_idx", "row_idx",
                     cells.alias("cells"),

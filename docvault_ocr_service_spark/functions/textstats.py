@@ -536,12 +536,16 @@ def code_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(t)
-    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    lines = F.filter(F.split(t, r"\r?\n"), lambda l: F.trim(l) != "")
     n_lines = F.size(lines)
     sym = F.length(t) - F.length(
         F.regexp_replace(t, r"[{}();=<>\[\]]", ""))
+    # last-char test instead of `$`: Java's `$` matches before a
+    # trailing line terminator, RE2's does not — an explicit substring
+    # compare is engine-identical (and CRLF is stripped by the split)
     eol = F.size(F.filter(
-        lines, lambda l: F.rtrim(l).rlike(r"[;{}]$")))
+        lines,
+        lambda l: F.substring(F.rtrim(l), -1, 1).isin(";", "{", "}")))
     ind = F.size(F.filter(
         lines, lambda l: l.rlike(r"^(    |\t)")))
     kw = F.regexp_count(t, F.lit(_CODE_KEYWORD_RE))

@@ -42,11 +42,12 @@ def surt_key(url: Column) -> Column:
     canon (scheme/port/user stripping beyond the default is the
     indexer's job; this matches what the synthetic fixtures and most
     real CDX-J urlkeys look like for plain urls)."""
-    host = F.lower(F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1))
+    u = F.lower(url)        # scheme/host/path all lowercase in SURT
+    host = F.regexp_extract(u, r"^[a-z]+://(?:[^/?#@]*@)?([^/?#]+)", 1)
     host = F.regexp_replace(host, r":\d+$", "")          # explicit port
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    rest = F.regexp_extract(url, r"^[a-z]+://[^/?#]+([^#]*)", 1)
-    path = F.when(rest == "", F.lit("/")).otherwise(F.lower(rest))
+    rest = F.regexp_extract(u, r"^[a-z]+://[^/?#]+([^#]*)", 1)
+    path = F.when(rest == "", F.lit("/")).otherwise(rest)
     return F.concat(rev, F.lit(")"), path)
 
 
@@ -60,11 +61,16 @@ def parse_cdxj(df: DataFrame, line_col: str = "line") -> DataFrame:
     an index is advisory, a bad line must not kill the plan.  Map-only.
     """
     line = F.col(line_col)
-    parts = df.select(
-        F.regexp_extract(line, _LINE_RE, 1).alias("urlkey"),
-        F.regexp_extract(line, _LINE_RE, 2).alias("ts"),
-        F.regexp_extract(line, _LINE_RE, 3).alias("__json"),
-    ).where(F.col("urlkey") != "")
+    # one anchored validity regex per line; the three fields then come
+    # from cheap split/strip ops (an index has hundreds of millions of
+    # lines — three full regex extractions per line is pure waste)
+    parts = (df.where(line.rlike(_LINE_RE))
+             .select(
+                 F.split_part(line, F.lit(" "), F.lit(1))
+                 .alias("urlkey"),
+                 F.split_part(line, F.lit(" "), F.lit(2)).alias("ts"),
+                 F.regexp_replace(line, r"^\S+ \d{14} ", "")
+                 .alias("__json")))
     j = F.from_json(F.col("__json"), _CDXJ_JSON_SCHEMA)
     return parts.select(
         "urlkey", "ts",
@@ -92,15 +98,19 @@ def latest_captures(captures: DataFrame) -> DataFrame:
 def plan_fetch(captures: DataFrame, seen_digests: DataFrame,
                statuses: tuple[int, ...] = (200,),
                mime_prefixes: tuple[str, ...] = ("text/",)) -> DataFrame:
-    """The WARC read plan: latest capture per urlkey, filtered to the
-    wanted statuses/mime prefixes, minus captures whose ``digest`` is
-    already in ``seen_digests`` (column ``digest``) — unchanged
-    recrawls are never fetched.  Returns the surviving capture rows
-    (with filename/offset/length ready for the WARC reader)."""
+    """The WARC read plan: captures filtered to the wanted statuses /
+    mime prefixes FIRST (the CDX-server ``filter=`` convention), then
+    the latest ELIGIBLE capture per urlkey, minus captures whose
+    ``digest`` is already in ``seen_digests`` (column ``digest``) —
+    unchanged recrawls are never fetched.  Filtering before the
+    collapse matters: a url whose newest capture is an error/redirect
+    must not lose its older, still-unseen 200 capture.  Returns the
+    surviving capture rows (filename/offset/length ready for the WARC
+    reader)."""
     mime_ok = F.lit(False)
     for p in mime_prefixes:
         mime_ok = mime_ok | F.col("mime").startswith(p)
-    cand = (latest_captures(captures)
-            .where(F.col("status").isin(list(statuses)) & mime_ok))
-    return cand.join(seen_digests.select("digest").distinct(),
-                     "digest", "left_anti")
+    eligible = captures.where(
+        F.col("status").isin(list(statuses)) & mime_ok)
+    return latest_captures(eligible).join(
+        seen_digests.select("digest").distinct(), "digest", "left_anti")

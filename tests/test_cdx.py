@@ -74,3 +74,33 @@ def test_surt_key(spark):
     assert got == ["com,example,sub)/path/x?q=1",
                    "com,example)/",
                    "org,example,c,b,a)/"]
+
+
+def test_surt_key_uppercase_scheme_and_userinfo(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://A.Example.COM/X",),
+         ("https://user@host.example/p",)], "url string")
+    got = [r[0] for r in df.select(surt_key(F.col("url"))).collect()]
+    assert got == ["com,example,a)/x", "example,host)/p"]
+
+
+def test_plan_fetch_filters_before_collapse(spark):
+    # newest capture is a 404 — the older unseen 200 must still be
+    # fetched (CDX filter= convention: filter, then collapse)
+    lines = [
+        _line("com,example)/e", "20240101120000",
+              url="https://example.com/e", mime="text/html",
+              status="200", digest="sha1:EEE", length="10",
+              offset="0", filename="w1.warc.gz"),
+        _line("com,example)/e", "20240601120000",
+              url="https://example.com/e", mime="text/html",
+              status="404", digest="sha1:E404", length="5",
+              offset="9", filename="w2.warc.gz"),
+    ]
+    df = parse_cdxj(
+        spark.createDataFrame([(l,) for l in lines], "line string"))
+    seen = spark.createDataFrame([("sha1:ZZZ",)], "digest string")
+    rows = plan_fetch(df, seen).collect()
+    assert len(rows) == 1
+    assert rows[0]["digest"] == "sha1:EEE"
+    assert rows[0]["ts"] == "20240101120000"

@@ -48,3 +48,16 @@ def test_code_signals_prose_with_punctuation(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     r = code_signals(df).collect()[0]
     assert r["is_code_like"] is False
+
+
+def test_code_signals_crlf_lines(spark):
+    # CRLF endings must behave exactly like LF (Java `$` would match
+    # before a trailing \r; the explicit last-char test must not)
+    df = spark.createDataFrame(
+        [(1, CODE), (2, CODE.replace("\n", "\r\n"))],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in code_signals(df).collect()}
+    assert (got[1]["semicolon_eol_frac_micro"]
+            == got[2]["semicolon_eol_frac_micro"] == 1_000_000)
+    assert got[1]["indent_frac_micro"] == got[2]["indent_frac_micro"]
+    assert got[2]["is_code_like"] is True
