@@ -2526,6 +2526,19 @@ def bloom_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary diagnostics (functions/collocations.py::
+    vocab_stats): token/vocab totals, hapax fraction, top-100
+    coverage and the least-squares Zipf slope over the 500 most
+    frequent terms — regression sums taken over per-term quantized
+    longs so DuckDB replays the slope value-for-value."""
+    from docvault_ocr_service_spark.functions.collocations import (
+        vocab_stats)
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_stats(docs, zipf_top=500)
+
+
 _CODE_SNIPPET = ("int sum(int[] arr) {\n    int total = 0;\n"
                  "    for (i = 0; i < n; i++) {\n"
                  "        total += arr[i];\n    }\n"
@@ -3181,15 +3194,15 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
-    # round so no entry's driver stamp goes stale): block 1 = 30 of
+    # round so no entry's driver stamp goes stale): block 1 = 29 of
     # the 44 TPC-H/events/dedup/sampling-core queries last driver-
-    # stamped on r2-r3 code (slots 1-30) + the TWENTY queries new or
-    # semantics-changed in round 5 (slots 31-50; brand-new queries
+    # stamped on r2-r3 code (slots 1-29) + the TWENTY-ONE queries new
+    # or semantics-changed in round 5 (slots 30-50; brand-new queries
     # always gate in their birth round); block 2 (>50) = everything
     # driver-stamped green in round 4 on unchanged (or value-
     # identical, locally re-verified) code — all still covered by
-    # tools/check_oracles.py locally every round.  The FOURTEEN displaced
-    # r2/r3-core entries (simhash_recall, minhash_incremental_recall, benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
+    # tools/check_oracles.py locally every round.  The FIFTEEN displaced
+    # r2/r3-core entries (simhash_dup_pairs, simhash_recall, minhash_incremental_recall, benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
     # knn_filtered, url_host_stats, doc_nfc_stats,
     # q_customers_without_orders, q_distinct_part_types,
     # doc_sample_tenth, doc_token_stats — each a bounded SQL twin
@@ -3225,7 +3238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "doc_stratified_sample": doc_stratified_sample,
         "categorize_orders_docs": categorize_orders_docs,
-        "simhash_dup_pairs": simhash_dup_pairs,
         # -- block 1b: new or semantics-changed in round 5 (fills to 50) -
         "pipeline_funnel_stats": pipeline_funnel_stats,
         "webp_thumbnail_stats": webp_thumbnail_stats,
@@ -3247,8 +3259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_fetch_plan": cdx_fetch_plan,
         "page_outline_extraction": page_outline_extraction,
         "doc_code_signals": doc_code_signals,
+        "corpus_vocab_stats": corpus_vocab_stats,
         # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
         # each pinned by deterministic pytest + local oracle replica) --
+        "simhash_dup_pairs": simhash_dup_pairs,
         "simhash_recall": simhash_recall,
         "minhash_incremental_recall": minhash_incremental_recall,
         "benchmark_contamination": benchmark_contamination,

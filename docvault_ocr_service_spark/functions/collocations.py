@@ -33,7 +33,7 @@ empty tokens dropped) shared with the dedup/shingle/DSIR/BM25 stack.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import lower_tokens as _tokens
@@ -106,5 +106,86 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text", *,
            .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
            .limit(top_k)
            .localCheckpoint(eager=True))
+    uni.unpersist(blocking=False)
+    return out
+
+
+def vocab_stats(docs: DataFrame, text_col: str = "text", *,
+                zipf_top: int = 1000) -> DataFrame:
+    """One-row corpus vocabulary diagnostics:
+
+        (n_tokens, vocab_size, hapax_frac_micro,
+         top100_coverage_micro, zipf_slope_micro)
+
+    - hapax fraction: share of vocabulary seen exactly once (the
+      classic crawl-health signal — OCR noise and spam inflate it);
+    - top-100 coverage: token mass captured by the 100 most frequent
+      terms;
+    - Zipf slope: least-squares slope of ln(freq) over ln(rank) for
+      the ``zipf_top`` most frequent terms (clean natural-language
+      corpora sit near −1; templated/spammy corpora flatten).
+
+    Determinism: the regression's cross-row sums are taken over
+    PER-TERM micro-quantized longs (exact integer sums), and the
+    final slope is one fixed double expression over those five
+    integers — partitioning cannot reorder any float accumulation,
+    and the SQL twin replays it value-for-value.
+
+    Scale shape: one unigram aggregation (vocab-bounded output), a
+    distributed TakeOrdered for the top-``zipf_top`` slice, and
+    scalar reductions; the rank window runs on the ≤ ``zipf_top``-row
+    slice only.
+    """
+    toks = docs.select(_tokens(F.col(text_col)).alias("toks"))
+    uni = (toks.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c"))
+           .persist())
+
+    totals = uni.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.coalesce(F.sum((F.col("c") == 1).cast("long")), F.lit(0))
+        .alias("hapax"))
+
+    top100 = (uni.orderBy(F.col("c").desc(), "w").limit(100)
+              .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("top_c")))
+
+    top = uni.orderBy(F.col("c").desc(), "w").limit(zipf_top)
+    w_rank = Window.orderBy(F.col("c").desc(), "w")
+    S = 1_000_000
+    ranked = top.withColumn("r", F.row_number().over(w_rank))
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    q = (ranked.select(
+        F.round(x * S, 0).cast("long").alias("xq"),
+        F.round(y * S, 0).cast("long").alias("yq"),
+        F.round(x * y * S, 0).cast("long").alias("xyq"),
+        F.round(x * x * S, 0).cast("long").alias("xxq"))
+        .agg(F.count("*").alias("n"), F.sum("xq").alias("sx"),
+             F.sum("yq").alias("sy"), F.sum("xyq").alias("sxy"),
+             F.sum("xxq").alias("sxx")))
+
+    num = (F.col("n").cast("double") * F.col("sxy") * F.lit(float(S))
+           - F.col("sx").cast("double") * F.col("sy"))
+    den = (F.col("n").cast("double") * F.col("sxx") * F.lit(float(S))
+           - F.col("sx").cast("double") * F.col("sx"))
+    slope = F.when(den != 0, num / den).otherwise(F.lit(0.0))
+
+    out = (totals.crossJoin(top100).crossJoin(
+        q.select(F.round(slope * S, 0).cast("long")
+                 .alias("zipf_slope_micro")))
+        .select(
+            "n_tokens", "vocab_size",
+            F.when(F.col("vocab_size") > 0,
+                   F.round(F.col("hapax").cast("double")
+                           / F.col("vocab_size") * S, 0).cast("long"))
+            .otherwise(F.lit(0).cast("long")).alias("hapax_frac_micro"),
+            F.when(F.col("n_tokens") > 0,
+                   F.round(F.col("top_c").cast("double")
+                           / F.col("n_tokens") * S, 0).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("top100_coverage_micro"),
+            "zipf_slope_micro")
+        .localCheckpoint(eager=True))
     uni.unpersist(blocking=False)
     return out

@@ -67,3 +67,56 @@ def test_pmi_empty_and_short_docs(spark):
     df = spark.createDataFrame(
         [("",), (None,), ("  ",), ("one",)], "text string")
     assert bigram_pmi(df, min_count=1).count() == 0
+
+
+def _py_vocab_stats(docs, zipf_top=1000):
+    import math
+    from collections import Counter
+    uni = Counter()
+    for t in docs:
+        uni.update((t or "").lower().split())
+    n_tokens = sum(uni.values())
+    vocab = len(uni)
+    hapax = sum(1 for c in uni.values() if c == 1)
+    by = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))
+    top_c = sum(c for _, c in by[:100])
+    S = 1_000_000
+    sx = sy = sxy = sxx = 0
+    n = 0
+    for r, (_, c) in enumerate(by[:zipf_top], 1):
+        x, y = math.log(r), math.log(c)
+        sx += int(round(x * S)); sy += int(round(y * S))
+        sxy += int(round(x * y * S)); sxx += int(round(x * x * S))
+        n += 1
+    den = float(n) * sxx * S - float(sx) * sx
+    slope = (float(n) * sxy * S - float(sx) * sy) / den if den else 0.0
+    return (n_tokens, vocab,
+            int(round(hapax / vocab * S)) if vocab else 0,
+            int(round(top_c / n_tokens * S)) if n_tokens else 0,
+            int(round(slope * S)))
+
+
+def test_vocab_stats_matches_python(spark):
+    from docvault_ocr_service_spark.functions.collocations import (
+        vocab_stats)
+    docs = [" ".join(["zipf"] * 16 + ["law"] * 8 + ["word"] * 4
+                     + ["rare", "rarer"]),
+            "zipf law again and again", "one-off hapax token here",
+            "", None]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    r = vocab_stats(df, zipf_top=50).collect()[0]
+    got = (r["n_tokens"], r["vocab_size"], r["hapax_frac_micro"],
+           r["top100_coverage_micro"], r["zipf_slope_micro"])
+    assert got == _py_vocab_stats(docs, 50)
+    # a frequency-skewed corpus has a negative slope
+    assert r["zipf_slope_micro"] < 0
+
+
+def test_vocab_stats_empty_corpus(spark):
+    from docvault_ocr_service_spark.functions.collocations import (
+        vocab_stats)
+    df = spark.createDataFrame([("",), (None,)], "text string")
+    r = vocab_stats(df).collect()[0]
+    assert (r["n_tokens"], r["vocab_size"], r["hapax_frac_micro"],
+            r["top100_coverage_micro"], r["zipf_slope_micro"]) \
+        == (0, 0, 0, 0, 0)
