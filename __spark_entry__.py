@@ -2526,6 +2526,24 @@ def bloom_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (functions/chunking.py) over the real
+    documents table: 64-token windows, 16-token overlap (stride 48);
+    the last window always reaches the final token.  Chunk text is
+    md5-fingerprinted so the compare stays light; DuckDB rebuilds the
+    windows with 1-based inclusive list slices and integer-division
+    start math (Spark's double-div + int-cast truncates, DuckDB's
+    double→int cast ROUNDS — the twin must use `//`)."""
+    from docvault_ocr_service_spark.functions.chunking import (
+        chunk_documents)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (chunk_documents(docs, chunk_tokens=64, overlap=16)
+            .select("doc_id", "chunk_idx", "n_tokens",
+                    F.md5(F.col("chunk_text")).alias("chunk_md5"))
+            .orderBy("doc_id", "chunk_idx"))
+
+
 def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary diagnostics (functions/collocations.py::
     vocab_stats): token/vocab totals, hapax fraction, top-100
@@ -3194,15 +3212,15 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
-    # round so no entry's driver stamp goes stale): block 1 = 29 of
+    # round so no entry's driver stamp goes stale): block 1 = 28 of
     # the 44 TPC-H/events/dedup/sampling-core queries last driver-
-    # stamped on r2-r3 code (slots 1-29) + the TWENTY-ONE queries new
-    # or semantics-changed in round 5 (slots 30-50; brand-new queries
+    # stamped on r2-r3 code (slots 1-28) + the TWENTY-TWO queries new
+    # or semantics-changed in round 5 (slots 29-50; brand-new queries
     # always gate in their birth round); block 2 (>50) = everything
     # driver-stamped green in round 4 on unchanged (or value-
     # identical, locally re-verified) code — all still covered by
-    # tools/check_oracles.py locally every round.  The FIFTEEN displaced
-    # r2/r3-core entries (simhash_dup_pairs, simhash_recall, minhash_incremental_recall, benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
+    # tools/check_oracles.py locally every round.  The SIXTEEN displaced
+    # r2/r3-core entries (categorize_orders_docs, simhash_dup_pairs, simhash_recall, minhash_incremental_recall, benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
     # knn_filtered, url_host_stats, doc_nfc_stats,
     # q_customers_without_orders, q_distinct_part_types,
     # doc_sample_tenth, doc_token_stats — each a bounded SQL twin
@@ -3237,7 +3255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_windows": pack_windows,
         "doc_fingerprints": doc_fingerprints,
         "doc_stratified_sample": doc_stratified_sample,
-        "categorize_orders_docs": categorize_orders_docs,
         # -- block 1b: new or semantics-changed in round 5 (fills to 50) -
         "pipeline_funnel_stats": pipeline_funnel_stats,
         "webp_thumbnail_stats": webp_thumbnail_stats,
@@ -3260,8 +3277,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_outline_extraction": page_outline_extraction,
         "doc_code_signals": doc_code_signals,
         "corpus_vocab_stats": corpus_vocab_stats,
+        "doc_chunking": doc_chunking,
         # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
         # each pinned by deterministic pytest + local oracle replica) --
+        "categorize_orders_docs": categorize_orders_docs,
         "simhash_dup_pairs": simhash_dup_pairs,
         "simhash_recall": simhash_recall,
         "minhash_incremental_recall": minhash_incremental_recall,
