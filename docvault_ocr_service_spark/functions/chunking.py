@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import verbatim_tokens
+
 
 def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", *,
@@ -43,25 +45,27 @@ def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
             f"{chunk_tokens}")
     stride = chunk_tokens - overlap
 
-    raw = F.split(F.btrim(F.col(text_col)), r"\s+")
-    toks = F.when(F.col(text_col).isNull(),
-                  F.array().cast("array<string>")) \
-        .otherwise(F.filter(raw, lambda t: t != ""))
-    n = F.size(toks)
+    base = docs.select(
+        F.col(id_col),
+        verbatim_tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
     # k = ceil((n - chunk)/stride) in integer math; n <= chunk → k = 0
     k = F.when(n <= chunk_tokens, F.lit(0)).otherwise(
         ((n - chunk_tokens + stride - 1) / stride).cast("int"))
     pieces = F.transform(
         F.sequence(F.lit(0), k),
         lambda i: F.array_join(
-            F.slice(toks, (i * stride + 1).cast("int"), chunk_tokens),
-            " "))
-    return (docs
-            .select(F.col(id_col),
-                    F.posexplode(F.when(n > 0, pieces).otherwise(
-                        F.array().cast("array<string>")))
-                    .alias("chunk_idx", "chunk_text"))
-            .withColumn("n_tokens",
-                        F.size(F.filter(
-                            F.split(F.col("chunk_text"), r"\s+"),
-                            lambda t: t != "")).cast("long")))
+            F.slice(F.col("__toks"), (i * stride + 1).cast("int"),
+                    chunk_tokens), " "))
+    exploded = base.select(
+        F.col(id_col), n.alias("__n"),
+        F.posexplode(F.when(n > 0, pieces).otherwise(
+            F.array().cast("array<string>")))
+        .alias("chunk_idx", "chunk_text"))
+    # token count falls out of the window arithmetic — no second
+    # tokenize pass over the chunk text
+    return exploded.select(
+        F.col(id_col), "chunk_idx", "chunk_text",
+        F.least(F.lit(chunk_tokens),
+                F.col("__n") - F.col("chunk_idx") * stride)
+        .cast("long").alias("n_tokens"))

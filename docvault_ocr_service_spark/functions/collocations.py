@@ -147,10 +147,16 @@ def vocab_stats(docs: DataFrame, text_col: str = "text", *,
         F.coalesce(F.sum((F.col("c") == 1).cast("long")), F.lit(0))
         .alias("hapax"))
 
-    top100 = (uni.orderBy(F.col("c").desc(), "w").limit(100)
+    # ONE TakeOrdered pass feeds both the coverage prefix and the
+    # regression slice; the (≤ max(100, zipf_top))-row result is
+    # materialized so its two consumers don't re-run the pass
+    slice_ = (uni.orderBy(F.col("c").desc(), "w")
+              .limit(max(100, zipf_top))
+              .localCheckpoint(eager=True))
+    top100 = (slice_.orderBy(F.col("c").desc(), "w").limit(100)
               .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("top_c")))
 
-    top = uni.orderBy(F.col("c").desc(), "w").limit(zipf_top)
+    top = slice_.orderBy(F.col("c").desc(), "w").limit(zipf_top)
     w_rank = Window.orderBy(F.col("c").desc(), "w")
     S = 1_000_000
     ranked = top.withColumn("r", F.row_number().over(w_rank))

@@ -46,16 +46,23 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def verbatim_tokens(text: Column) -> Column:
+    """Case-preserving whitespace tokens with empties dropped — the
+    corpus-wide split convention where the token TEXT must survive
+    verbatim (chunking, anything that re-joins tokens); null or
+    whitespace-only text yields an empty array, never ``[""]``."""
+    raw = F.split(F.btrim(text), r"\s+")
+    out = F.filter(raw, lambda t: t != "")
+    return F.when(text.isNull(), F.array().cast("array<string>")) \
+        .otherwise(out)
+
+
 def lower_tokens(text: Column) -> Column:
     """Lowercased whitespace tokens with empties dropped — the
     corpus-wide tokenization convention shared by the BM25 /
     collocation / dedup-shingle / DSIR stack
-    (``split(btrim(lower(text)), \\s+)``; null or whitespace-only
-    text yields an empty array, never ``[""]``)."""
-    raw = F.split(F.btrim(F.lower(text)), r"\s+")
-    out = F.filter(raw, lambda t: t != "")
-    return F.when(text.isNull(), F.array().cast("array<string>")) \
-        .otherwise(out)
+    (``split(btrim(lower(text)), \\s+)``)."""
+    return verbatim_tokens(F.lower(text))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
