@@ -2526,6 +2526,24 @@ def bloom_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (functions/textstats.py::split_sentences
+    / sentence_stats) over the documents table with terminators
+    planted deterministically (every " value " token becomes "! ", so
+    sentence counts vary per doc).  DuckDB replays the RE2-compatible
+    sentence regex, trim + empty-drop, and the exact-sum mean."""
+    from docvault_ocr_service_spark.functions.textstats import (
+        sentence_stats)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                         " value ", "! ")
+    return (sentence_stats(docs.select("doc_id", t.alias("text")))
+            .select("doc_id", "n_sentences",
+                    "mean_sentence_chars_micro", "max_sentence_chars")
+            .orderBy("doc_id"))
+
+
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (functions/chunking.py) over the real
     documents table: 64-token windows, 16-token overlap (stride 48);
@@ -3212,15 +3230,15 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
-    # round so no entry's driver stamp goes stale): block 1 = 28 of
+    # round so no entry's driver stamp goes stale): block 1 = 27 of
     # the 44 TPC-H/events/dedup/sampling-core queries last driver-
-    # stamped on r2-r3 code (slots 1-28) + the TWENTY-TWO queries new
-    # or semantics-changed in round 5 (slots 29-50; brand-new queries
+    # stamped on r2-r3 code (slots 1-27) + the TWENTY-THREE queries new
+    # or semantics-changed in round 5 (slots 28-50; brand-new queries
     # always gate in their birth round); block 2 (>50) = everything
     # driver-stamped green in round 4 on unchanged (or value-
     # identical, locally re-verified) code — all still covered by
-    # tools/check_oracles.py locally every round.  The SIXTEEN displaced
-    # r2/r3-core entries (categorize_orders_docs, simhash_dup_pairs, simhash_recall, minhash_incremental_recall, benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
+    # tools/check_oracles.py locally every round.  The SEVENTEEN displaced
+    # r2/r3-core entries (doc_stratified_sample, categorize_orders_docs, simhash_dup_pairs, simhash_recall, minhash_incremental_recall, benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
     # knn_filtered, url_host_stats, doc_nfc_stats,
     # q_customers_without_orders, q_distinct_part_types,
     # doc_sample_tenth, doc_token_stats — each a bounded SQL twin
@@ -3254,7 +3272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_url_extraction": sitemap_url_extraction,
         "pack_windows": pack_windows,
         "doc_fingerprints": doc_fingerprints,
-        "doc_stratified_sample": doc_stratified_sample,
         # -- block 1b: new or semantics-changed in round 5 (fills to 50) -
         "pipeline_funnel_stats": pipeline_funnel_stats,
         "webp_thumbnail_stats": webp_thumbnail_stats,
@@ -3278,8 +3295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_code_signals": doc_code_signals,
         "corpus_vocab_stats": corpus_vocab_stats,
         "doc_chunking": doc_chunking,
+        "doc_sentence_stats": doc_sentence_stats,
         # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
         # each pinned by deterministic pytest + local oracle replica) --
+        "doc_stratified_sample": doc_stratified_sample,
         "categorize_orders_docs": categorize_orders_docs,
         "simhash_dup_pairs": simhash_dup_pairs,
         "simhash_recall": simhash_recall,

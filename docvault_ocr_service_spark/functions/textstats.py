@@ -574,3 +574,49 @@ def code_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         "keyword_count": kw.cast("long"),
         "is_code_like": votes >= 2,
     })
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation
+# ---------------------------------------------------------------------------
+
+# one sentence = a run without terminators followed by a terminator
+# run, OR a trailing terminator-less fragment.  No lookarounds — RE2
+# (the DuckDB twin) has none, and Java agrees on this alternation.
+_SENTENCE_RE = r"[^.!?]+[.!?]+|[^.!?]+$"
+
+
+def split_sentences(text: Column) -> Column:
+    """Rule-based sentence segmentation → trimmed non-empty sentence
+    array.  Deliberately naive (splits after any ``.!?`` run, so
+    abbreviations like "Mr." split — the standard cheap-segmenter
+    trade-off; the terminators stay attached to their sentence).
+    Engine-replayable: the regex is RE2-compatible and the cleanup is
+    trim + empty-drop."""
+    pieces = F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(_SENTENCE_RE), 0)
+    # NB: the lambda must take exactly one arg — F.trim itself has an
+    # optional second parameter, so transform would feed it the
+    # element INDEX as the trim-character set
+    return F.filter(F.transform(pieces, lambda s: F.trim(s)),
+                    lambda s: s != "")
+
+
+def sentence_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document sentence diagnostics: sentence count, mean/max
+    sentence length in chars (micro-quantized mean — exact long sums
+    first, one division after).  Map-only."""
+    sents = split_sentences(F.col(text_col))
+    lens = F.transform(sents, F.length)
+    n = F.size(sents)
+    total = F.aggregate(lens, F.lit(0).cast("long"),
+                        lambda acc, v: acc + v)
+    return df.withColumns({
+        "n_sentences": n.cast("long"),
+        "mean_sentence_chars_micro": F.when(
+            n > 0,
+            F.round(total.cast("double") / n * 1e6, 0).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+        "max_sentence_chars": F.coalesce(
+            F.array_max(lens), F.lit(0)).cast("long"),
+    })
