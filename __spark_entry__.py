@@ -2526,6 +2526,26 @@ def bloom_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+def corpus_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift (functions/collocations.py::corpus_drift):
+    corpus A = even doc_ids, corpus B = odd doc_ids with " drifted"
+    planted 1+doc_id%3 times — the rising list must surface the
+    planted term and both KL directions go positive.  DuckDB replays
+    the add-1-smoothed distributions, the 1e-12-quantized per-term
+    contributions and the ordered term lists value-for-value."""
+    from docvault_ocr_service_spark.functions.collocations import (
+        corpus_drift)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0).select("text")
+    b = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.repeat(F.lit(" drifted"),
+                          (1 + F.col("doc_id") % 3).cast("int")))
+        .alias("text"))
+    return corpus_drift(a, b, top_k=5)
+
+
 def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation (functions/textstats.py::split_sentences
     / sentence_stats) over the documents table with terminators
@@ -3230,15 +3250,15 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
-    # round so no entry's driver stamp goes stale): block 1 = 27 of
+    # round so no entry's driver stamp goes stale): block 1 = 26 of
     # the 44 TPC-H/events/dedup/sampling-core queries last driver-
-    # stamped on r2-r3 code (slots 1-27) + the TWENTY-THREE queries new
-    # or semantics-changed in round 5 (slots 28-50; brand-new queries
+    # stamped on r2-r3 code (slots 1-26) + the TWENTY-FOUR queries new
+    # or semantics-changed in round 5 (slots 27-50; brand-new queries
     # always gate in their birth round); block 2 (>50) = everything
     # driver-stamped green in round 4 on unchanged (or value-
     # identical, locally re-verified) code — all still covered by
-    # tools/check_oracles.py locally every round.  The SEVENTEEN displaced
-    # r2/r3-core entries (doc_stratified_sample, categorize_orders_docs, simhash_dup_pairs, simhash_recall, minhash_incremental_recall, benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
+    # tools/check_oracles.py locally every round.  The EIGHTEEN displaced
+    # r2/r3-core entries (doc_fingerprints, doc_stratified_sample, categorize_orders_docs, simhash_dup_pairs, simhash_recall, minhash_incremental_recall, benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
     # knn_filtered, url_host_stats, doc_nfc_stats,
     # q_customers_without_orders, q_distinct_part_types,
     # doc_sample_tenth, doc_token_stats — each a bounded SQL twin
@@ -3271,7 +3291,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget_mix": doc_token_budget_mix,
         "sitemap_url_extraction": sitemap_url_extraction,
         "pack_windows": pack_windows,
-        "doc_fingerprints": doc_fingerprints,
         # -- block 1b: new or semantics-changed in round 5 (fills to 50) -
         "pipeline_funnel_stats": pipeline_funnel_stats,
         "webp_thumbnail_stats": webp_thumbnail_stats,
@@ -3296,8 +3315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_stats": corpus_vocab_stats,
         "doc_chunking": doc_chunking,
         "doc_sentence_stats": doc_sentence_stats,
+        "corpus_drift_stats": corpus_drift_stats,
         # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
         # each pinned by deterministic pytest + local oracle replica) --
+        "doc_fingerprints": doc_fingerprints,
         "doc_stratified_sample": doc_stratified_sample,
         "categorize_orders_docs": categorize_orders_docs,
         "simhash_dup_pairs": simhash_dup_pairs,

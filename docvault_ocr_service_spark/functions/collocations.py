@@ -195,3 +195,85 @@ def vocab_stats(docs: DataFrame, text_col: str = "text", *,
         .localCheckpoint(eager=True))
     uni.unpersist(blocking=False)
     return out
+
+
+DRIFT_SCALE = 1_000_000_000_000      # per-term KL quantization (1e-12)
+
+
+def corpus_drift(a: DataFrame, b: DataFrame,
+                 text_col: str = "text", *, top_k: int = 5) -> DataFrame:
+    """One-row drift diagnostics between two corpus snapshots —
+    "did this crawl change, and how":
+
+        (n_terms, kl_ab_micro, kl_ba_micro, rising, falling)
+
+    KL divergences are over add-1-smoothed unigram distributions on
+    the union vocabulary (both directions — KL is asymmetric);
+    ``rising``/``falling`` are the ``top_k`` terms by smoothed
+    log-ratio, comma-joined in rank order.
+
+    Determinism: per-term KL contributions quantize to 1e-12-resolution
+    longs before the cross-row sum (KL values are O(1), so the exact
+    integer sum fits a long with room to spare); the term lists come
+    from TakeOrdered slices sorted via array_sort over structs, never
+    from collect_list order.
+
+    Scale shape: one unigram aggregation per side (vocab-bounded),
+    one full-outer join of the two count tables on term, scalar
+    reductions, and two TakeOrdered slices.
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (df.select(F.explode(
+            _tokens(F.col(text_col))).alias("term"))
+            .groupBy("term").agg(F.count("*").alias(name)))
+
+    ua = counts(a, "c_a")
+    ub = counts(b, "c_b")
+    joined = (ua.join(ub, "term", "full_outer")
+              .select("term",
+                      F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
+                      F.coalesce(F.col("c_b"), F.lit(0)).alias("c_b"))
+              .persist())
+
+    tot = joined.agg(
+        F.count("*").alias("v"),
+        F.coalesce(F.sum("c_a"), F.lit(0)).alias("ta"),
+        F.coalesce(F.sum("c_b"), F.lit(0)).alias("tb"))
+
+    w = joined.crossJoin(F.broadcast(tot))
+    p = (F.col("c_a") + 1).cast("double") / (F.col("ta") + F.col("v"))
+    q = (F.col("c_b") + 1).cast("double") / (F.col("tb") + F.col("v"))
+    lr = F.log(p / q)
+    scored = w.select(
+        "term", "c_a", "c_b",
+        F.round(p * lr * DRIFT_SCALE, 0).cast("long").alias("kab_q"),
+        F.round(q * -lr * DRIFT_SCALE, 0).cast("long").alias("kba_q"),
+        F.round(lr * 1e6, 0).cast("long").alias("lr_micro"))
+
+    kl = scored.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.coalesce(F.sum("kab_q"), F.lit(0)).cast("double")
+                / 1e6, 0).cast("long").alias("kl_ab_micro"),
+        F.round(F.coalesce(F.sum("kba_q"), F.lit(0)).cast("double")
+                / 1e6, 0).cast("long").alias("kl_ba_micro"))
+
+    def ranked_terms(frame: DataFrame, alias: str) -> DataFrame:
+        # the slice is ≤ top_k rows; order is enforced by sorting the
+        # collected structs, not by collect order
+        return frame.agg(F.array_join(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("__key").alias("k"),
+                         F.col("term").alias("term")))),
+            lambda x: x["term"]), ",").alias(alias))
+
+    rising = ranked_terms(
+        scored.orderBy(F.col("lr_micro").desc(), "term").limit(top_k)
+        .select("term", (-F.col("lr_micro")).alias("__key")), "rising")
+    falling = ranked_terms(
+        scored.orderBy(F.col("lr_micro").asc(), "term").limit(top_k)
+        .select("term", F.col("lr_micro").alias("__key")), "falling")
+
+    out = (kl.crossJoin(rising).crossJoin(falling)
+           .localCheckpoint(eager=True))
+    joined.unpersist(blocking=False)
+    return out

@@ -120,3 +120,58 @@ def test_vocab_stats_empty_corpus(spark):
     assert (r["n_tokens"], r["vocab_size"], r["hapax_frac_micro"],
             r["top100_coverage_micro"], r["zipf_slope_micro"]) \
         == (0, 0, 0, 0, 0)
+
+
+def _py_drift(a_docs, b_docs, top_k=5):
+    import math
+    from collections import Counter
+    ca, cb = Counter(), Counter()
+    for t in a_docs:
+        ca.update((t or "").lower().split())
+    for t in b_docs:
+        cb.update((t or "").lower().split())
+    vocab = sorted(set(ca) | set(cb))
+    v, ta, tb = len(vocab), sum(ca.values()), sum(cb.values())
+    S = 1_000_000_000_000
+    kab = kba = 0
+    lrs = {}
+    for w in vocab:
+        p = (ca[w] + 1) / (ta + v)
+        q = (cb[w] + 1) / (tb + v)
+        lr = math.log(p / q)
+        kab += int(round(p * lr * S))
+        kba += int(round(q * -lr * S))
+        lrs[w] = int(round(lr * 1e6))
+    rising = [w for w, _ in sorted(lrs.items(),
+                                   key=lambda kv: (-kv[1], kv[0]))[:top_k]]
+    falling = [w for w, _ in sorted(lrs.items(),
+                                    key=lambda kv: (kv[1], kv[0]))[:top_k]]
+    return (v, int(round(kab / 1e6)), int(round(kba / 1e6)),
+            ",".join(rising), ",".join(falling))
+
+
+def test_corpus_drift_matches_python(spark):
+    from docvault_ocr_service_spark.functions.collocations import (
+        corpus_drift)
+    a_docs = ["alpha beta gamma common words here", "alpha alpha beta",
+              "common words appear twice"]
+    b_docs = ["delta epsilon common words here", "delta delta beta",
+              "common words appear twice and drifted tokens grew"]
+    a = spark.createDataFrame([(t,) for t in a_docs], "text string")
+    b = spark.createDataFrame([(t,) for t in b_docs], "text string")
+    r = corpus_drift(a, b, top_k=3).collect()[0]
+    got = (r["n_terms"], r["kl_ab_micro"], r["kl_ba_micro"],
+           r["rising"], r["falling"])
+    assert got == _py_drift(a_docs, b_docs, 3)
+    assert r["kl_ab_micro"] > 0 and r["kl_ba_micro"] > 0
+    assert "alpha" in r["rising"] and "delta" in r["falling"]
+
+
+def test_corpus_drift_identical_corpora(spark):
+    from docvault_ocr_service_spark.functions.collocations import (
+        corpus_drift)
+    docs = [("same text here",), ("more same text",)]
+    a = spark.createDataFrame(docs, "text string")
+    b = spark.createDataFrame(docs, "text string")
+    r = corpus_drift(a, b).collect()[0]
+    assert r["kl_ab_micro"] == 0 and r["kl_ba_micro"] == 0
