@@ -209,8 +209,9 @@ def corpus_drift(a: DataFrame, b: DataFrame,
 
     KL divergences are over add-1-smoothed unigram distributions on
     the union vocabulary (both directions — KL is asymmetric);
-    ``rising``/``falling`` are the ``top_k`` terms by smoothed
-    log-ratio, comma-joined in rank order.
+    ``rising`` = the ``top_k`` terms most OVER-represented in the new
+    snapshot ``b`` relative to ``a`` (growth = ln(q/p) descending),
+    ``falling`` = the reverse, comma-joined in rank order.
 
     Determinism: per-term KL contributions quantize to 1e-12-resolution
     longs before the cross-row sum (KL values are O(1), so the exact
@@ -266,12 +267,14 @@ def corpus_drift(a: DataFrame, b: DataFrame,
                          F.col("term").alias("term")))),
             lambda x: x["term"]), ",").alias(alias))
 
+    # lr = ln(p/q) is a-heaviness: terms RISING into b have the most
+    # NEGATIVE lr, so rising sorts ascending and falling descending
     rising = ranked_terms(
-        scored.orderBy(F.col("lr_micro").desc(), "term").limit(top_k)
-        .select("term", (-F.col("lr_micro")).alias("__key")), "rising")
-    falling = ranked_terms(
         scored.orderBy(F.col("lr_micro").asc(), "term").limit(top_k)
-        .select("term", F.col("lr_micro").alias("__key")), "falling")
+        .select("term", F.col("lr_micro").alias("__key")), "rising")
+    falling = ranked_terms(
+        scored.orderBy(F.col("lr_micro").desc(), "term").limit(top_k)
+        .select("term", (-F.col("lr_micro")).alias("__key")), "falling")
 
     out = (kl.crossJoin(rising).crossJoin(falling)
            .localCheckpoint(eager=True))

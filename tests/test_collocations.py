@@ -142,10 +142,12 @@ def _py_drift(a_docs, b_docs, top_k=5):
         kab += int(round(p * lr * S))
         kba += int(round(q * -lr * S))
         lrs[w] = int(round(lr * 1e6))
+    # lr = ln(p/q) measures a-heaviness: rising-into-b = most
+    # negative lr first
     rising = [w for w, _ in sorted(lrs.items(),
-                                   key=lambda kv: (-kv[1], kv[0]))[:top_k]]
+                                   key=lambda kv: (kv[1], kv[0]))[:top_k]]
     falling = [w for w, _ in sorted(lrs.items(),
-                                    key=lambda kv: (kv[1], kv[0]))[:top_k]]
+                                    key=lambda kv: (-kv[1], kv[0]))[:top_k]]
     return (v, int(round(kab / 1e6)), int(round(kba / 1e6)),
             ",".join(rising), ",".join(falling))
 
@@ -164,7 +166,9 @@ def test_corpus_drift_matches_python(spark):
            r["rising"], r["falling"])
     assert got == _py_drift(a_docs, b_docs, 3)
     assert r["kl_ab_micro"] > 0 and r["kl_ba_micro"] > 0
-    assert "alpha" in r["rising"] and "delta" in r["falling"]
+    # delta/drifted grew INTO snapshot b; alpha declined
+    assert "delta" in r["rising"] and "drifted" in r["rising"]
+    assert "alpha" in r["falling"]
 
 
 def test_corpus_drift_identical_corpora(spark):
