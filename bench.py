@@ -1,9 +1,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS] + the north-rule scaling evidence.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "extraction": {...}}
+Prints TWO JSON lines: a DETAIL line first (full per-query map,
+per-pair scaling rounds), then a compact FINAL line (≤ ~1.5 KB —
+summary scalars + the extraction block).  The driver's tail-capture
+window is finite: round 5's single ever-growing line outgrew it and
+the committed artifact became unparseable (`"parsed": null`), so the
+machine-read line must stay small while the detail stays on stdout.
+
+  detail: {"detail": "bench_v6", "queries": {name: sec, ...},
+           "pairs": {...per-round scaling...}, "levels": {...}}
+  final:  {"metric": ..., "value": <total headline seconds>,
+           "unit": "sec", "queries": {<5 slowest only>}, "sf": ...,
+           "n_queries": N, "extraction": {...compact...}}
 
 Scaling methodology (no real cluster in this sandbox): the same
 extraction job runs in *taskset-pinned* subprocesses at each level of
@@ -278,9 +287,67 @@ def run_headline(spark) -> dict[str, float]:
     return timings
 
 
+def stress() -> None:
+    """Once-per-round scale probe for the ITERATIVE operators: the sf0.1
+    wall-times hid round 5's plan-nesting defect (geometric plan growth
+    in connected_components), so this arm stresses exactly the axis
+    that grows — iteration count / component diameter — and records
+    both wall time and the final plan-string size (the proxy for
+    driver-side plan-compile cost: pre-fix, CC's plan DOUBLED per
+    iteration; post-fix it is O(1) per step).
+
+    Chain graphs maximize diameter per edge; pointer jumping makes
+    iterations ≈ log2(diameter), so 30k vs 300k-node chains exercise a
+    10× diameter jump with bounded runtime.  PageRank runs at 5 vs 20
+    iterations on a fixed graph — constant secs/iter is the pass
+    criterion."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from docvault_ocr_service_spark.operators.dedup import (
+        connected_components)
+    from docvault_ocr_service_spark.operators.linkgraph import pagerank
+
+    spark = _fresh_session(CPUS)
+    out: dict = {"probe": "stress_v6"}
+    for n in (30_000, 300_000):
+        edges = (spark.range(n - 1)
+                 .select(F.col("id").alias("a"),
+                         (F.col("id") + 1).alias("b")))
+        t0 = time.monotonic()
+        labels = connected_components(edges, max_iter=40)
+        n_comp = labels.select("component").distinct().count()
+        dt = time.monotonic() - t0
+        plan_chars = len(labels._jdf.queryExecution().executedPlan()
+                         .toString())
+        out[f"cc_chain_{n}"] = {"secs": round(dt, 2),
+                                "components": n_comp,
+                                "final_plan_chars": plan_chars}
+    g = (spark.range(60_000)
+         .select(F.concat(F.lit("h"), (F.col("id") % 5000))
+                 .alias("src_host"),
+                 F.concat(F.lit("h"), ((F.col("id") * 7 + 3) % 5000))
+                 .alias("dst_host"),
+                 F.lit(1).alias("n_links")))
+    g = g.persist()
+    g.count()
+    for iters in (5, 20):
+        t0 = time.monotonic()
+        pr = pagerank(g, iters=iters)
+        pr.agg(F.sum("rank")).first()
+        dt = time.monotonic() - t0
+        out[f"pagerank_{iters}it"] = {"secs": round(dt, 2),
+                                      "secs_per_iter": round(dt / iters, 3)}
+    g.unpersist()
+    spark.stop()
+    print(json.dumps(out))
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--extract-worker":
         print(json.dumps(extract_once(int(sys.argv[2]))))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--stress":
+        stress()
         return
 
     # Phase A: headline operator queries at full parallelism
@@ -352,18 +419,28 @@ def main() -> None:
         pairs[f"{lo}->{hi}"] = pick | {
             "per_round_raw": [c["raw_efficiency"] for c in cands]}
 
-    # flat legacy keys track the primary (= bar-retried) pair
+    # flat legacy keys track the primary (= bar-retried) pair.  Both
+    # best-of-rounds AND the median are surfaced: the bar-retry loop
+    # stops when some round clears the bar, which keeps upward noise
+    # and retries downward noise — best-of alone would bias the
+    # committed raw_efficiency optimistically, so the median (robust
+    # on both tails) rides alongside it, and every round's raw value
+    # stays in per_round_raw.
     primary = pairs[f"{p_lo}->{p_hi}"]
+    prr = primary["per_round_raw"]
+    median_raw = sorted(prr)[len(prr) // 2] if len(prr) % 2 else round(
+        (sorted(prr)[len(prr) // 2 - 1] + sorted(prr)[len(prr) // 2]) / 2,
+        3)
     extraction = {
         "docs": BENCH_CORPUS_ROWS,
         **{f"docs_per_sec_local{c}": best[c]["docs_per_sec"]
            for c in SCALE_LEVELS},
-        **{f"seconds_local{c}": best[c]["secs"] for c in SCALE_LEVELS},
         "scaling_efficiency": primary["raw_efficiency"],
+        "scaling_efficiency_median": median_raw,
+        "per_round_raw": prr,
         "hardware_ceiling_efficiency":
             primary["hardware_ceiling_efficiency"],
         "normalized_efficiency": primary["normalized_efficiency"],
-        "pairs": pairs,
         "pinning": "taskset" if shutil.which("taskset") else "none",
         "scale_rounds": len(rounds),
         "raw_bar": SCALE_RAW_BAR,
@@ -372,11 +449,27 @@ def main() -> None:
         "loadavg_at_end": round(os.getloadavg()[0], 2),
     }
 
+    # DETAIL line first: the full per-query map + per-pair round data
+    # (everything a human or a later tool wants, none of it required by
+    # the driver's parse)
+    print(json.dumps({
+        "detail": "bench_v6",
+        "queries": timings,
+        "pairs": pairs,
+        "levels": {str(c): {"docs_per_sec": best[c]["docs_per_sec"],
+                            "secs": best[c]["secs"],
+                            "mp_docs_per_sec": best[c]["mp_docs_per_sec"]}
+                   for c in SCALE_LEVELS},
+    }))
+    # FINAL line: compact — must survive the driver's tail capture whole
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     result = {
         "metric": "headline_suite_seconds+extraction_scaling",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": slowest,
+        "n_queries": len(timings),
+        "queries_note": "full per-query map on the detail line above",
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extraction": extraction,
     }

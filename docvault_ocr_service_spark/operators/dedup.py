@@ -303,9 +303,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     Components make group-level dedup exact: keep ``min(node)`` per
     component.  Each iteration is two shuffles (neighbor-min + groupBy);
     iteration count is the graph diameter in label space (≈ log n for
-    near-dup clusters, which are dense).  Frames are persisted and the
-    loop exits early at fixpoint via an aggregate check, so lineage
-    stays bounded.
+    near-dup clusters, which are dense).  Each iteration's labels are
+    ``localCheckpoint``-ed — the pointer-jumping self-join references
+    ``stepped`` twice, so without truncation the analyzed plan doubles
+    per iteration and Catalyst/AQE plan handling becomes a driver-side
+    bottleneck long before the data does (persist bounds recompute,
+    not plan text).  The loop exits early at fixpoint via an aggregate
+    check.
     """
     from pyspark import StorageLevel
 
@@ -346,7 +350,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                                       F.coalesce(F.col("__cc"),
                                                  F.col("component")))
                               .alias("component"))
-                      .persist(StorageLevel.MEMORY_AND_DISK))
+                      .localCheckpoint(eager=True))
         new_sum = new_labels.agg(F.sum("component")).first()[0]
         labels.unpersist()
         labels = new_labels

@@ -129,8 +129,10 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                           + F.lit(damping)
                           * (F.coalesce(F.col("contrib"), F.lit(0.0))
                              + F.lit(dangling / n))).alias("rank"))
-                     .persist())
-        new_ranks.count()
+                     # localCheckpoint, not persist: truncates the
+                     # per-iteration plan (linear growth here, but the
+                     # same AQE plan-string cost hits() documents)
+                     .localCheckpoint(eager=True))
         ranks.unpersist()
         ranks = new_ranks
 
