@@ -3249,22 +3249,93 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate checks the
-    # FIRST 50 entries.  Round-5 rotation (the gate prefix moves each
-    # round so no entry's driver stamp goes stale): block 1 = 26 of
-    # the 44 TPC-H/events/dedup/sampling-core queries last driver-
-    # stamped on r2-r3 code (slots 1-26) + the TWENTY-FOUR queries new
-    # or semantics-changed in round 5 (slots 27-50; brand-new queries
-    # always gate in their birth round); block 2 (>50) = everything
-    # driver-stamped green in round 4 on unchanged (or value-
-    # identical, locally re-verified) code — all still covered by
-    # tools/check_oracles.py locally every round.  The EIGHTEEN displaced
-    # r2/r3-core entries (doc_fingerprints, doc_stratified_sample, categorize_orders_docs, simhash_dup_pairs, simhash_recall, minhash_incremental_recall, benchmark_contamination, doc_repetition_stats, image_near_dup_recall, ngram_jaccard_dups, knn_bruteforce,
-    # knn_filtered, url_host_stats, doc_nfc_stats,
-    # q_customers_without_orders, q_distinct_part_types,
-    # doc_sample_tenth, doc_token_stats — each a bounded SQL twin
-    # also pinned by deterministic pytest) lead block 2a for round 6.
+    # FIRST 50 entries.  Round-6 rotation (the gate prefix moves each
+    # round so no entry's driver stamp goes stale): block 1a = the
+    # EIGHTEEN r2/r3-stamped core entries displaced from the round-5
+    # gate (slots 1-18, executing the staged rotation — after this
+    # round no entry's latest driver stamp is older than r4); block 1b
+    # = queries whose code changed in round 6 (connected_components /
+    # pagerank now localCheckpoint per iteration — value-identical,
+    # re-verified locally, but changed code re-gates); block 1c =
+    # queries NEW in round 6 (brand-new queries always gate in their
+    # birth round); block 1d = r4-stamped entries, oldest stamps
+    # first, filling the prefix to exactly 50; block 2 = everything
+    # else (r4/r5-stamped, unchanged, still covered by
+    # tools/check_oracles.py locally every round).  After EVERY edit
+    # here run `list(queries())[:50]` and re-check the blocks.
     return {
         # -- block 1a: r2/r3-stamped core, rotated back into the gate ----
+        "doc_fingerprints": doc_fingerprints,
+        "doc_stratified_sample": doc_stratified_sample,
+        "categorize_orders_docs": categorize_orders_docs,
+        "simhash_dup_pairs": simhash_dup_pairs,
+        "simhash_recall": simhash_recall,
+        "minhash_incremental_recall": minhash_incremental_recall,
+        "benchmark_contamination": benchmark_contamination,
+        "doc_repetition_stats": doc_repetition_stats,
+        "image_near_dup_recall": image_near_dup_recall,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "knn_bruteforce": knn_bruteforce,
+        "knn_filtered": knn_filtered,
+        "url_host_stats": url_host_stats,
+        "doc_nfc_stats": doc_nfc_stats,
+        "q_customers_without_orders": q_customers_without_orders,
+        "q_distinct_part_types": q_distinct_part_types,
+        "doc_sample_tenth": doc_sample_tenth,
+        "doc_token_stats": doc_token_stats,
+        # -- block 1b: code changed in round 6 (localCheckpoint loops) ---
+        "dup_components": dup_components,
+        "dedup_keep_best_stats": dedup_keep_best_stats,
+        "host_pagerank": host_pagerank,
+        # -- block 1c: NEW in round 6 ------------------------------------
+        # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
+        "fuzzy_contamination_stats": fuzzy_contamination_stats,
+        "warc_roundtrip_stats": warc_roundtrip_stats,
+        "doc_substring_dedup": doc_substring_dedup,
+        "doc_temperature_mix": doc_temperature_mix,
+        "page_metadata_extraction": page_metadata_extraction,
+        "feed_item_extraction": feed_item_extraction,
+        "doc_lm_perplexity": doc_lm_perplexity,
+        "gopher_filter_stats": gopher_filter_stats,
+        "c4_filter_stats": c4_filter_stats,
+        "doc_mojibake_repair": doc_mojibake_repair,
+        "robots_sitemap_directives": robots_sitemap_directives,
+        "host_boilerplate_stats": host_boilerplate_stats,
+        "anchor_text_stats": anchor_text_stats,
+        "domain_blocklist_stats": domain_blocklist_stats,
+        "recrawl_batch": recrawl_batch,
+        "frontier_batch": frontier_batch,
+        "frontier_crawl_delay": frontier_crawl_delay,
+        "doc_pii_scrub": doc_pii_scrub,
+        "hocr_word_stats": hocr_word_stats,
+        "knn_lsh": knn_lsh,
+        "knn_ivf": knn_ivf,
+        "knn_lsh_recall": knn_lsh_recall,
+        "knn_ivf_recall": knn_ivf_recall,
+        "embedding_near_dup_recall": embedding_near_dup_recall,
+        "embedding_centroids": embedding_centroids,
+        "embedding_near_dups": embedding_near_dups,
+        "corpus_extract_stats": corpus_extract_stats,
+        "png_pixel_stats": png_pixel_stats,
+        "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
+        # ---- end of gate prefix (50) -----------------------------------
+        # -- block 2: r4/r5-driver-green, unchanged ----------------------
+        "jpeg_progressive_stats": jpeg_progressive_stats,
+        "tiff_compressed_stats": tiff_compressed_stats,
+        "tiff_g4_stats": tiff_g4_stats,
+        "media_preprocess_decisions": media_preprocess_decisions,
+        "wav_audio_stats": wav_audio_stats,
+        "mp3_audio_stats": mp3_audio_stats,
+        "thumbnail_dims": thumbnail_dims,
+        "thumbnail_jpeg_stats": thumbnail_jpeg_stats,
+        "stream_batch_equivalence": stream_batch_equivalence,
+        "media_feature_stats": media_feature_stats,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_segment_revenue": q3_segment_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q18_large_orders": q18_large_orders,
+        "doc_categories": doc_categories,
         "q_rollup_priority": q_rollup_priority,
         "q_pivot_segment": q_pivot_segment,
         "q_top_suppliers_window": q_top_suppliers_window,
@@ -3278,7 +3349,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": minhash_dup_pairs,
         "line_dedup_clean": line_dedup_clean,
         "minhash_recall": minhash_recall,
-        "dup_components": dup_components,
         "invoice_metadata_from_orders": invoice_metadata_from_orders,
         "robots_filter_stats": robots_filter_stats,
         "q5_nation_revenue": q5_nation_revenue,
@@ -3291,7 +3361,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget_mix": doc_token_budget_mix,
         "sitemap_url_extraction": sitemap_url_extraction,
         "pack_windows": pack_windows,
-        # -- block 1b: new or semantics-changed in round 5 (fills to 50) -
         "pipeline_funnel_stats": pipeline_funnel_stats,
         "webp_thumbnail_stats": webp_thumbnail_stats,
         "tiff_jpeg6_stats": tiff_jpeg6_stats,
@@ -3316,74 +3385,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": doc_chunking,
         "doc_sentence_stats": doc_sentence_stats,
         "corpus_drift_stats": corpus_drift_stats,
-        # -- block 2a: displaced r2/r3 core (first for round-6 rotation;
-        # each pinned by deterministic pytest + local oracle replica) --
-        "doc_fingerprints": doc_fingerprints,
-        "doc_stratified_sample": doc_stratified_sample,
-        "categorize_orders_docs": categorize_orders_docs,
-        "simhash_dup_pairs": simhash_dup_pairs,
-        "simhash_recall": simhash_recall,
-        "minhash_incremental_recall": minhash_incremental_recall,
-        "benchmark_contamination": benchmark_contamination,
-        "doc_repetition_stats": doc_repetition_stats,
-        "image_near_dup_recall": image_near_dup_recall,
-        "ngram_jaccard_dups": ngram_jaccard_dups,
-        "knn_bruteforce": knn_bruteforce,
-        "knn_filtered": knn_filtered,
-        "url_host_stats": url_host_stats,
-        "doc_nfc_stats": doc_nfc_stats,
-        "q_customers_without_orders": q_customers_without_orders,
-        "q_distinct_part_types": q_distinct_part_types,
-        "doc_sample_tenth": doc_sample_tenth,
-        "doc_token_stats": doc_token_stats,
-        # -- block 2: r4-driver-green, unchanged or value-identical ------
-        "fuzzy_contamination_stats": fuzzy_contamination_stats,
-        "warc_roundtrip_stats": warc_roundtrip_stats,
-        "host_pagerank": host_pagerank,
-        "doc_substring_dedup": doc_substring_dedup,
-        "doc_temperature_mix": doc_temperature_mix,
-        "page_metadata_extraction": page_metadata_extraction,
-        "feed_item_extraction": feed_item_extraction,
-        "doc_lm_perplexity": doc_lm_perplexity,
-        "gopher_filter_stats": gopher_filter_stats,
-        "c4_filter_stats": c4_filter_stats,
-        "doc_mojibake_repair": doc_mojibake_repair,
-        "robots_sitemap_directives": robots_sitemap_directives,
-        "host_boilerplate_stats": host_boilerplate_stats,
-        "anchor_text_stats": anchor_text_stats,
-        "domain_blocklist_stats": domain_blocklist_stats,
-        "recrawl_batch": recrawl_batch,
-        "dedup_keep_best_stats": dedup_keep_best_stats,
-        "frontier_batch": frontier_batch,
-        "frontier_crawl_delay": frontier_crawl_delay,
-        "doc_pii_scrub": doc_pii_scrub,
-        "hocr_word_stats": hocr_word_stats,
-        "knn_lsh": knn_lsh,
-        "knn_ivf": knn_ivf,
-        "knn_lsh_recall": knn_lsh_recall,
-        "knn_ivf_recall": knn_ivf_recall,
-        "embedding_near_dup_recall": embedding_near_dup_recall,
-        "embedding_centroids": embedding_centroids,
-        "embedding_near_dups": embedding_near_dups,
-        "corpus_extract_stats": corpus_extract_stats,
-        "png_pixel_stats": png_pixel_stats,
-        "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
-        "jpeg_progressive_stats": jpeg_progressive_stats,
-        "tiff_compressed_stats": tiff_compressed_stats,
-        "tiff_g4_stats": tiff_g4_stats,
-        "media_preprocess_decisions": media_preprocess_decisions,
-        "wav_audio_stats": wav_audio_stats,
-        "mp3_audio_stats": mp3_audio_stats,
-        "thumbnail_dims": thumbnail_dims,
-        "thumbnail_jpeg_stats": thumbnail_jpeg_stats,
-        "stream_batch_equivalence": stream_batch_equivalence,
-        "media_feature_stats": media_feature_stats,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_segment_revenue": q3_segment_revenue,
-        "q4_order_priority": q4_order_priority,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q18_large_orders": q18_large_orders,
-        "doc_categories": doc_categories,
     }
 
 
