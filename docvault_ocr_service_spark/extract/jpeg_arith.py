@@ -86,6 +86,32 @@ DC_STAT_BINS = 49                           # 5*4 contexts + 14 X + 15 M
 AC_STAT_BINS = 245                          # 63*3 + 2*(14 X + 14 M)
 
 
+def _check_qe_table() -> None:
+    """One-time transcription check of the 113 adaptive Table D.3 rows.
+
+    Encoder and decoder SHARE the table, so a transcription slip is
+    invisible to every round-trip test (it would break interop with
+    real files, not self-consistency).  These constants were computed
+    independently from the published IJG jaricom.c values: the CRC
+    covers every field of every row; the switch-count 10 is the known
+    set of MPS-exchange states {0,14,36,64,80,88,95,105,110,112}.
+    """
+    import struct
+    import zlib
+
+    adaptive = _QE_TAB[:113]
+    if len(_QE_TAB) != 114 or sum(r[3] for r in adaptive) != 10:
+        raise AssertionError("Table D.3 shape/switch-count mismatch")
+    packed = b"".join(struct.pack(">HBBB", *r) for r in adaptive)
+    if zlib.crc32(packed) & 0xFFFFFFFF != 0xDAA20A5F:
+        raise AssertionError(
+            "Table D.3 transcription drifted from the published "
+            "jaricom.c values (crc mismatch)")
+
+
+_check_qe_table()
+
+
 class _Stats:
     """One conditioning-statistics area: per bin, (state index, MPS)."""
 

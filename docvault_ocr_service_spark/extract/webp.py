@@ -262,7 +262,15 @@ def encode_webp_lossless(pixels: np.ndarray) -> bytes:
     """8-bit gray (H,W), LA (H,W,2), RGB (H,W,3) or RGBA (H,W,4)
     array → lossless WebP (VP8L) bytes.  Same accepted shapes as
     ``encode_png``; raises ValueError beyond the 16384-pixel VP8L
-    dimension limit."""
+    dimension limit.
+
+    Shape contract with decode_webp: the VP8L header's alpha hint is
+    set only when some alpha byte != 255, and decode_webp returns
+    (H,W,4) only when that hint is set — so an LA/RGBA input whose
+    alpha plane is fully opaque round-trips to (H,W,3).  Callers
+    comparing round-trips must carry the had-alpha marker out-of-band
+    (pixel VALUES are always preserved; only the redundant opaque
+    plane is dropped)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         r = g = b = arr
@@ -365,6 +373,11 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int
             s1 = br.read(8)
             if s1 >= alphabet_size:
                 raise ImageDecodeError("simple-code symbol out of range")
+            if s1 == s0:
+                # a duplicate second symbol would leave one used length
+                # and silently degrade to a 0-bit single-symbol code —
+                # reject the stream as corrupt instead of misdecoding
+                raise ImageDecodeError("simple-code duplicate symbol")
             lengths[s1] = 1
         if num_symbols == 1:
             lengths = [0] * alphabet_size
