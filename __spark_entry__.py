@@ -3060,6 +3060,81 @@ def webp_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def webp_backref_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VP8L LZ77 backward references, both directions (extract/
+    webp.py): run-heavy deterministic fixtures → encode with
+    backrefs=True → decode back (exact pixel equality), the backref
+    stream must be strictly smaller than the literal-only stream, and
+    parse_webp_meta must recover the header dims both for our VP8L
+    bytes and for a crafted lossy-VP8 keyframe header (the
+    metadata-only path for wild files the reference would hand to PIL,
+    app/document_processor.py:99-176).  The oracle recomputes the
+    fixture dims and pins every boolean."""
+    import struct
+
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 100)
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels_exact", T.BooleanType()),
+        T.StructField("backref_smaller", T.BooleanType()),
+        T.StructField("meta_ok", T.BooleanType()),
+        T.StructField("vp8_status", T.StringType()),
+        T.StructField("vp8_width", T.IntegerType()),
+        T.StructField("vp8_height", T.IntegerType()),
+    ])
+
+    def check(batches):
+        import numpy as np
+
+        from docvault_ocr_service_spark.extract.webp import (
+            decode_webp, encode_webp_lossless, parse_webp_meta)
+        from docvault_ocr_service_spark.functions.multimodal import (
+            _decode_row)
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 20 + d % 30
+                h = 12 + (d * 7) % 20
+                # banded rows: dist-1 runs inside each row, dist-w
+                # row copies inside each 4-row band — both reference
+                # kinds fire on every fixture
+                band = (np.arange(h) // 4 * 13 + d) % 256
+                img = np.repeat(band[:, None], w, axis=1) \
+                    .astype("uint8")
+                img = np.dstack([img, (img + 7) % 256,
+                                 img[::-1]]).astype("uint8")
+                enc = encode_webp_lossless(img, backrefs=True)
+                lit = encode_webp_lossless(img)
+                back = decode_webp(enc)
+                meta = parse_webp_meta(enc)
+                meta_ok = (meta["variant"] == "vp8l"
+                           and meta["width"] == w
+                           and meta["height"] == h)
+                # wild lossy-VP8 keyframe header → metadata-only row
+                body = bytes(3) + b"\x9d\x01\x2a" \
+                    + struct.pack("<HH", w * 2, h * 2)
+                chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+                riff = b"WEBP" + chunk
+                vp8 = b"RIFF" + struct.pack("<I", len(riff)) + riff
+                row = _decode_row(str(d), "image", vp8)
+                rows.append((d, w, h, bool(np.array_equal(back, img)),
+                             len(enc) < len(lit), bool(meta_ok),
+                             row["decode_status"], row["width"],
+                             row["height"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields])
+
+    return docs.mapInPandas(check, schema=out_schema).orderBy("doc_id")
+
+
 def thumbnail_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail sink (S8), oracle-checked: deterministic gray PNGs of
     varying sizes are decoded, thumbnailed through the reference's exact
@@ -3288,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best_stats": dedup_keep_best_stats,
         "host_pagerank": host_pagerank,
         # -- block 1c: NEW in round 6 ------------------------------------
+        "webp_backref_stats": webp_backref_stats,
         # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
@@ -3317,9 +3393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": embedding_near_dups,
         "corpus_extract_stats": corpus_extract_stats,
         "png_pixel_stats": png_pixel_stats,
-        "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
         # ---- end of gate prefix (50) -----------------------------------
         # -- block 2: r4/r5-driver-green, unchanged ----------------------
+        "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
         "jpeg_progressive_stats": jpeg_progressive_stats,
         "tiff_compressed_stats": tiff_compressed_stats,
         "tiff_g4_stats": tiff_g4_stats,

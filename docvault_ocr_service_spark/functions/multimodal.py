@@ -176,15 +176,27 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
                              stats["sharpness"]],
             })
         elif fmt == "webp":
-            from ..extract.webp import decode_webp
+            from ..extract.webp import decode_webp, parse_webp_meta
 
-            stats = _image_stats(decode_webp(payload))
-            row.update(stats | {
-                "n_frames": 1,
-                "decode_status": "ok",
-                "features": [stats["brightness"], stats["contrast"],
-                             stats["sharpness"]],
-            })
+            try:
+                stats = _image_stats(decode_webp(payload))
+                row.update(stats | {
+                    "n_frames": 1,
+                    "decode_status": "ok",
+                    "features": [stats["brightness"], stats["contrast"],
+                                 stats["sharpness"]],
+                })
+            except UnsupportedImageError:
+                # outside the VP8L pixel-decode envelope (lossy VP8,
+                # extended VP8X, transforms) — real header dims as a
+                # metadata-only row, the compressed-TIFF/audio precedent
+                meta = parse_webp_meta(payload)
+                row.update({
+                    "width": meta["width"], "height": meta["height"],
+                    "n_frames": 1,
+                    "decode_status":
+                        f"metadata_only:webp_{meta['variant']}",
+                })
         else:  # unreachable: all sniffed formats handled above
             row["decode_status"] = f"no_codec:{fmt}"
     except UnsupportedImageError as e:

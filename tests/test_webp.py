@@ -78,7 +78,7 @@ def test_sniff_and_container_taxonomy():
         decode_webp(data[:20])
 
 
-def test_transform_and_backref_unsupported():
+def test_transform_unsupported():
     img = np.full((2, 2, 3), 1, np.uint8)
     good = encode_webp_lossless(img)
     # flip the no-transform bit (first bit after the 37-bit header
@@ -91,6 +91,219 @@ def test_transform_and_backref_unsupported():
         # transform bit now set: next bits parse as a transform type —
         # either honest Unsupported or a decode error, never garbage
         decode_webp(bytes(broken))
+
+
+def test_distance_map_matches_spec_table():
+    """The generated 120-entry neighbor map must reproduce the table
+    listed in RFC 9649 §3.7.2.3 — pinned at both ends and across the
+    distance-tie boundaries where the ordering rule could slip."""
+    from docvault_ocr_service_spark.extract.webp import _DIST_MAP
+
+    assert len(_DIST_MAP) == 120
+    assert _DIST_MAP[:12] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+        (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2)]
+    assert _DIST_MAP[34:40] == [
+        (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0)]
+    assert _DIST_MAP[96:104] == [
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2),
+        (6, 6)]
+    assert _DIST_MAP[112:] == [
+        (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6),
+        (8, 7)]
+
+
+def test_backref_roundtrip():
+    """The backref encoder emits real dist-1/dist-width references;
+    the decoder must reproduce the literal-path pixels exactly."""
+    rng = np.random.default_rng(20260818)
+    img = np.zeros((40, 37, 3), np.uint8)
+    img[:, :10] = 200                       # horizontal runs
+    img[5] = img[4]                         # row copy
+    img[20:30] = rng.integers(0, 256, (10, 37, 3))
+    img[31] = img[30]
+    data = encode_webp_lossless(img, backrefs=True)
+    assert np.array_equal(decode_webp(data), img)
+    # refs must actually fire: the token stream compresses
+    assert len(data) < len(encode_webp_lossless(img))
+
+    for _ in range(20):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        c = int(rng.choice([0, 2, 3, 4]))
+        shape = (h, w) if c == 0 else (h, w, c)
+        im = rng.integers(0, int(rng.choice([2, 5, 256])),
+                          shape).astype(np.uint8)
+        if h > 2:
+            im[1] = im[0]
+        got = decode_webp(encode_webp_lossless(im, backrefs=True))
+        exp = decode_webp(encode_webp_lossless(im))
+        assert np.array_equal(got, exp), shape
+
+
+def test_backref_long_run_crosses_length_codes():
+    """Runs longer than 4096 px split into max-length refs; extra-bit
+    length codes (length ≥ 5) decode correctly."""
+    img = np.full((3, 2000, 3), 9, np.uint8)      # 6000-px run
+    data = encode_webp_lossless(img, backrefs=True)
+    assert np.array_equal(decode_webp(data), img)
+
+
+def _normal_green_code(bw, lengths_by_symbol, alphabet):
+    """Emit a normal (code-length-coded) prefix code whose used
+    lengths are all ≤2 — enough for the hand-built streams below."""
+    lengths = [0] * alphabet
+    for s, ln in lengths_by_symbol.items():
+        lengths[s] = ln
+    used = sorted(set(lengths))
+    cl_lengths = {ln: 1 for ln in used} if len(used) == 2 else None
+    assert cl_lengths is not None, "helper supports 2 used cl lengths"
+    order = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8,
+             9, 10, 11, 12, 13, 14, 15, 16]
+    bw.write(0, 1)                       # normal code
+    num_cl = max(order.index(ln) for ln in used) + 1
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_lengths.get(order[i], 0), 3)
+    bw.write(0, 1)                       # no max_symbol shortcut
+    # cl canonical over two 1-bit symbols: smaller symbol → code 0
+    lo = min(used)
+    for ln in lengths:
+        bw.write(0 if ln == lo else 1, 1)
+
+
+def test_backref_pixels_enter_color_cache():
+    """Spec: every produced pixel — including backref copies — is
+    inserted into the color cache.  Distinguishing stream: literal A,
+    literal B (same cache index, evicts A), a dist-2 backref copying
+    A (must re-insert A), then a cache hit → must yield A, not B."""
+    # (r=1,g=0,b=3,a=255) and (r=1,g=1,b=3,a=255) collide at
+    # cache_bits=1 (both index 0)
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(1, 14)          # w=2
+    bw.write(1, 14)          # h=2
+    bw.write(0, 1)           # alpha unused
+    bw.write(0, 3)           # version
+    bw.write(0, 1)           # no transform
+    bw.write(1, 1)           # color cache present
+    bw.write(1, 4)           # cache_bits = 1
+    bw.write(0, 1)           # no meta codes
+    alphabet = 256 + 24 + 2
+    # green: {0:lit A, 1:lit B, 256:len-1 ref, 280:cache idx 0}, 2 bits
+    _normal_green_code(bw, {0: 2, 1: 2, 256: 2, 280: 2}, alphabet)
+    # r/b/a single-symbol simple codes (1 / 3 / 255)
+    for sym in (1, 3, 255):
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(sym, 8)
+    # distance tree: single symbol 0 → dist_code 1 → plane (0,1) →
+    # dist = width = 2
+    bw.write(1, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    # canonical 2-bit codes: 0→00, 1→01, 256→10, 280→11
+    bw.write_code(0b00, 2)   # literal A (g=0)
+    bw.write_code(0b01, 2)   # literal B (g=1)
+    bw.write_code(0b10, 2)   # backref: length code 0 → len 1, dist 2
+    bw.write_code(0b11, 2)   # cache hit at index 0
+    payload = bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    img = decode_webp(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [1, 0, 3]     # A
+    assert img[0, 1].tolist() == [1, 1, 3]     # B
+    assert img[1, 0].tolist() == [1, 0, 3]     # copied A
+    assert img[1, 1].tolist() == [1, 0, 3], \
+        "cache hit must see the re-inserted copied pixel, not stale B"
+
+
+def test_backref_out_of_range_rejected():
+    """A backref reaching before the first pixel is corrupt, not UB."""
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(1, 14)          # w=2
+    bw.write(0, 14)          # h=1
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)           # no transform
+    bw.write(0, 1)           # no cache
+    bw.write(0, 1)           # no meta
+    # green: single symbol 256 (needs a normal code: >255)
+    _normal_green_code(bw, {256: 1}, 256 + 24)
+    for sym in (0, 0, 0):    # r/b/a single-symbol codes
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(sym, 1)
+    bw.write(1, 1)           # dist: single symbol 0
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    # pixel stream: green single → immediate backref at i=0, dist 2
+    payload = bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    with pytest.raises(ImageDecodeError, match="out of range"):
+        decode_webp(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+
+def test_parse_webp_meta_variants():
+    """Dims without pixel decode for all three container variants —
+    the metadata-only path for wild lossy/extended files."""
+    from docvault_ocr_service_spark.extract.webp import parse_webp_meta
+
+    img = np.full((7, 5, 3), 4, np.uint8)
+    m = parse_webp_meta(encode_webp_lossless(img))
+    assert m == {"variant": "vp8l", "width": 5, "height": 7}
+
+    # crafted lossy VP8 keyframe header (RFC 6386 §9.1): 640×480 with
+    # a horizontal-rescale hint in the upper width bits
+    body = bytes(3) + b"\x9d\x01\x2a" \
+        + struct.pack("<HH", 640 | (1 << 14), 480)
+    chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    riff = b"WEBP" + chunk
+    m = parse_webp_meta(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    assert m == {"variant": "vp8", "width": 640, "height": 480}
+
+    # VP8X extended: 24-bit canvas dims minus one
+    body = bytes(4) + bytes([0x3F, 0x01, 0x00]) + bytes([0xDF, 0, 0])
+    chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    riff = b"WEBP" + chunk
+    m = parse_webp_meta(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    assert m == {"variant": "vp8x", "width": 320, "height": 224}
+
+    with pytest.raises(ImageDecodeError):
+        parse_webp_meta(b"RIFF\x04\x00\x00\x00WEBP")
+    # interframe-first VP8 stream is malformed, not metadata
+    body = bytes([1, 0, 0]) + b"\x9d\x01\x2a" + struct.pack("<HH", 1, 1)
+    chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    riff = b"WEBP" + chunk
+    with pytest.raises(ImageDecodeError, match="interframe"):
+        parse_webp_meta(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+
+def test_decode_row_lossy_webp_metadata_only():
+    """The media pipeline lands wild lossy-VP8 files as honest
+    metadata_only rows with real header dims (the audio precedent)."""
+    from docvault_ocr_service_spark.functions.multimodal import \
+        _decode_row
+
+    body = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 64, 48)
+    chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    riff = b"WEBP" + chunk
+    payload = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    row = _decode_row("m1", "image", payload)
+    assert row["decode_status"] == "metadata_only:webp_vp8"
+    assert (row["width"], row["height"]) == (64, 48)
+    assert row["format"] == "webp"
 
 
 def test_decoder_reads_color_cache_stream():
