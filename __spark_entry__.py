@@ -509,21 +509,25 @@ def url_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     site = F.concat(F.lit("site"), (d % 7).cast("string"))
-    suffix = (F.when(d % 9 == 0, F.lit("com"))
-              .when(d % 9 == 1, F.lit("co.uk"))
-              .when(d % 9 == 2, F.lit("github.io"))
-              .when(d % 9 == 3, F.lit("org"))
-              .when(d % 9 == 4, F.lit("com.au"))
-              .when(d % 9 == 5, F.lit("de"))
-              .when(d % 9 == 6, F.lit("ck"))
+    suffix = (F.when(d % 12 == 0, F.lit("com"))
+              .when(d % 12 == 1, F.lit("co.uk"))
+              .when(d % 12 == 2, F.lit("github.io"))
+              .when(d % 12 == 3, F.lit("org"))
+              .when(d % 12 == 4, F.lit("com.au"))
+              .when(d % 12 == 5, F.lit("de"))
+              .when(d % 12 == 6, F.lit("ck"))
+              # r6: rules only the packaged full-list snapshot carries
+              .when(d % 12 == 9, F.lit("hokkaido.jp"))
+              .when(d % 12 == 10, F.lit("k12.ca.us"))
+              .when(d % 12 == 11, F.lit("sch.uk"))
               .otherwise(F.lit("kawasaki.jp")))
-    name = (F.when((d % 9 == 7) & (d % 2 == 0), F.lit("city"))
-            .when(d % 9 == 8, F.lit("www"))
+    name = (F.when((d % 12 == 7) & (d % 2 == 0), F.lit("city"))
+            .when(d % 12 == 8, F.lit("www"))
             .otherwise(site))
     prefix = (F.when(d % 3 == 0, F.lit(""))
               .when(d % 3 == 1, F.lit("www."))
               .otherwise(F.lit("a.b.")))
-    tld = F.when(d % 9 == 8, F.lit("ck")).otherwise(suffix)
+    tld = F.when(d % 12 == 8, F.lit("ck")).otherwise(suffix)
     host = (F.when(d % 11 == 0,
                    F.concat(F.lit("192.168.0."), (d % 5).cast("string")))
             .when(d % 13 == 0, F.lit("localhost"))
@@ -3362,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": dup_components,
         "dedup_keep_best_stats": dedup_keep_best_stats,
         "host_pagerank": host_pagerank,
+        "url_registrable_domains": url_registrable_domains,
         # -- block 1c: NEW in round 6 ------------------------------------
         "webp_backref_stats": webp_backref_stats,
         # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
@@ -3392,9 +3397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": embedding_centroids,
         "embedding_near_dups": embedding_near_dups,
         "corpus_extract_stats": corpus_extract_stats,
-        "png_pixel_stats": png_pixel_stats,
         # ---- end of gate prefix (50) -----------------------------------
         # -- block 2: r4/r5-driver-green, unchanged ----------------------
+        "png_pixel_stats": png_pixel_stats,
         "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
         "jpeg_progressive_stats": jpeg_progressive_stats,
         "tiff_compressed_stats": tiff_compressed_stats,
@@ -3440,7 +3445,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_funnel_stats": pipeline_funnel_stats,
         "webp_thumbnail_stats": webp_thumbnail_stats,
         "tiff_jpeg6_stats": tiff_jpeg6_stats,
-        "url_registrable_domains": url_registrable_domains,
         "sitemap_lastmod_extraction": sitemap_lastmod_extraction,
         "bpe_roundtrip_stats": bpe_roundtrip_stats,
         "semdedup_stats": semdedup_stats,

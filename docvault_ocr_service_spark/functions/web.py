@@ -8,6 +8,8 @@ page.  Everything here is native ``pyspark.sql.functions`` composition
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -48,91 +50,54 @@ def url_path(url: Column) -> Column:
     return F.parse_url(url, F.lit("PATH"))
 
 
-# Public-suffix snapshot with full PSL rule semantics (normal rules,
-# ``*.`` wildcard rules, ``!`` exception rules, longest match wins —
-# publicsuffix.org/list/).  A curated snapshot, not the full 15k-line
-# list: unknown multi-label suffixes degrade to the naive
-# last-two-labels rule, the right conservative default for grouping
-# politeness/stats by site owner.  To upgrade to the complete PSL, swap
-# these tuples for the parsed list — the keying logic below already
-# implements the algorithm; the rule tables are data.
-_MULTI_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
-    "plc.uk", "sch.uk", "com.au", "net.au", "org.au", "edu.au",
-    "gov.au", "id.au", "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
-    "ad.jp", "ed.jp", "gr.jp", "lg.jp", "com.br", "org.br", "net.br",
-    "gov.br", "edu.br", "com.cn", "org.cn", "net.cn", "gov.cn",
-    "edu.cn", "ac.cn", "com.mx", "org.mx", "gob.mx", "edu.mx",
-    "co.in", "org.in", "net.in", "ac.in", "gov.in", "edu.in", "co.nz",
-    "org.nz", "net.nz", "govt.nz", "ac.nz", "co.kr", "or.kr", "ne.kr",
-    "go.kr", "ac.kr", "re.kr", "com.tw", "org.tw", "edu.tw", "gov.tw",
-    "com.hk", "org.hk", "edu.hk", "gov.hk", "com.sg", "org.sg",
-    "edu.sg", "gov.sg", "com.my", "org.my", "edu.my", "gov.my",
-    "co.th", "or.th", "ac.th", "go.th", "com.vn", "org.vn", "edu.vn",
-    "gov.vn", "com.ua", "org.ua", "net.ua", "gov.ua", "edu.ua",
-    "co.za", "org.za", "ac.za", "gov.za", "web.za", "com.ar",
-    "org.ar", "net.ar", "edu.ar", "gob.ar", "com.tr", "org.tr",
-    "net.tr", "edu.tr", "gov.tr", "com.co", "org.co", "edu.co",
-    "gov.co", "com.pl", "org.pl", "net.pl", "edu.pl", "gov.pl",
-    "waw.pl", "com.ru", "org.ru", "net.ru", "com.eg", "org.eg",
-    "com.sa", "org.sa", "edu.sa", "com.pk", "org.pk", "edu.pk",
-    "com.bd", "org.bd", "com.ng", "org.ng", "gov.ng", "co.id",
-    "or.id", "ac.id", "go.id", "web.id", "com.ph", "org.ph",
-    "gov.ph", "edu.ph", "co.il", "org.il", "ac.il", "gov.il",
-    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
-    "appspot.com", "herokuapp.com", "cloudfront.net", "web.app",
-    "pages.dev", "netlify.app", "vercel.app", "azurewebsites.net",
-    "firebaseapp.com", "readthedocs.io", "fly.dev",
-    "co.ke", "or.ke", "go.ke", "ac.ke", "co.tz", "go.tz", "ac.tz",
-    "co.ug", "or.ug", "go.ug", "ac.ug", "com.gh", "org.gh", "gov.gh",
-    "co.zw", "org.zw", "com.do", "org.do", "com.uy", "org.uy",
-    "edu.uy", "gub.uy", "com.pe", "org.pe", "edu.pe", "gob.pe",
-    "com.ec", "org.ec", "gob.ec", "com.ve", "org.ve", "gob.ve",
-    "com.bo", "org.bo", "gob.bo", "com.py", "org.py", "com.gt",
-    "org.gt", "com.sv", "com.ni", "com.hn", "com.pa", "co.cr",
-    "ac.cr", "com.kz", "org.kz", "com.lk", "org.lk", "edu.lk",
-    "gov.lk", "com.kh", "org.kh", "com.mo", "org.mo", "co.mz",
-    "org.mz", "ac.mz", "gov.mz", "co.ma", "org.ma", "net.ma",
-    "ac.ma", "gov.ma", "com.tn", "org.tn", "com.jo", "org.jo",
-    "edu.jo", "gov.jo", "com.lb", "org.lb", "edu.lb", "gov.lb",
-    "com.sy", "org.sy", "com.iq", "org.iq", "edu.iq", "gov.iq",
-    "co.ir", "org.ir", "ac.ir", "gov.ir", "com.af", "org.af",
-    "com.qa", "org.qa", "edu.qa", "gov.qa", "com.om", "org.om",
-    "com.ye", "ac.ae", "co.ae", "gov.ae", "net.ae", "org.ae",
-    "sch.ae", "com.bh", "org.bh", "co.at", "or.at", "ac.at", "gv.at",
-    "co.hu", "org.hu", "info.hu", "com.gr", "org.gr", "edu.gr",
-    "net.gr", "com.ro", "org.ro", "com.pt", "edu.pt", "gov.pt",
-    "org.pt", "net.pt", "com.es", "org.es", "nom.es", "edu.es",
-    "gob.es", "com.mt", "org.mt", "edu.mt", "gov.mt", "com.cy",
-    "org.cy", "co.gg", "org.gg", "net.gg", "co.je", "co.im",
-    "org.im", "co.rs", "org.rs", "edu.rs", "ac.rs", "gov.rs",
-    "in.rs", "com.mk", "org.mk", "com.al", "org.al", "edu.al",
-    "gov.al", "net.al", "com.ba", "org.ba", "co.me", "net.me",
-    "org.me", "edu.me", "ac.me", "gov.me", "com.ge", "org.ge",
-    "edu.ge", "gov.ge", "net.ge",
-)
+# Public-suffix rules with full PSL semantics (normal rules, ``*.``
+# wildcard rules, ``!`` exception rules, longest match wins —
+# publicsuffix.org/list/).  The rules live in a packaged DATA file
+# (data/public_suffix_list.dat, the PSL's own format) so a verbatim
+# upstream list is a drop-in swap; the snapshot shipped here carries
+# ~1.3k multi-label rules (all major ccTLD second-level families, US
+# state/k12 zones, JP prefectures, wildcard + exception zones, and the
+# big multi-tenant hosting platforms).  Unlisted suffixes degrade to
+# the PSL's implicit default rule — registrable = last two labels.
 
-# 3-label normal rules (registrable = 4 labels)
-_MULTI_SUFFIXES_3 = (
-    "s3.amazonaws.com",
-)
+def _load_psl() -> tuple[dict[int, tuple[str, ...]],
+                         dict[int, tuple[str, ...]],
+                         dict[int, tuple[str, ...]]]:
+    """Parse the packaged PSL file → ({suffix_len: normal_rules},
+    {base_len: wildcard_bases}, {len: exception_rules}), each sorted
+    for plan-text determinism.  Pure data, parsed once at import."""
+    try:
+        # works from a filesystem checkout AND from a --py-files zip
+        from importlib.resources import files
 
-# wildcard rules "*.X" with a 1-label X: EVERY 2-label suffix under X
-# is a public suffix (registrable = 3 labels)
-_WILDCARD_TLDS = ("ck", "jm", "bd", "kw", "mm", "np", "er", "fk")
+        text = files("docvault_ocr_service_spark").joinpath(
+            "data/public_suffix_list.dat").read_text(encoding="utf-8")
+    except Exception:  # noqa: BLE001 — e.g. loader without reader
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data",
+            "public_suffix_list.dat")
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+    normal: dict[int, set] = {}
+    wildcard: dict[int, set] = {}
+    exception: dict[int, set] = {}
+    for line in text.splitlines():
+        rule = line.strip().lower()
+        if not rule or rule.startswith("//"):
+            continue
+        if rule.startswith("!"):
+            r = rule[1:]
+            exception.setdefault(r.count(".") + 1, set()).add(r)
+        elif rule.startswith("*."):
+            b = rule[2:]
+            wildcard.setdefault(b.count(".") + 1, set()).add(b)
+        elif "." in rule:               # 1-label rules are the default
+            normal.setdefault(rule.count(".") + 1, set()).add(rule)
+    tup = lambda d: {k: tuple(sorted(v)) for k, v in d.items()}  # noqa: E731
+    return tup(normal), tup(wildcard), tup(exception)
 
-# wildcard rules "*.X" with a 2-label X (the Japanese city zones):
-# every 3-label suffix under X is public (registrable = 4 labels)
-_WILDCARD_2LABEL = (
-    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
-    "sapporo.jp", "sendai.jp", "yokohama.jp",
-)
 
-# exception rules "!X": X itself IS a registrable domain despite a
-# covering wildcard
-_PSL_EXCEPTIONS_2 = ("www.ck",)
-_PSL_EXCEPTIONS_3 = tuple(
-    f"city.{c}" for c in _WILDCARD_2LABEL)
+_PSL_NORMAL, _PSL_WILDCARD, _PSL_EXCEPTION = _load_psl()
 
 
 def registrable_domain(host: Column) -> Column:
@@ -141,17 +106,20 @@ def registrable_domain(host: Column) -> Column:
     dedup should group by ('a.co.uk' and 'b.a.co.uk' are the same
     site; 'a.co.uk' and 'b.co.uk' are not).
 
-    Columnar implementation of the PSL algorithm over the snapshot rule
-    tables above, longest match first: exception rules (``!www.ck`` →
-    the exception itself is registrable), 2-label wildcards
-    (``*.kawasaki.jp`` → last four labels), 3-label normal rules,
-    1-label wildcards (``*.ck`` → last three), 2-label normal rules,
-    then the default last-two rule.  The rule sets compile into the
-    plan as literal ``isin`` tables — zero shuffles, zero Python.
+    Columnar implementation of the PSL algorithm over the packaged
+    rule file, depth-general and longest-match-first: exception rules
+    (``!www.ck`` → the exception itself is registrable) beat covering
+    wildcards; then, for each public-suffix length s descending, a
+    host whose last s labels form a listed suffix — a normal rule
+    with s labels OR a wildcard base with s−1 labels — registers at
+    s+1 labels; then the default last-two rule.  The rule sets
+    compile into the plan as ``isin`` tables (Catalyst converts them
+    to hash-set ``InSet`` above the 10-element threshold, so the
+    ~1.3k-rule lookup is O(1) per row) — zero shuffles, zero Python.
     Hosts with a single label (or raw IPs — dots but all-numeric
-    labels) pass through unchanged; a host that IS a public suffix has
-    no registrable domain per the PSL and passes through unchanged
-    (grouping-stable).
+    labels) pass through unchanged; a host that IS a public suffix
+    has no registrable domain per the PSL and passes through
+    unchanged (grouping-stable).
     """
     parts = F.split(F.lower(host), r"\.")
     n = F.size(parts)
@@ -160,28 +128,33 @@ def registrable_domain(host: Column) -> Column:
         return F.concat_ws(
             ".", *[F.element_at(parts, -i) for i in range(k, 0, -1)])
 
-    last2, last3, last4 = last_k(2), last_k(3), last_k(4)
+    suffix_lens = sorted(
+        {k for k in _PSL_NORMAL}
+        | {k + 1 for k in _PSL_WILDCARD}, reverse=True)
+    max_k = max([suffix_lens[0] + 1]
+                + [k for k in _PSL_EXCEPTION]) if suffix_lens else 2
+    last = {k: last_k(k) for k in range(1, max_k + 1)}
+
     is_ip = ~F.lower(host).rlike("[^0-9.]")
-    return (
-        F.when(host.isNull() | (n <= 1) | is_ip, F.lower(host))
-        # exception rules beat the wildcards that would cover them
-        .when(last2.isin(*_PSL_EXCEPTIONS_2)
-              | ((n >= 3) & last3.isin(*_PSL_EXCEPTIONS_3)),
-              F.when(last2.isin(*_PSL_EXCEPTIONS_2), last2)
-              .otherwise(last3))
-        # *.kawasaki.jp: x.kawasaki.jp is a public suffix
-        .when((n >= 4) & last2.isin(*_WILDCARD_2LABEL), last4)
-        # host IS the public suffix -> no registrable domain; pass
-        # through unchanged (grouping-stable)
-        .when((n == 3) & last2.isin(*_WILDCARD_2LABEL), last3)
-        .when((n >= 4) & last3.isin(*_MULTI_SUFFIXES_3), last4)
-        .when((n == 3) & last3.isin(*_MULTI_SUFFIXES_3), last3)
-        # *.ck: x.ck is a public suffix
-        .when((n >= 3) & F.element_at(parts, -1).isin(*_WILDCARD_TLDS),
-              last3)
-        .when((n >= 3) & last2.isin(*_MULTI_SUFFIXES), last3)
-        .otherwise(last2)
-    )
+    expr = F.when(host.isNull() | (n <= 1) | is_ip, F.lower(host))
+    # exception rules beat the wildcards that would cover them
+    for k in sorted(_PSL_EXCEPTION, reverse=True):
+        expr = expr.when(
+            (n >= k) & last[k].isin(*_PSL_EXCEPTION[k]), last[k])
+    for s in suffix_lens:
+        conds = []
+        if s in _PSL_NORMAL:
+            conds.append((n >= s) & last[s].isin(*_PSL_NORMAL[s]))
+        if s - 1 in _PSL_WILDCARD:
+            # *.base: every label under base is itself a public suffix
+            conds.append(
+                (n >= s) & last[s - 1].isin(*_PSL_WILDCARD[s - 1]))
+        cond = conds[0] if len(conds) == 1 else conds[0] | conds[1]
+        # registrable = suffix + one label; a host that IS the suffix
+        # passes through unchanged (grouping-stable)
+        expr = expr.when(cond & (n >= s + 1), last[s + 1])
+        expr = expr.when(cond, last[s])
+    return expr.otherwise(last[2])
 
 
 def url_query(url: Column) -> Column:

@@ -214,6 +214,21 @@ def test_registrable_domain(spark):
         # host IS the 3-label public suffix: pass through unchanged,
         # never grouped under the unrelated amazonaws.com
         ("s3.amazonaws.com", "s3.amazonaws.com"),
+        # rules the pre-r6 curated snapshot missed (now loaded from
+        # the packaged data file): JP prefectures, US state/k12
+        # zones, *.sch.uk wildcard, police.uk
+        ("www.example.hokkaido.jp", "example.hokkaido.jp"),
+        ("example.hokkaido.jp", "example.hokkaido.jp"),
+        ("www.school.k12.ca.us", "school.k12.ca.us"),
+        ("school.k12.ca.us", "school.k12.ca.us"),
+        ("agency.state.tx.us", "state.tx.us"),
+        # *.sch.uk: myschool.sch.uk is itself a public suffix
+        ("www.myschool.sch.uk", "www.myschool.sch.uk"),
+        ("myschool.sch.uk", "myschool.sch.uk"),
+        ("force.police.uk", "force.police.uk"),
+        ("example.waw.pl", "example.waw.pl"),
+        ("sub.example.waw.pl", "example.waw.pl"),
+        ("x.y.user.blogspot.com", "user.blogspot.com"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], ["host"])
     got = [r["d"] for r in

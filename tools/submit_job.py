@@ -35,7 +35,7 @@ def make_zip(out_path: str) -> str:
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for dirpath, _dirs, files in os.walk(pkg):
             for name in sorted(files):
-                if not name.endswith(".py"):
+                if not name.endswith((".py", ".dat")):
                     continue
                 full = os.path.join(dirpath, name)
                 zf.write(full, os.path.relpath(full, root))
