@@ -3064,6 +3064,79 @@ def webp_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def cdx_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDX-planned COMPOSITION oracle (round-6 wiring of
+    sources/cdx.py into plans/pipeline.py): an indexed WARC fixture —
+    30 seeded corpus rows, plus a superseded older capture of row 0
+    (different digest; latest-wins must drop it), plus a same-digest
+    recrawl of row 1 (the urlkey collapse keeps one) — runs through
+    run_crawl_pipeline(cdx_dir=...) with digests of rows 2 and 3
+    pre-seeded in the seen-store, so exactly those two captures are
+    skipped without touching the archive.  DuckDB carries the frozen
+    VALUES twin (numbers are functions of the seeded corpus only —
+    sf-independent; same freeze discipline as pipeline_funnel_stats)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from datetime import datetime, timezone
+
+    from docvault_ocr_service_spark import corpus
+    from docvault_ocr_service_spark.plans.pipeline import (
+        run_crawl_pipeline)
+    from docvault_ocr_service_spark.sources.warc import (
+        encode_warc_indexed)
+
+    ts = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    ts_old = datetime(2023, 11, 1, tzinfo=timezone.utc)
+    recs, payloads = [], []
+    for i in range(30):
+        r = corpus.generate_row(i)
+        payloads.append(r["html"] or (r["text"] or "").encode())
+        recs.append({"url": r["url"], "warc_ts": ts,
+                     "html": payloads[i]})
+    # superseded older capture of row 0 (stale content, own digest)
+    recs.append({"url": recs[0]["url"], "warc_ts": ts_old,
+                 "html": b"<html><body><p>stale older capture"
+                         b"</p></body></html>"})
+    # unchanged recrawl of row 1: same payload at the same ts would be
+    # one capture; keep the same digest at ts (collapse keeps one row)
+    recs.append({"url": recs[1]["url"], "warc_ts": ts,
+                 "html": payloads[1]})
+
+    tmp = tempfile.mkdtemp(prefix="cdx_pipeline_oracle_")
+    try:
+        warc_dir = os.path.join(tmp, "warc")
+        cdx_dir = os.path.join(tmp, "cdx")
+        os.makedirs(warc_dir)
+        os.makedirs(cdx_dir)
+        blob, lines = encode_warc_indexed(recs, "crawl0.warc.gz")
+        with open(os.path.join(warc_dir, "crawl0.warc.gz"), "wb") as f:
+            f.write(blob)
+        with open(os.path.join(cdx_dir, "crawl0.cdx"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        seen_dir = os.path.join(tmp, "seen")
+        spark.createDataFrame(
+            [("sha1:" + hashlib.sha1(payloads[i]).hexdigest(),)
+             for i in (2, 3)], "digest string") \
+            .write.parquet(seen_dir)
+        rep = run_crawl_pipeline(
+            spark, warc_dir, os.path.join(tmp, "state"),
+            os.path.join(tmp, "out"), cdx_dir=cdx_dir,
+            seen_digests_dir=seen_dir, window=512)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    row = (rep.cdx_planned, rep.cdx_skipped, rep.pages_in,
+           rep.extracted_done, rep.curated, rep.total_tokens,
+           rep.n_windows)
+    return spark.createDataFrame(
+        [tuple(int(x) for x in row)],
+        "cdx_planned long, cdx_skipped long, pages_in long, "
+        "extracted_done long, curated long, total_tokens long, "
+        "n_windows long")
+
+
 def webp_backref_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VP8L LZ77 backward references, both directions (extract/
     webp.py): run-heavy deterministic fixtures → encode with
@@ -3369,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_registrable_domains": url_registrable_domains,
         # -- block 1c: NEW in round 6 ------------------------------------
         "webp_backref_stats": webp_backref_stats,
+        "cdx_pipeline_stats": cdx_pipeline_stats,
         # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
@@ -3396,9 +3470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_recall": embedding_near_dup_recall,
         "embedding_centroids": embedding_centroids,
         "embedding_near_dups": embedding_near_dups,
-        "corpus_extract_stats": corpus_extract_stats,
         # ---- end of gate prefix (50) -----------------------------------
         # -- block 2: r4/r5-driver-green, unchanged ----------------------
+        "corpus_extract_stats": corpus_extract_stats,
         "png_pixel_stats": png_pixel_stats,
         "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
         "jpeg_progressive_stats": jpeg_progressive_stats,

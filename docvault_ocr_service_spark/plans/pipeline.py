@@ -1,7 +1,8 @@
 """The full crawl-to-training-data pipeline — every stage of the engine
 composed end-to-end, the way a 100 TB pretraining build runs:
 
-    WARC archives
+    WARC archives  (or CDX-planned slices: index → latest captures →
+                    digest anti-join → seek-reads, sources/cdx.py)
       → robots politeness filter          (functions/web.py)
       → resumable extraction + media      (plans/extract_job.py)
       → quality/lang/dedup curation       (plans/curate.py)
@@ -33,6 +34,19 @@ class PipelineReport:
     decontaminated: int
     total_tokens: int
     n_windows: int
+    # CDX-planned runs only: captures fetched vs skipped as unchanged
+    cdx_planned: int = 0
+    cdx_skipped: int = 0
+
+
+def _has_parquet(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` holds a readable parquet dataset (fs-agnostic
+    probe — works for local, HDFS and object-store URIs alike)."""
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:  # noqa: BLE001 — missing path/any fs error = no
+        return False
 
 
 def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
@@ -46,7 +60,11 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
                        fix_encoding: bool = False,
                        host_boilerplate: bool = False,
                        fuzzy_decontaminate: bool = False,
-                       wet_export: bool = False) -> PipelineReport:
+                       wet_export: bool = False,
+                       cdx_dir: str | None = None,
+                       seen_digests_dir: str | None = None,
+                       warc_base_dir: str | None = None
+                       ) -> PipelineReport:
     """One end-to-end run.  Resumable: extraction state lives in
     ``state_dir`` (MERGE checkpoint), so re-running after a crash only
     processes unclaimed pages.
@@ -58,7 +76,17 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
     ``fuzzy_decontaminate`` adds the MinHash near-dup screen on top of
     the exact n-gram one (needs ``benchmark_df``); ``wet_export``
     additionally writes the curated corpus as Common Crawl WET shards
-    under ``out_dir/wet``."""
+    under ``out_dir/wet``.
+
+    Round-6 opt-in: ``cdx_dir`` switches the input stage to
+    CDX-planned reads — the index under ``cdx_dir`` is parsed, the
+    latest eligible capture per urlkey is planned MINUS captures whose
+    digest is already in ``seen_digests_dir`` (the don't-refetch-
+    unchanged loop), only the planned (filename, offset, length)
+    slices of the archives under ``warc_base_dir`` (default:
+    ``warc_dir``) are read, and after a successful run the fetched
+    digests are appended to ``seen_digests_dir`` — so the next run
+    over a fresh crawl's index fetches only genuinely new content."""
     from ..functions.textstats import token_count
     from ..functions.web import filter_by_robots
     from ..operators.checkpoint import ParquetCheckpointStore
@@ -68,9 +96,32 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
     from ..plans.extract_job import run_extract_job
     from ..sources.warc import read_warc
 
-    # one WARC parse: annotate with keep_denied and persist, so the two
-    # report counters and the extraction input share a single pass
-    pages = read_warc(spark, warc_dir)
+    cdx_planned = cdx_skipped = 0
+    fetched_digests = None
+    if cdx_dir is not None:
+        from ..sources.cdx import (
+            eligible_captures, latest_captures, read_cdxj)
+        from ..sources.warc import read_warc_records
+
+        latest = latest_captures(
+            eligible_captures(read_cdxj(spark, cdx_dir))).persist()
+        if seen_digests_dir is not None \
+                and _has_parquet(spark, seen_digests_dir):
+            seen = spark.read.parquet(seen_digests_dir)
+        else:
+            seen = spark.createDataFrame([], "digest string")
+        plan = latest.join(seen.select("digest").distinct(),
+                           "digest", "left_anti").persist()
+        cdx_planned = plan.count()
+        cdx_skipped = latest.count() - cdx_planned
+        fetched = read_warc_records(
+            spark, plan, base_dir=warc_base_dir or warc_dir)
+        pages = fetched.drop("digest")
+        fetched_digests = plan.select("url", "digest")
+    else:
+        # one WARC parse: annotate with keep_denied and persist, so the
+        # two report counters and the extraction input share one pass
+        pages = read_warc(spark, warc_dir)
     if robots_df is not None:
         annotated = filter_by_robots(pages, robots_df,
                                      keep_denied=True).persist()
@@ -93,9 +144,18 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
                               robots_blocked=pages_in - polite_n,
                               extracted_done=0, curated=0,
                               decontaminated=0, total_tokens=0,
-                              n_windows=0)
+                              n_windows=0, cdx_planned=cdx_planned,
+                              cdx_skipped=cdx_skipped)
     done = results.where(F.col("status") == "done")
     extracted_done_n = done.count()
+
+    if fetched_digests is not None and seen_digests_dir is not None:
+        # mark only SUCCESSFULLY extracted captures as seen — a page
+        # that failed this run stays fetchable on the next index pass
+        (fetched_digests
+         .join(done.select("url"), "url", "left_semi")
+         .select("digest").distinct()
+         .write.mode("append").parquet(seen_digests_dir))
 
     if fix_encoding:
         from ..functions.textstats import fix_mojibake
@@ -163,4 +223,6 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
         decontaminated=curated_n - clean_n,
         total_tokens=int(stats["total_tokens"] or 0),
         n_windows=int(stats["n_windows"] or 0),
+        cdx_planned=cdx_planned,
+        cdx_skipped=cdx_skipped,
     )

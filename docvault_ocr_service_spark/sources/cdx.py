@@ -95,6 +95,32 @@ def latest_captures(captures: DataFrame) -> DataFrame:
             .where(F.col("__rn") == 1).drop("__rn"))
 
 
+def read_cdxj(spark, path: str, glob: str = "*.cdx*") -> DataFrame:
+    """Directory of CDX-J index shards → typed capture rows
+    (``parse_cdxj`` schema).  Text-source scan: parallelism follows
+    the index shards; the archive bytes are never touched here."""
+    lines = (spark.read.format("text")
+             .option("recursiveFileLookup", "true")
+             .option("pathGlobFilter", glob)
+             .load(path)
+             .withColumnRenamed("value", "line"))
+    return parse_cdxj(lines, "line")
+
+
+def eligible_captures(captures: DataFrame,
+                      statuses: tuple[int, ...] = (200,),
+                      mime_prefixes: tuple[str, ...] = ("text/",),
+                      ) -> DataFrame:
+    """The CDX-server ``filter=`` convention: keep only wanted
+    statuses / mime prefixes (applied BEFORE the latest-capture
+    collapse — a url whose newest capture is an error/redirect must
+    not lose its older, still-unseen 200 capture)."""
+    mime_ok = F.lit(False)
+    for p in mime_prefixes:
+        mime_ok = mime_ok | F.col("mime").startswith(p)
+    return captures.where(F.col("status").isin(list(statuses)) & mime_ok)
+
+
 def plan_fetch(captures: DataFrame, seen_digests: DataFrame,
                statuses: tuple[int, ...] = (200,),
                mime_prefixes: tuple[str, ...] = ("text/",)) -> DataFrame:
@@ -107,10 +133,6 @@ def plan_fetch(captures: DataFrame, seen_digests: DataFrame,
     must not lose its older, still-unseen 200 capture.  Returns the
     surviving capture rows (filename/offset/length ready for the WARC
     reader)."""
-    mime_ok = F.lit(False)
-    for p in mime_prefixes:
-        mime_ok = mime_ok | F.col("mime").startswith(p)
-    eligible = captures.where(
-        F.col("status").isin(list(statuses)) & mime_ok)
+    eligible = eligible_captures(captures, statuses, mime_prefixes)
     return latest_captures(eligible).join(
         seen_digests.select("digest").distinct(), "digest", "left_anti")

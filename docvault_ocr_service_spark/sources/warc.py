@@ -353,6 +353,50 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     return b"".join(out)
 
 
+def _surt(url: str) -> str:
+    """Plain-Python SURT urlkey — the writer-side twin of
+    ``sources/cdx.py::surt_key`` (same envelope: lowercase, userinfo
+    and explicit port stripped, host labels reversed comma-joined,
+    ``)`` then path with query, default path ``/``)."""
+    import re
+
+    u = url.lower()
+    m = re.match(r"^[a-z]+://(?:[^/?#@]*@)?([^/?#]+)", u)
+    host = re.sub(r":\d+$", "", m.group(1)) if m else ""
+    rest = re.match(r"^[a-z]+://[^/?#]+([^#]*)", u)
+    path = (rest.group(1) or "/") if rest else "/"
+    return ",".join(reversed(host.split("."))) + ")" + (path or "/")
+
+
+def encode_warc_indexed(records: list[dict], filename: str
+                        ) -> tuple[bytes, list[str]]:
+    """``encode_warc(gzip_members=True)`` plus its CDX-J index lines —
+    every record its own gzip member (the Common-Crawl layout the
+    planned-read path relies on), each line carrying the member's
+    exact (offset, length) in the returned bytes, a SURT urlkey, the
+    capture timestamp from ``warc_ts`` and a sha1 content digest over
+    the html payload.  An engine that writes archives should index
+    them; the index is also the natural fixture for the CDX-planned
+    fetch oracle."""
+    import hashlib as _hashlib
+    import json as _json
+
+    blob = bytearray()
+    lines = []
+    for r in records:
+        ts = r.get("warc_ts") or datetime(2020, 1, 1, tzinfo=timezone.utc)
+        member = encode_warc([r], gzip_members=True)
+        digest = "sha1:" + _hashlib.sha1(r["html"] or b"").hexdigest()
+        meta = {"url": r["url"], "mime": r.get("mime", "text/html"),
+                "status": str(r.get("status", 200)), "digest": digest,
+                "length": str(len(member)), "offset": str(len(blob)),
+                "filename": filename}
+        lines.append(f"{_surt(r['url'])} {ts.strftime('%Y%m%d%H%M%S')} "
+                     f"{_json.dumps(meta)}")
+        blob.extend(member)
+    return bytes(blob), lines
+
+
 def encode_wet(records: list[dict], gzip_members: bool = True) -> bytes:
     """Deterministic WET writer — Common Crawl's extracted-text sibling
     of the WARC archive: one ``WARC-Type: conversion`` record per page
@@ -487,4 +531,76 @@ def read_warc(spark, path: str, glob: str = "*.warc*"):
 
     out = files.mapInPandas(kernel, schema=INPUT_SCHEMA)
     # normalize tz-aware python datetimes through Spark's session tz
+    return out.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+
+def read_warc_records(spark, plan, base_dir: str | None = None):
+    """CDX-planned record reads: ``plan`` rows (filename, offset,
+    length, digest) → INPUT_SCHEMA columns + the plan's ``digest``
+    (so the caller can append fetched digests to its seen-store).
+
+    This is the don't-refetch path: instead of scanning whole
+    archives, each task seeks to the planned (offset, length) slices —
+    on Common-Crawl-shaped archives every record is its own gzip
+    member, so a slice is a self-contained stream for ``parse_warc``.
+    Scale shape: the plan repartitions by filename and sorts by offset
+    within partitions, so one task touches few archives and reads each
+    monotonically (sequential-friendly on object stores); only the
+    planned bytes are ever fetched.  A bad slice (stale index, corrupt
+    member) becomes an error row, never a task failure."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..schemas import INPUT_SCHEMA
+
+    out_schema = T.StructType(
+        INPUT_SCHEMA.fields
+        + [T.StructField("digest", T.StringType(), True)])
+
+    rows_df = (plan.select("filename", "offset", "length", "digest")
+               .repartition(F.col("filename"))
+               .sortWithinPartitions("filename", "offset"))
+
+    def kernel(batches):
+        from pyarrow import fs as pafs
+
+        cols = ["url", "warc_ts", "html", "text", "lang", "digest"]
+        cur_name, cur_file = None, None
+        for pdf in batches:
+            rows = []
+            for name, off, length, digest in zip(
+                    pdf["filename"], pdf["offset"], pdf["length"],
+                    pdf["digest"]):
+                full = (name if base_dir is None
+                        else f"{base_dir.rstrip('/')}/{name}")
+                try:
+                    if name != cur_name:
+                        if cur_file is not None:
+                            cur_file.close()
+                        fsys, rel = pafs.FileSystem.from_uri(str(full))
+                        cur_file = fsys.open_input_file(rel)
+                        cur_name = name
+                    cur_file.seek(int(off))
+                    data = cur_file.read(int(length))
+                    rec = next((r for r in parse_warc(data)
+                                if r["warc_type"] == "response"), None)
+                    if rec is None:
+                        raise WarcFormatError("no response record "
+                                              "in planned slice")
+                    rows.append((rec["url"], rec["warc_ts"],
+                                 rec["html"], None, None, digest))
+                except (WarcFormatError, EOFError, OSError,
+                        ValueError):
+                    # stale index / corrupt member → error row (null
+                    # payload, like read_warc's corrupt-archive rows —
+                    # the checkpoint taxonomy labels it empty_payload)
+                    rows.append((f"{full}#{off}", None, None,
+                                 None, None, digest))
+                    cur_name, cur_file = None, None
+            yield pd.DataFrame(rows, columns=cols)
+        if cur_file is not None:
+            cur_file.close()
+
+    out = rows_df.mapInPandas(kernel, schema=out_schema)
     return out.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))

@@ -104,3 +104,81 @@ def test_plan_fetch_filters_before_collapse(spark):
     assert len(rows) == 1
     assert rows[0]["digest"] == "sha1:EEE"
     assert rows[0]["ts"] == "20240101120000"
+
+
+def test_read_warc_records_planned(spark, tmp_path):
+    """encode_warc_indexed offsets are exact: the planned reader pulls
+    precisely the indexed slices back out, and a stale-index offset
+    becomes an error row, never a task failure."""
+    from datetime import datetime, timezone
+
+    from docvault_ocr_service_spark.sources.warc import (
+        encode_warc_indexed, read_warc_records)
+
+    ts = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    recs = [{"url": f"https://ex.com/p{i}", "warc_ts": ts,
+             "html": (f"<html><body><p>page {i} body text "
+                      f"{'x' * i}</p></body></html>").encode()}
+            for i in range(5)]
+    blob, lines = encode_warc_indexed(recs, "shard0.warc.gz")
+    (tmp_path / "shard0.warc.gz").write_bytes(blob)
+
+    captures = spark.createDataFrame([(l,) for l in lines],
+                                     "line string")
+    plan = parse_cdxj(captures)
+    got = read_warc_records(spark, plan,
+                            base_dir=str(tmp_path)).collect()
+    assert sorted(r["url"] for r in got) == \
+        sorted(r["url"] for r in recs)
+    by_url = {r["url"]: r for r in got}
+    for rec in recs:
+        assert bytes(by_url[rec["url"]]["html"]) == rec["html"]
+        assert by_url[rec["url"]]["digest"].startswith("sha1:")
+
+    # stale index: offset into the middle of a member -> error row
+    bad = plan.limit(1).withColumn("offset", F.col("offset") + 7)
+    err = read_warc_records(spark, bad, base_dir=str(tmp_path)).collect()
+    assert len(err) == 1 and err[0]["html"] is None
+    assert "#" in err[0]["url"]
+
+
+def test_cdx_pipeline_dont_refetch_loop(spark, tmp_path):
+    """The composed don't-refetch loop: run 1 over a CDX index fetches
+    everything and banks the digests; run 2 over the SAME index (a
+    recrawl where nothing changed) plans zero fetches."""
+    from datetime import datetime, timezone
+
+    from docvault_ocr_service_spark import corpus
+    from docvault_ocr_service_spark.plans.pipeline import (
+        run_crawl_pipeline)
+    from docvault_ocr_service_spark.sources.warc import (
+        encode_warc_indexed)
+
+    ts = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    recs = []
+    for i in range(12):
+        r = corpus.generate_row(i)
+        recs.append({"url": r["url"], "warc_ts": ts,
+                     "html": r["html"] or (r["text"] or "").encode()})
+    blob, lines = encode_warc_indexed(recs, "crawl0.warc.gz")
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    (warc_dir / "crawl0.warc.gz").write_bytes(blob)
+    cdx_dir = tmp_path / "cdx"
+    cdx_dir.mkdir()
+    (cdx_dir / "index.cdx.gz.txt").write_text("\n".join(lines) + "\n")
+
+    rep1 = run_crawl_pipeline(
+        spark, str(warc_dir), str(tmp_path / "state1"),
+        str(tmp_path / "out1"), cdx_dir=str(cdx_dir),
+        seen_digests_dir=str(tmp_path / "seen"), window=512)
+    assert rep1.cdx_planned == 12 and rep1.cdx_skipped == 0
+    assert rep1.pages_in == 12
+
+    rep2 = run_crawl_pipeline(
+        spark, str(warc_dir), str(tmp_path / "state2"),
+        str(tmp_path / "out2"), cdx_dir=str(cdx_dir),
+        seen_digests_dir=str(tmp_path / "seen"), window=512)
+    assert rep2.cdx_planned == 0
+    assert rep2.cdx_skipped == 12
+    assert rep2.extracted_done == 0

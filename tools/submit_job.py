@@ -73,16 +73,30 @@ def main() -> None:
     ap.add_argument("--wet", action="store_true",
                     help="(pipeline) export the curated corpus as "
                          "Common Crawl WET shards under <out>/wet")
+    ap.add_argument("--cdx", metavar="DIR",
+                    help="(pipeline) CDX-J index dir: plan reads from "
+                         "the index instead of scanning --warc; only "
+                         "planned (filename,offset,length) slices are "
+                         "fetched")
+    ap.add_argument("--seen-digests", metavar="DIR",
+                    help="(pipeline, with --cdx) parquet digest store: "
+                         "captures whose digest is present are never "
+                         "fetched; successfully extracted digests are "
+                         "appended after the run")
     args = ap.parse_args()
     if args.hocr and not args.out:
         ap.error("--hocr requires --out (hOCR lands in <out>/hocr)")
     if args.fuzzy_decontaminate and not args.benchmark:
         ap.error("--fuzzy-decontaminate requires --benchmark")
     pipeline_flags = (args.fix_encoding or args.host_boilerplate
-                      or args.fuzzy_decontaminate or args.wet)
+                      or args.fuzzy_decontaminate or args.wet
+                      or args.cdx or args.seen_digests)
     if pipeline_flags and not args.full_pipeline:
         ap.error("--fix-encoding/--host-boilerplate/"
-                 "--fuzzy-decontaminate/--wet require --full-pipeline")
+                 "--fuzzy-decontaminate/--wet/--cdx/--seen-digests "
+                 "require --full-pipeline")
+    if args.seen_digests and not args.cdx:
+        ap.error("--seen-digests requires --cdx")
 
     if args.make_zip:
         print(make_zip(args.make_zip))
@@ -120,7 +134,9 @@ def main() -> None:
             fix_encoding=args.fix_encoding,
             host_boilerplate=args.host_boilerplate,
             fuzzy_decontaminate=args.fuzzy_decontaminate,
-            wet_export=args.wet)
+            wet_export=args.wet,
+            cdx_dir=args.cdx,
+            seen_digests_dir=args.seen_digests)
         print(report)
         return
 
