@@ -76,7 +76,8 @@ def train_quality_classifier(labeled: DataFrame, id_col: str,
                              text_col: str = "text",
                              label_col: str = "label",
                              hex_chars: int = 2, iters: int = 5,
-                             lr_num: int = 1, lr_den: int = 2
+                             lr_num: int = 1, lr_den: int = 2,
+                             max_train_rows: int = 1_000_000
                              ) -> DataFrame:
     """Train the logistic model; returns a small DataFrame
     ``(bucket string, w_q long, weight double)`` — one row per bucket
@@ -89,6 +90,18 @@ def train_quality_classifier(labeled: DataFrame, id_col: str,
     (16^hex_chars + 1 rows) and collected per iteration — the same
     bounded-collect contract as the IVF centroid trainer
     (operators/similarity.py).
+
+    SEED-SET CONTRACT: ``labeled`` is the curated labeled seed set
+    (thousands to low millions of rows — the fastText/CCNet recipe:
+    positives from a reference corpus, negatives sampled from the
+    crawl), NOT the full corpus.  Training is distributed full-batch
+    GD — per iteration it scans the seed set and collects one
+    bucket-space-bounded gradient table to the driver — so its cost
+    scales with the seed set, while the CORPUS side (``score_quality``)
+    stays map-only at any scale.  ``max_train_rows`` (default 1M)
+    enforces the contract: a corpus-sized frame raises loudly instead
+    of silently turning the driver into the bottleneck; raise the
+    bound explicitly if a genuinely larger seed set is intended.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -106,6 +119,14 @@ def train_quality_classifier(labeled: DataFrame, id_col: str,
         n_docs = docs.count()
         if n_docs == 0:
             raise ValueError("empty training set")
+        if n_docs > max_train_rows:
+            raise ValueError(
+                f"training set has {n_docs} rows, over the "
+                f"max_train_rows={max_train_rows} seed-set bound — "
+                f"train_quality_classifier is full-batch GD over a "
+                f"labeled SEED SET; score the corpus with "
+                f"score_quality instead, or raise max_train_rows "
+                f"explicitly if a larger seed set is intended")
         weights: dict[str, int] = {}   # bucket -> w_q (long)
         bias_q = 0
         for _ in range(iters):

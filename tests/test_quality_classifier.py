@@ -123,3 +123,22 @@ def test_training_input_validation(spark):
         [], "doc_id long, text string, label long")
     with pytest.raises(ValueError, match="empty"):
         train_quality_classifier(empty, "doc_id")
+
+
+def test_seed_set_bound_enforced(spark):
+    """A corpus-sized frame must raise loudly (the seed-set contract),
+    and the bound must be raisable explicitly."""
+    import pytest
+
+    from docvault_ocr_service_spark.functions.quality_classifier import (
+        train_quality_classifier)
+
+    labeled = spark.range(30).select(
+        F.col("id"), F.concat(F.lit("text "), F.col("id")).alias("text"),
+        (F.col("id") % 2).cast("int").alias("label"))
+    with pytest.raises(ValueError, match="seed-set bound"):
+        train_quality_classifier(labeled, "id", max_train_rows=10)
+    # explicit raise of the bound trains fine
+    w = train_quality_classifier(labeled, "id", iters=1,
+                                 max_train_rows=30)
+    assert w.count() >= 1

@@ -13,6 +13,14 @@ For each query, prints one line of plan vitals:
 - ``pushed`` — scans with pushed filters (predicate pushdown reached
   parquet).
 
+Queries that materialize work during CONSTRUCTION (fixture builders,
+iterative loops with bounded collects, the pipeline composition
+oracles) used to audit as ``xchg=0`` because only the returned frame's
+plan was read.  The audit now also drains the SQL status store for
+every execution fired while the query was being built and reports
+those plans' vitals as a ``[build: …]`` suffix — so eager work is
+audited, not invisible.
+
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 """
 
@@ -49,13 +57,34 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     names = [n for n in qs if not only or n in only]
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def last_exec_id() -> int:
+        lst = store.executionsList()
+        return (lst.apply(lst.size() - 1).executionId()
+                if lst.size() else -1)
+
+    def build_plans_since(eid: int) -> list[str]:
+        lst = store.executionsList()
+        return [lst.apply(i).physicalPlanDescription()
+                for i in range(lst.size())
+                if lst.apply(i).executionId() > eid]
+
     for name in names:
         try:
+            before = last_exec_id()
             df = qs[name](spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
             a = audit(plan)
             flags = " ".join(f"{k}={v}" for k, v in a.items())
-            print(f"{name:32s} {flags}")
+            bplans = build_plans_since(before)
+            if bplans:
+                b = {k: sum(audit(p)[k] for p in bplans) for k in a}
+                bf = " ".join(f"{k}={v}" for k, v in b.items())
+                print(f"{name:32s} {flags}  "
+                      f"[build: execs={len(bplans)} {bf}]")
+            else:
+                print(f"{name:32s} {flags}")
         except Exception as e:  # noqa: BLE001 — audit keeps going
             print(f"{name:32s} AUDIT-ERROR {type(e).__name__}: {e}")
     spark.stop()
