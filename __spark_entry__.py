@@ -3064,6 +3064,105 @@ def webp_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def doc_markdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→Markdown conversion (extract/markdown.py — the
+    structure-preserving serialization pass; no reference counterpart,
+    its HTML path flattens to text): deterministic pages (heading,
+    link+bold paragraph, a 2+(d%3)-item list, a verbatim code fence)
+    convert to markdown whose EXACT string DuckDB rebuilds from the
+    same formulas — byte-identical markdown, hash-compared by the
+    driver."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.functions.markdown import (
+        markdown_column)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+
+    @F.pandas_udf(T.StringType())
+    def mk_html(ids: pd.Series) -> pd.Series:
+        def page(i: int) -> str:
+            items = "".join(f"<li>item {j} of {i}</li>"
+                            for j in range(2 + i % 3))
+            return (
+                f"<html><body><h1>Doc {i} Title</h1>"
+                f"<p>Intro paragraph for document {i}, with a "
+                f'<a href="https://ex.com/{i}">profile link</a> and '
+                f"<b>bold claims</b>.</p>"
+                f"<ul>{items}</ul>"
+                f"<pre>code line {i}\nindent {i % 7}</pre>"
+                f"<script>ignored()</script></body></html>")
+
+        return pd.Series([page(int(i)) for i in ids])
+
+    md = markdown_column(mk_html(d))
+    return (docs.select("doc_id", md.alias("md"))
+            .withColumn("md_len", F.length("md"))
+            .orderBy("doc_id"))
+
+
+def readability_extract_stats(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Arc90-Readability container scoring (extract/readability.py +
+    functions/readability.py — the north-star's 'link-density,
+    text-density, tag-weight scoring over block nodes' heuristic):
+    deterministic pages with a link-nav header, a negative-class
+    sidebar, a positive-class content div holding 2+(d%4) paragraphs,
+    and a footer — the content div must win for every doc, and DuckDB
+    replays the winner's paragraph count, byte length, and integer
+    content score (tag weight 5 + class hint 25 + per-paragraph
+    1 + commas + min(len/100, 3)) from the same string formulas."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.functions.readability import (
+        readability_extract_df)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 150)
+    d = F.col("doc_id")
+    n_p = (d % 4 + 2).cast("int")
+
+    @F.pandas_udf(T.StringType())
+    def mk_html(ids: pd.Series) -> pd.Series:
+        def page(i: int) -> str:
+            n = i % 4 + 2
+            paras = "".join(
+                f"<p>Paragraph {j} of document {i} carries "
+                f"deterministic prose, clause {i % 5}, clause {j}, "
+                f"and a stable reader-facing tail"
+                + "x" * ((i % 3) * 30) + ".</p>"
+                for j in range(n))
+            return (
+                '<html><body>'
+                '<div class="header"><ul>'
+                '<li><a href="/">Home page link</a></li>'
+                '<li><a href="/about">About the site</a></li>'
+                '</ul></div>'
+                '<div class="sidebar"><p>Related sponsored links and '
+                'further reading suggestions here.</p>'
+                '<a href="/x">more</a></div>'
+                f'<div class="content"><h1>Title {i}</h1>{paras}</div>'
+                '<div class="footer"><p>Copyright, terms, privacy, '
+                'contact, sitemap, and other boilerplate rows.</p>'
+                '</div></body></html>')
+
+        return pd.Series([page(int(i)) for i in ids])
+
+    out = readability_extract_df(
+        docs.withColumn("html", mk_html(d)))
+    r = F.col("readability")
+    return (out.select(
+        "doc_id",
+        r["tag"].alias("tag"),
+        r["n_paragraphs"].alias("n_paragraphs"),
+        F.length(r["text"]).alias("text_len"),
+        r["score"].cast("long").alias("score_q"),
+        (r["link_density"] == 0.0).alias("no_links_in_winner"))
+        .orderBy("doc_id"))
+
+
 def cdx_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDX-planned COMPOSITION oracle (round-6 wiring of
     sources/cdx.py into plans/pipeline.py): an indexed WARC fixture —
@@ -3443,6 +3542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 1c: NEW in round 6 ------------------------------------
         "webp_backref_stats": webp_backref_stats,
         "cdx_pipeline_stats": cdx_pipeline_stats,
+        "readability_extract_stats": readability_extract_stats,
+        "doc_markdown_stats": doc_markdown_stats,
         # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
@@ -3468,10 +3569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_recall": knn_lsh_recall,
         "knn_ivf_recall": knn_ivf_recall,
         "embedding_near_dup_recall": embedding_near_dup_recall,
-        "embedding_centroids": embedding_centroids,
-        "embedding_near_dups": embedding_near_dups,
         # ---- end of gate prefix (50) -----------------------------------
         # -- block 2: r4/r5-driver-green, unchanged ----------------------
+        "embedding_centroids": embedding_centroids,
+        "embedding_near_dups": embedding_near_dups,
         "corpus_extract_stats": corpus_extract_stats,
         "png_pixel_stats": png_pixel_stats,
         "jpeg_flat_roundtrip": jpeg_flat_roundtrip,
