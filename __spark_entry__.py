@@ -1887,6 +1887,31 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("ppl") * 10000 + 0.5).cast("long").alias("ppl_q"))
 
 
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (functions/ngram_lm.py::
+    ppl_buckets — Wenzek et al. 2020 §4.3, the slice selection step
+    after LM scoring): per-language ntile(3) over quantized perplexity
+    ascending, unscorable docs in an explicit bucket; DuckDB recomputes
+    the trigram model, the scores, AND the ntile split."""
+    from docvault_ocr_service_spark.functions.ngram_lm import (
+        ppl_buckets, score_perplexity, train_char_trigram_lm)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text",
+                                                 "lang")
+    c3, c2, v = train_char_trigram_lm(docs.where(F.col("doc_id") < 100))
+    scored = (score_perplexity(docs, c3, c2, v)
+              .withColumn("ppl_q",
+                          F.floor(F.col("ppl") * 10000 + 0.5)
+                          .cast("long"))
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    return (ppl_buckets(scored)
+            .groupBy("lang", "ppl_bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.coalesce(F.sum("ppl_q"), F.lit(0)).cast("long")
+                 .alias("sum_ppl_q"))
+            .orderBy("lang", "ppl_bucket"))
+
+
 def bpe_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE under the driver gate: merges trained on a doc
     slice (vocab-table iteration, deterministic top-1), every document
@@ -3064,6 +3089,70 @@ def webp_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def canonical_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical + meta-robots extraction (functions/web.py —
+    the publisher-signal pass a polite corpus builder honors next to
+    robots.txt): fixtures plant canonical links and robots metas in
+    BOTH attribute orders; DuckDB rebuilds the same html strings and
+    replays the same RE2 patterns, so the regex semantics themselves
+    are what the oracle pins."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.functions.web import (
+        canonical_url, robots_meta_directives)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+
+    @F.pandas_udf(T.StringType())
+    def mk_html(ids: pd.Series) -> pd.Series:
+        def page(i: int) -> str:
+            head = ""
+            if i % 5 == 0:
+                target = f"https://canon.example/page{(i // 5) % 10}"
+                head += (f'<link rel="canonical" href="{target}">'
+                         if i % 2 == 0 else
+                         f'<link href="{target}" rel=canonical>')
+            if i % 7 == 0:
+                content = ("noindex, nofollow" if i % 14 == 0
+                           else "noindex")
+                head += (f'<meta name="robots" content="{content}">'
+                         if i % 3 == 0 else
+                         f'<meta content="{content}" name=robots>')
+            return (f"<html><head>{head}</head><body>"
+                    f"<p>body of page {i}</p></body></html>")
+
+        return pd.Series([page(int(i)) for i in ids])
+
+    html = mk_html(F.col("doc_id"))
+    url = F.concat(F.lit("https://site"),
+                   (F.col("doc_id") % 20).cast("string"),
+                   F.lit(".example/page/"),
+                   F.col("doc_id").cast("string"))
+    meta = robots_meta_directives(html)
+    return (docs.select(
+        "doc_id",
+        canonical_url(html).alias("canonical"),
+        F.coalesce(canonical_url(html), url).alias("canonical_key"),
+        meta["noindex"].alias("noindex"),
+        meta["nofollow"].alias("nofollow"))
+        .orderBy("doc_id"))
+
+
+def canonical_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-grouping arm: mirror/variant pages sharing a
+    rel=canonical target collapse into one group before dedup — the
+    40 canonical-bearing fixture docs land in 10 groups of 4; every
+    other page keys by its own url (group size 1, filtered out)."""
+    base = canonical_url_stats(spark, sf_dir)
+    return (base.groupBy("canonical_key")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.col("noindex").cast("long")).cast("long")
+                 .alias("n_noindex"))
+            .where(F.col("n_docs") > 1)
+            .orderBy("canonical_key"))
+
+
 def doc_markdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML→Markdown conversion (extract/markdown.py — the
     structure-preserving serialization pass; no reference counterpart,
@@ -3544,6 +3633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_pipeline_stats": cdx_pipeline_stats,
         "readability_extract_stats": readability_extract_stats,
         "doc_markdown_stats": doc_markdown_stats,
+        "canonical_url_stats": canonical_url_stats,
+        "canonical_dup_groups": canonical_dup_groups,
+        "ccnet_ppl_buckets": ccnet_ppl_buckets,
         # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
@@ -3566,11 +3658,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hocr_word_stats": hocr_word_stats,
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
+        # ---- end of gate prefix (50) -----------------------------------
+        # -- block 2: r4/r5-driver-green, unchanged ----------------------
         "knn_lsh_recall": knn_lsh_recall,
         "knn_ivf_recall": knn_ivf_recall,
         "embedding_near_dup_recall": embedding_near_dup_recall,
-        # ---- end of gate prefix (50) -----------------------------------
-        # -- block 2: r4/r5-driver-green, unchanged ----------------------
         "embedding_centroids": embedding_centroids,
         "embedding_near_dups": embedding_near_dups,
         "corpus_extract_stats": corpus_extract_stats,

@@ -87,3 +87,33 @@ def filter_by_perplexity(docs: DataFrame, c3: DataFrame, c2: DataFrame,
     scores = score_perplexity(docs, c3, c2, vocab, id_col, text_col)
     keep = scores.where(F.col("ppl") <= max_ppl).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def ppl_buckets(scored: DataFrame, lang_col: str = "lang",
+                ppl_q_col: str = "ppl_q", id_col: str = "doc_id",
+                n_buckets: int = 3) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. 2020 §4.3):
+    per-language ``ntile`` over QUANTIZED perplexity ascending — head
+    = the most fluent third, the slice CCNet keeps preferentially for
+    pretraining; ordering on the quantized long (ties broken by id)
+    keeps the split deterministic under FP sum reordering.  Docs with
+    null perplexity (normalized text under one trigram) land in an
+    explicit ``unscored`` bucket instead of polluting the head via
+    nulls-first window ordering.  Scale shape: one window shuffle on
+    the language key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col(ppl_q_col).asc(), F.col(id_col).asc())
+    tile = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        bucket = F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            tile)
+    else:
+        bucket = tile.cast("string")
+    ok = (scored.where(F.col(ppl_q_col).isNotNull())
+          .withColumn("ppl_bucket", bucket))
+    rest = (scored.where(F.col(ppl_q_col).isNull())
+            .withColumn("ppl_bucket", F.lit("unscored")))
+    return ok.unionByName(rest)

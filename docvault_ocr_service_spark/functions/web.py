@@ -161,6 +161,46 @@ def url_query(url: Column) -> Column:
     return F.parse_url(url, F.lit("QUERY"))
 
 
+# rel=canonical / meta-robots extraction — columnar (RE2-compatible
+# patterns, both attribute orders), zero Python.  The canonical link
+# is how recrawl pipelines group mirror/tracking-parameter variants of
+# the same page before dedup; meta-robots noindex is the publisher's
+# opt-out signal a polite corpus builder honors alongside robots.txt.
+_CANON_RE_1 = (r"(?is)<link[^>]*rel=[\"']?canonical[\"']?[^>]*"
+               r"href=[\"']?([^\"'> ]+)")
+_CANON_RE_2 = (r"(?is)<link[^>]*href=[\"']?([^\"'> ]+)[\"']?[^>]*"
+               r"rel=[\"']?canonical")
+_ROBOTS_META_1 = (r"(?is)<meta[^>]*name=[\"']?robots[\"']?[^>]*"
+                  r"content=[\"']?([^\"'>]+)")
+_ROBOTS_META_2 = (r"(?is)<meta[^>]*content=[\"']?([^\"'>]+)[\"']?"
+                  r"[^>]*name=[\"']?robots")
+
+
+def canonical_url(html: Column) -> Column:
+    """``<link rel="canonical" href=...>`` target, either attribute
+    order; NULL when absent."""
+    return F.nullif(
+        F.coalesce(
+            F.nullif(F.regexp_extract(html, _CANON_RE_1, 1), F.lit("")),
+            F.nullif(F.regexp_extract(html, _CANON_RE_2, 1), F.lit("")),
+        ), F.lit(""))
+
+
+def robots_meta_directives(html: Column) -> Column:
+    """``<meta name="robots">`` directives → struct(noindex boolean,
+    nofollow boolean).  ``none`` means both (the published
+    convention); absent meta → both false."""
+    content = F.lower(F.coalesce(
+        F.nullif(F.regexp_extract(html, _ROBOTS_META_1, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, _ROBOTS_META_2, 1), F.lit("")),
+        F.lit("")))
+    return F.struct(
+        (content.rlike("noindex") | content.rlike(r"\bnone\b"))
+        .alias("noindex"),
+        (content.rlike("nofollow") | content.rlike(r"\bnone\b"))
+        .alias("nofollow"))
+
+
 def parse_robots(content: str, agent: str = "spark-extract") -> list[dict]:
     """robots.txt → [{prefix, allowed, weight}] for the most specific
     matching user-agent group (RFC 9309 group selection: the longest
