@@ -139,6 +139,14 @@ HEADLINE = (
     "bloom_contamination_stats",
     "html_table_extraction",
     "knn_int8",
+    # round-6 operators (cdx_pipeline_stats and webp_backref_stats
+    # stay gate-only: full-pipeline composition / pure-Python codec
+    # fixtures would dominate the suite the way semdedup would)
+    "readability_extract_stats",
+    "doc_markdown_stats",
+    "canonical_url_stats",
+    "ccnet_ppl_buckets",
+    "url_registrable_domains",
 )
 
 
