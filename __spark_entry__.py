@@ -1887,6 +1887,57 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("ppl") * 10000 + 0.5).cast("long").alias("ppl_q"))
 
 
+def doc_domain_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping (functions/web.py::cap_per_domain
+    — the C4/FineWeb anti-SEO-spam measure): a planted link-farm
+    domain carrying 60% of the corpus is capped at max_pages=20 while
+    small legitimate sites pass untouched; DuckDB replays the
+    md5-deterministic keep set with QUALIFY."""
+    from docvault_ocr_service_spark.functions.web import cap_per_domain
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    host = (F.when(d % 10 < 6, F.lit("spam.example"))
+            .otherwise(F.concat(F.lit("site"), (d % 5).cast("string"),
+                                F.lit(".example"))))
+    url = F.concat(F.lit("https://"), host, F.lit("/page/"),
+                   d.cast("string"))
+    capped = cap_per_domain(docs.withColumn("url", url), max_pages=20)
+    return (capped
+            .select(F.regexp_extract("url", r"https://([^/]+)/", 1)
+                    .alias("domain"), "doc_id")
+            .groupBy("domain")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.min("doc_id").alias("min_kept_id"))
+            .orderBy("domain"))
+
+
+def doc_domain_split_stats(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Leakage-safe corpus splits (functions/web.py::split_by_domain):
+    the split key is the registrable domain, so every subdomain page
+    of a site lands in the same split — DuckDB recomputes the md5
+    bucket per domain and the invariant that no domain straddles
+    splits is pinned by construction (counts grouped by split must
+    match the domain-level recomputation exactly)."""
+    from docvault_ocr_service_spark.functions.web import split_by_domain
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://sub"), (d % 3).cast("string"),
+                   F.lit(".site"), (d % 7).cast("string"),
+                   F.lit(".co.uk/p/"), d.cast("string"))
+    out = split_by_domain(docs.withColumn("url", url),
+                          valid_pct=20, test_pct=20)
+    return (out.groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct(
+                     F.regexp_extract("url", r"\.(site\d+\.co\.uk)/",
+                                      1)).cast("long")
+                 .alias("n_domains"))
+            .orderBy("split"))
+
+
 def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail corpus split (functions/ngram_lm.py::
     ppl_buckets — Wenzek et al. 2020 §4.3, the slice selection step
@@ -3636,6 +3687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_stats": canonical_url_stats,
         "canonical_dup_groups": canonical_dup_groups,
         "ccnet_ppl_buckets": ccnet_ppl_buckets,
+        "doc_domain_cap_stats": doc_domain_cap_stats,
+        "doc_domain_split_stats": doc_domain_split_stats,
         # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
@@ -3656,10 +3709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
         "hocr_word_stats": hocr_word_stats,
-        "knn_lsh": knn_lsh,
-        "knn_ivf": knn_ivf,
         # ---- end of gate prefix (50) -----------------------------------
         # -- block 2: r4/r5-driver-green, unchanged ----------------------
+        "knn_lsh": knn_lsh,
+        "knn_ivf": knn_ivf,
         "knn_lsh_recall": knn_lsh_recall,
         "knn_ivf_recall": knn_ivf_recall,
         "embedding_near_dup_recall": embedding_near_dup_recall,

@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _HEAD_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)"
@@ -199,6 +199,51 @@ def robots_meta_directives(html: Column) -> Column:
         .alias("noindex"),
         (content.rlike("nofollow") | content.rlike(r"\bnone\b"))
         .alias("nofollow"))
+
+
+def cap_per_domain(df: DataFrame, url_col: str = "url",
+                   max_pages: int = 1000) -> DataFrame:
+    """Frequency capping by site owner: at most ``max_pages`` pages
+    per registrable domain (the C4/FineWeb anti-SEO-spam measure — a
+    single link-farm domain must not dominate the corpus).  Selection
+    is md5-deterministic (order-independent across partitionings): the
+    kept pages are the ``max_pages`` lowest md5(url) within the
+    domain.  One window shuffle on the domain key."""
+    from pyspark.sql import Window
+
+    host = F.lower(F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z]+://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+    w = Window.partitionBy("__domain").orderBy(F.md5(F.col(url_col)))
+    return (df.withColumn("__domain", registrable_domain(host))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_pages)
+            .drop("__domain", "__rn"))
+
+
+def split_by_domain(df: DataFrame, url_col: str = "url",
+                    valid_pct: int = 1, test_pct: int = 1,
+                    seed: str = "v1") -> DataFrame:
+    """Leakage-safe train/valid/test assignment: the split key is the
+    REGISTRABLE DOMAIN, not the page — near-duplicate pages from the
+    same site (template variants, mirrors, pagination) land in the
+    same split, so held-out perplexity is not inflated by train-set
+    twins.  Adds ``split`` ('train'|'valid'|'test') from a
+    deterministic md5 bucket of (seed, domain) — stable across runs
+    and cluster sizes; bump ``seed`` to re-deal.  Map-only (the
+    domain function is columnar)."""
+    if valid_pct + test_pct >= 100:
+        raise ValueError("valid_pct + test_pct must leave room "
+                         "for train")
+    host = F.lower(F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z]+://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed + "|"), registrable_domain(host))),
+        1, 8), 16, 10).cast("long") % 100)
+    return df.withColumn(
+        "split",
+        F.when(bucket < test_pct, "test")
+        .when(bucket < test_pct + valid_pct, "valid")
+        .otherwise("train"))
 
 
 def parse_robots(content: str, agent: str = "spark-extract") -> list[dict]:

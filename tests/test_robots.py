@@ -368,3 +368,47 @@ def test_sitemap_lastmod_year_month_precision(spark):
     assert str(got["https://a/y"]) == "2023-01-01 00:00:00"
     assert str(got["https://a/m"]) == "2023-07-01 00:00:00"
     assert got["https://a/bad"] is None
+
+
+def test_cap_per_domain(spark):
+    from docvault_ocr_service_spark.functions.web import cap_per_domain
+
+    rows = [(f"https://{'farm.example' if i % 2 else f'ok{i % 3}.example'}"
+             f"/p/{i}",) for i in range(60)]
+    df = spark.createDataFrame(rows, ["url"])
+    out = cap_per_domain(df, max_pages=5)
+    counts = {r["d"]: r["n"] for r in out.groupBy(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("d"))
+        .agg(F.count("*").alias("n")).collect()}
+    assert counts["farm.example"] == 5        # 30 pages capped to 5
+    assert all(v <= 5 for v in counts.values())
+    # determinism: the SAME pages survive on a different partitioning
+    again = cap_per_domain(df.repartition(7), max_pages=5)
+    assert sorted(r["url"] for r in out.collect()) == \
+        sorted(r["url"] for r in again.collect())
+    assert "__domain" not in out.columns and "__rn" not in out.columns
+
+
+def test_split_by_domain_leakage_safe(spark):
+    from docvault_ocr_service_spark.functions.web import split_by_domain
+
+    rows = [(f"https://sub{i % 4}.site{i % 9}.co.uk/p/{i}",)
+            for i in range(180)]
+    df = spark.createDataFrame(rows, ["url"])
+    out = split_by_domain(df, valid_pct=25, test_pct=25)
+    got = out.select(
+        F.regexp_extract("url", r"\.(site\d+\.co\.uk)/", 1)
+        .alias("dom"), "split").distinct().collect()
+    # every domain maps to exactly one split (no leakage)
+    doms = {}
+    for r in got:
+        assert doms.setdefault(r["dom"], r["split"]) == r["split"]
+    assert set(r["split"] for r in got) >= {"train"}
+    # seed changes re-deal, same seed is stable
+    a = {(r["url"], r["split"]) for r in out.collect()}
+    b = {(r["url"], r["split"]) for r in
+         split_by_domain(df, valid_pct=25, test_pct=25).collect()}
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_by_domain(df, valid_pct=60, test_pct=40)
