@@ -37,6 +37,9 @@ class PipelineReport:
     # CDX-planned runs only: captures fetched vs skipped as unchanged
     cdx_planned: int = 0
     cdx_skipped: int = 0
+    # publisher-signal stages (opt-in)
+    noindex_dropped: int = 0
+    canonical_collapsed: int = 0
 
 
 def _has_parquet(spark: SparkSession, path: str) -> bool:
@@ -63,7 +66,9 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
                        wet_export: bool = False,
                        cdx_dir: str | None = None,
                        seen_digests_dir: str | None = None,
-                       warc_base_dir: str | None = None
+                       warc_base_dir: str | None = None,
+                       honor_noindex: bool = False,
+                       canonical_collapse: bool = False
                        ) -> PipelineReport:
     """One end-to-end run.  Resumable: extraction state lives in
     ``state_dir`` (MERGE checkpoint), so re-running after a crash only
@@ -86,7 +91,14 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
     slices of the archives under ``warc_base_dir`` (default:
     ``warc_dir``) are read, and after a successful run the fetched
     digests are appended to ``seen_digests_dir`` — so the next run
-    over a fresh crawl's index fetches only genuinely new content."""
+    over a fresh crawl's index fetches only genuinely new content.
+
+    ``honor_noindex`` drops pages whose ``<meta name=robots>`` carries
+    noindex/none BEFORE extraction (the publisher opt-out, honored
+    like robots.txt); ``canonical_collapse`` keeps one page per
+    rel=canonical target (md5-deterministic pick) so mirror and
+    tracking-parameter variants never reach extraction — at corpus
+    scale this prunes work, not just output."""
     from ..functions.textstats import token_count
     from ..functions.web import filter_by_robots
     from ..operators.checkpoint import ParquetCheckpointStore
@@ -132,6 +144,34 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
     else:
         pages = pages.persist()
         pages_in = polite_n = pages.count()
+
+    noindex_dropped = canonical_collapsed = 0
+    if honor_noindex or canonical_collapse:
+        from ..functions.web import canonical_url, \
+            robots_meta_directives
+
+        # best-effort utf-8 view of the payload: the head tags these
+        # signals live in are ASCII in practice
+        html_s = F.col("html").cast("string")
+        if honor_noindex:
+            pages = pages.withColumn(
+                "__noindex",
+                F.coalesce(robots_meta_directives(html_s)["noindex"],
+                           F.lit(False))).persist()
+            noindex_dropped = pages.where(F.col("__noindex")).count()
+            pages = pages.where(~F.col("__noindex")).drop("__noindex")
+        if canonical_collapse:
+            from pyspark.sql import Window
+
+            key = F.coalesce(canonical_url(html_s), F.col("url"))
+            w = Window.partitionBy("__canon").orderBy(
+                F.md5(F.col("url")))
+            before = pages.count()
+            pages = (pages.withColumn("__canon", key)
+                     .withColumn("__rn", F.row_number().over(w))
+                     .where(F.col("__rn") == 1)
+                     .drop("__canon", "__rn").persist())
+            canonical_collapsed = before - pages.count()
 
     report = run_extract_job(spark, pages, state_dir,
                              media_dir=os.path.join(out_dir, "media"))
@@ -225,4 +265,6 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
         n_windows=int(stats["n_windows"] or 0),
         cdx_planned=cdx_planned,
         cdx_skipped=cdx_skipped,
+        noindex_dropped=noindex_dropped,
+        canonical_collapsed=canonical_collapsed,
     )

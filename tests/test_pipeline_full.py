@@ -116,3 +116,44 @@ def test_pipeline_round4_stages(spark, tmp_path):
     n_wet = sum(1 for f in wet_files
                 for _ in parse_warc(open(f, "rb").read()))
     assert n_wet == curated.count()
+
+
+def test_pipeline_publisher_signals(spark, tmp_path):
+    """honor_noindex drops opted-out pages before extraction;
+    canonical_collapse keeps one page per rel=canonical target."""
+    from datetime import datetime, timezone
+
+    from docvault_ocr_service_spark import corpus
+    from docvault_ocr_service_spark.sources.warc import encode_warc
+
+    ts = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    recs = []
+    for i in range(10):
+        r = corpus.generate_row(i)
+        recs.append({"url": r["url"], "warc_ts": ts,
+                     "html": r["html"] or (r["text"] or "").encode()})
+    body = b"<p>" + b"meaningful prose here " * 30 + b"</p>"
+    recs.append({"url": "https://optout.example/a", "warc_ts": ts,
+                 "html": b'<html><head><meta name="robots" '
+                         b'content="noindex"></head><body>'
+                         + body + b"</body></html>"})
+    for k in range(3):   # three variants, one canonical target
+        recs.append({
+            "url": f"https://mirror{k}.example/v?utm={k}",
+            "warc_ts": ts,
+            "html": b'<html><head><link rel="canonical" '
+                    b'href="https://canon.example/master"></head>'
+                    b"<body>" + body + b"</body></html>"})
+    warc_dir = tmp_path / "warc_ps"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc.gz").write_bytes(
+        encode_warc(recs, gzip_members=True))
+
+    rep = run_crawl_pipeline(
+        spark, str(warc_dir), str(tmp_path / "state_ps"),
+        str(tmp_path / "out_ps"), window=512,
+        honor_noindex=True, canonical_collapse=True)
+    assert rep.noindex_dropped == 1
+    assert rep.canonical_collapsed == 2      # 3 variants -> 1 kept
+    assert rep.pages_in == 14
+    assert rep.extracted_done == 14 - 1 - 2

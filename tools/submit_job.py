@@ -78,6 +78,13 @@ def main() -> None:
                          "the index instead of scanning --warc; only "
                          "planned (filename,offset,length) slices are "
                          "fetched")
+    ap.add_argument("--honor-noindex", action="store_true",
+                    help="(pipeline) drop pages whose <meta "
+                         "name=robots> says noindex/none before "
+                         "extraction")
+    ap.add_argument("--canonical-collapse", action="store_true",
+                    help="(pipeline) keep one page per rel=canonical "
+                         "target before extraction")
     ap.add_argument("--seen-digests", metavar="DIR",
                     help="(pipeline, with --cdx) parquet digest store: "
                          "captures whose digest is present are never "
@@ -90,7 +97,8 @@ def main() -> None:
         ap.error("--fuzzy-decontaminate requires --benchmark")
     pipeline_flags = (args.fix_encoding or args.host_boilerplate
                       or args.fuzzy_decontaminate or args.wet
-                      or args.cdx or args.seen_digests)
+                      or args.cdx or args.seen_digests
+                      or args.honor_noindex or args.canonical_collapse)
     if pipeline_flags and not args.full_pipeline:
         ap.error("--fix-encoding/--host-boilerplate/"
                  "--fuzzy-decontaminate/--wet/--cdx/--seen-digests "
@@ -136,7 +144,9 @@ def main() -> None:
             fuzzy_decontaminate=args.fuzzy_decontaminate,
             wet_export=args.wet,
             cdx_dir=args.cdx,
-            seen_digests_dir=args.seen_digests)
+            seen_digests_dir=args.seen_digests,
+            honor_noindex=args.honor_noindex,
+            canonical_collapse=args.canonical_collapse)
         print(report)
         return
 
