@@ -1887,6 +1887,100 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("ppl") * 10000 + 0.5).cast("long").alias("ppl_q"))
 
 
+def media_exif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction without pixel decode (extract/exif.py — the
+    orientation/provenance/geotag-privacy signals a media pipeline
+    reads before anything else): real JPEGs get a crafted APP1 Exif
+    segment from doc_id formulas (one in four docs carries none, one
+    in five carries a GPS IFD); the parser reads them back through
+    the Spark kernel and DuckDB replays every field from the same
+    formulas."""
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 150)
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("datetime", T.StringType()),
+        T.StructField("pixel_x", T.IntegerType()),
+        T.StructField("pixel_y", T.IntegerType()),
+        T.StructField("has_gps", T.BooleanType()),
+    ])
+
+    def check(batches):
+        import numpy as np
+
+        from docvault_ocr_service_spark.extract.exif import (
+            build_exif_app1, parse_exif)
+        from docvault_ocr_service_spark.extract.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                img = np.full((8, 8, 3), (d * 7) % 256, np.uint8)
+                jpg = encode_jpeg(img)
+                if d % 4 != 3:
+                    app1 = build_exif_app1(
+                        orientation=1 + d % 8,
+                        make=f"Make{d % 6}",
+                        model=f"Model {d % 10}",
+                        datetime_str=f"2024:{1 + d % 9:02d}:01 "
+                                     f"10:00:00",
+                        pixel_x=100 + d, pixel_y=200 + d % 50,
+                        with_gps=(d % 5 == 0))
+                    jpg = jpg[:2] + app1 + jpg[2:]
+                m = parse_exif(jpg)
+                rows.append((d, m["orientation"], m["make"],
+                             m["model"], m["datetime"], m["pixel_x"],
+                             m["pixel_y"], m["has_gps"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields])
+
+    return docs.mapInPandas(check, schema=out_schema).orderBy("doc_id")
+
+
+def doc_mixed_language_stats(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Per-paragraph language segmentation (functions/textstats.py::
+    paragraph_language_profile — what doc-level language ID gets
+    wrong on bilingual pages): fixtures plant en/pl/de/unidentifiable
+    paragraphs by doc_id formula; DuckDB splits the same text, votes
+    each paragraph with the same marker lists, and replays dominance,
+    language counts and the mixed flag."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.functions.textstats import (
+        paragraph_language_profile)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+
+    @F.pandas_udf(T.StringType())
+    def mk_text(ids: pd.Series) -> pd.Series:
+        def build(i: int) -> str:
+            t = "the cat and the dog with many words are here"
+            if i % 3 == 0:
+                t += "\n\njest dom się czy dla nas teraz"
+            if i % 9 == 0:
+                t += "\n\nale od na do o jak być nie zawsze"
+            if i % 4 == 0:
+                t += "\n\nder hund und die katze nicht das haus"
+            if i % 5 == 0:
+                t += "\n\nzzz qqq xyzzy blorp"
+            return t
+
+        return pd.Series([build(int(i)) for i in ids])
+
+    base = docs.withColumn("text", mk_text(F.col("doc_id")))
+    return (paragraph_language_profile(base)
+            .orderBy("doc_id"))
+
+
 def doc_domain_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency capping (functions/web.py::cap_per_domain
     — the C4/FineWeb anti-SEO-spam measure): a planted link-farm
@@ -3689,6 +3783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_ppl_buckets": ccnet_ppl_buckets,
         "doc_domain_cap_stats": doc_domain_cap_stats,
         "doc_domain_split_stats": doc_domain_split_stats,
+        "doc_mixed_language_stats": doc_mixed_language_stats,
+        "media_exif_stats": media_exif_stats,
         # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
@@ -3707,10 +3803,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_batch": recrawl_batch,
         "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
-        "doc_pii_scrub": doc_pii_scrub,
-        "hocr_word_stats": hocr_word_stats,
         # ---- end of gate prefix (50) -----------------------------------
         # -- block 2: r4/r5-driver-green, unchanged ----------------------
+        "doc_pii_scrub": doc_pii_scrub,
+        "hocr_word_stats": hocr_word_stats,
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
         "knn_lsh_recall": knn_lsh_recall,

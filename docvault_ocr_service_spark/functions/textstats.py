@@ -620,3 +620,47 @@ def sentence_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "max_sentence_chars": F.coalesce(
             F.array_max(lens), F.lit(0)).cast("long"),
     })
+
+
+def paragraph_language_profile(df: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """Mixed-language detection — the segmentation pass monolingual
+    doc-level language ID gets wrong on real web pages (boilerplate in
+    one language, content in another; bilingual articles): paragraphs
+    (blank-line separated) are language-ID'd INDIVIDUALLY, then rolled
+    up per document:
+
+        (id, n_paragraphs, dominant_lang, n_langs, mixed)
+
+    ``dominant_lang`` = the language of the most paragraphs (ties by
+    the fixed en/pl/de/und order), ``n_langs`` counts distinct
+    identified (non-'und') paragraph languages, ``mixed`` = n_langs ≥
+    2 — route mixed docs to per-paragraph filtering instead of
+    dropping them whole.  All columnar; one explode + one two-level
+    aggregation (shuffles on the doc id the extraction output is
+    already bucketed by)."""
+    c = F.col(text_col)
+    paras = (df.select(F.col(id_col).alias("__id"),
+                       F.posexplode(F.split(c, r"\n\s*\n"))
+                       .alias("para_idx", "ptext"))
+             .where(F.btrim("ptext") != ""))
+    lp = paras.withColumn("plang", detect_lang(F.col("ptext")))
+    per_lang = lp.groupBy("__id", "plang").agg(
+        F.count("*").alias("n_paras"))
+    rank = (F.when(F.col("plang") == "en", 0)
+            .when(F.col("plang") == "pl", 1)
+            .when(F.col("plang") == "de", 2).otherwise(3))
+    rolled = (per_lang
+              .groupBy("__id")
+              .agg(F.sum("n_paras").cast("long").alias("n_paragraphs"),
+                   F.max(F.struct(F.col("n_paras").alias("n"),
+                                  (-rank).alias("neg_rank"),
+                                  F.col("plang").alias("code")))
+                   .alias("__best"),
+                   F.sum(F.when(F.col("plang") != "und", 1)
+                         .otherwise(0)).cast("long").alias("n_langs")))
+    return rolled.select(
+        F.col("__id").alias(id_col), "n_paragraphs",
+        F.col("__best")["code"].alias("dominant_lang"),
+        "n_langs",
+        (F.col("n_langs") >= 2).alias("mixed"))

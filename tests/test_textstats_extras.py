@@ -1,0 +1,20 @@
+
+
+def test_paragraph_language_profile(spark):
+    from docvault_ocr_service_spark.functions.textstats import (
+        paragraph_language_profile)
+
+    rows = [
+        (1, "the cat and the dog are here\n\njest dom się czy dla nas"),
+        (2, "the cat and the dog are here"),
+        (3, "der hund und die katze nicht\n\n"
+            "das haus und der garten ist\n\nthe dog and the cat"),
+        (4, "zzz qqq\n\nxxx yyy"),
+    ]
+    out = {r["doc_id"]: r for r in paragraph_language_profile(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[1]["mixed"] and out[1]["n_langs"] == 2
+    assert out[1]["dominant_lang"] == "en"      # tie broken by order
+    assert not out[2]["mixed"] and out[2]["dominant_lang"] == "en"
+    assert out[3]["dominant_lang"] == "de" and out[3]["n_paragraphs"] == 3
+    assert out[4]["dominant_lang"] == "und" and out[4]["n_langs"] == 0
