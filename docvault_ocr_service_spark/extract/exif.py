@@ -119,6 +119,10 @@ def parse_exif(data: bytes | None) -> dict:
             if data[pos] != 0xFF:
                 break
             marker = data[pos + 1]
+            if marker == 0xFF:
+                # spec-legal fill byte(s) before the marker proper
+                pos += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue

@@ -143,8 +143,12 @@ class _Markdown(HTMLParser):
         elif tag == "code" and not self.pre:
             self._emit("`")
         elif tag == "pre":
+            if not self.pre:
+                # stray </pre> with no open <pre>: prose must not be
+                # refenced as code — leave the current block alone
+                return
             txt = "".join(self.cur)
-            self.pre = max(0, self.pre - 1)
+            self.pre -= 1
             self.cur = []
             self.block_prefix = ""
             self.out.append(("other", "```\n" + txt.rstrip("\n")

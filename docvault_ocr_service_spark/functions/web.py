@@ -211,6 +211,11 @@ def cap_per_domain(df: DataFrame, url_col: str = "url",
     domain.  One window shuffle on the domain key."""
     from pyspark.sql import Window
 
+    for reserved in ("__domain", "__rn"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"cap_per_domain uses {reserved!r} internally; rename "
+                f"the caller's column first")
     host = F.lower(F.regexp_extract(
         F.col(url_col), r"^[a-zA-Z]+://(?:[^/?#@]*@)?([^/?#:]+)", 1))
     w = Window.partitionBy("__domain").orderBy(F.md5(F.col(url_col)))
@@ -234,6 +239,9 @@ def split_by_domain(df: DataFrame, url_col: str = "url",
     if valid_pct + test_pct >= 100:
         raise ValueError("valid_pct + test_pct must leave room "
                          "for train")
+    if "split" in df.columns:
+        raise ValueError("split_by_domain writes a 'split' column; "
+                         "rename the caller's column first")
     host = F.lower(F.regexp_extract(
         F.col(url_col), r"^[a-zA-Z]+://(?:[^/?#@]*@)?([^/?#:]+)", 1))
     bucket = (F.conv(F.substring(

@@ -325,7 +325,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # certificate — one cheap aggregate per iteration, no compare join
     prev_sum = labels.agg(F.sum("component")).first()[0]
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (sym.join(labels,
                                  sym["v"] == labels["node"])
                         .groupBy("u")
@@ -352,7 +352,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                               .alias("component"))
                       .localCheckpoint(eager=True))
         new_sum = new_labels.agg(F.sum("component")).first()[0]
-        labels.unpersist()
+        if it == 0:
+            # frees the persisted SEED frame; superseded
+            # localCheckpoint snapshots (every later iteration) are
+            # released by the ContextCleaner once their DataFrames
+            # are GC'd — unpersist is a no-op on checkpointed frames
+            labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             converged = True

@@ -163,6 +163,11 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
         if canonical_collapse:
             from pyspark.sql import Window
 
+            for reserved in ("__canon", "__rn"):
+                if reserved in pages.columns:
+                    raise ValueError(
+                        f"canonical_collapse uses {reserved!r} "
+                        f"internally; input pages must not carry it")
             key = F.coalesce(canonical_url(html_s), F.col("url"))
             w = Window.partitionBy("__canon").orderBy(
                 F.md5(F.col("url")))
@@ -185,7 +190,9 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
                               extracted_done=0, curated=0,
                               decontaminated=0, total_tokens=0,
                               n_windows=0, cdx_planned=cdx_planned,
-                              cdx_skipped=cdx_skipped)
+                              cdx_skipped=cdx_skipped,
+                              noindex_dropped=noindex_dropped,
+                              canonical_collapsed=canonical_collapsed)
     done = results.where(F.col("status") == "done")
     extracted_done_n = done.count()
 

@@ -578,9 +578,18 @@ def read_warc_records(spark, plan, base_dir: str | None = None):
                     if name != cur_name:
                         if cur_file is not None:
                             cur_file.close()
+                            cur_file = None
+                        cur_name = None
                         fsys, rel = pafs.FileSystem.from_uri(str(full))
                         cur_file = fsys.open_input_file(rel)
                         cur_name = name
+                except OSError:
+                    # the ARCHIVE is unreachable: error row, handle
+                    # state already reset so the next row retries
+                    rows.append((f"{full}#{off}", None, None,
+                                 None, None, digest))
+                    continue
+                try:
                     cur_file.seek(int(off))
                     data = cur_file.read(int(length))
                     rec = next((r for r in parse_warc(data)
@@ -594,10 +603,11 @@ def read_warc_records(spark, plan, base_dir: str | None = None):
                         ValueError):
                     # stale index / corrupt member → error row (null
                     # payload, like read_warc's corrupt-archive rows —
-                    # the checkpoint taxonomy labels it empty_payload)
+                    # the checkpoint taxonomy labels it empty_payload);
+                    # the archive handle stays OPEN — the file itself
+                    # is healthy, only this slice was bad
                     rows.append((f"{full}#{off}", None, None,
                                  None, None, digest))
-                    cur_name, cur_file = None, None
             yield pd.DataFrame(rows, columns=cols)
         if cur_file is not None:
             cur_file.close()

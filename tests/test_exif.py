@@ -71,3 +71,14 @@ def test_big_endian_tiff():
             + struct.pack(">H", 8) + b"\x00\x00"
             + struct.pack(">I", 0))
     assert parse_exif(tiff)["orientation"] == 8
+
+
+def test_fill_bytes_before_marker():
+    """Spec-legal 0xFF fill bytes before APP1 must not lose the EXIF
+    (review finding: the walk misread the length from the marker)."""
+    app1 = build_exif_app1(orientation=6)
+    jpg = encode_jpeg(np.full((4, 4), 9, np.uint8))
+    padded = jpg[:2] + b"\xff" + app1 + jpg[2:]
+    assert parse_exif(padded)["orientation"] == 6
+    padded3 = jpg[:2] + b"\xff\xff\xff" + app1 + jpg[2:]
+    assert parse_exif(padded3)["orientation"] == 6

@@ -55,3 +55,12 @@ def test_ragged_table_pads():
             "<tr><td>only</td></tr></table>")
     assert html_to_markdown(html) == \
         "| A | B |\n| --- | --- |\n| only |  |"
+
+
+def test_stray_close_pre_leaves_prose_alone():
+    """Unbalanced </pre> (common in scraped HTML) must not refence
+    running prose as a code block (review finding)."""
+    assert html_to_markdown("<h1>Title</h1>some text</pre><p>after</p>") \
+        == "# Title\n\nsome text\n\nafter"
+    # balanced pre still fences
+    assert html_to_markdown("<pre>x</pre>") == "```\nx\n```"

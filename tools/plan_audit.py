@@ -59,6 +59,18 @@ def main() -> None:
     names = [n for n in qs if not only or n in only]
     store = spark._jsparkSession.sharedState().statusStore()
 
+    def drain_listener_bus() -> None:
+        # the status store is fed asynchronously; without a drain the
+        # build-phase read can miss still-queued executions (or blame
+        # them on the NEXT query)
+        try:
+            spark.sparkContext._jsc.sc().listenerBus() \
+                .waitUntilEmpty(10000)
+        except Exception:  # noqa: BLE001 — private API; best effort
+            import time
+
+            time.sleep(1.0)
+
     def last_exec_id() -> int:
         lst = store.executionsList()
         return (lst.apply(lst.size() - 1).executionId()
@@ -72,11 +84,13 @@ def main() -> None:
 
     for name in names:
         try:
+            drain_listener_bus()
             before = last_exec_id()
             df = qs[name](spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
             a = audit(plan)
             flags = " ".join(f"{k}={v}" for k, v in a.items())
+            drain_listener_bus()
             bplans = build_plans_since(before)
             if bplans:
                 b = {k: sum(audit(p)[k] for p in bplans) for k in a}

@@ -101,7 +101,8 @@ def main() -> None:
                       or args.honor_noindex or args.canonical_collapse)
     if pipeline_flags and not args.full_pipeline:
         ap.error("--fix-encoding/--host-boilerplate/"
-                 "--fuzzy-decontaminate/--wet/--cdx/--seen-digests "
+                 "--fuzzy-decontaminate/--wet/--cdx/--seen-digests/"
+                 "--honor-noindex/--canonical-collapse "
                  "require --full-pipeline")
     if args.seen_digests and not args.cdx:
         ap.error("--seen-digests requires --cdx")
