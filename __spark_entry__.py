@@ -1887,6 +1887,55 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("ppl") * 10000 + 0.5).cast("long").alias("ppl_q"))
 
 
+def mp4_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/QuickTime container metadata (extract/video.py — the video
+    sibling of the MP3/FLAC header parsers; frame decode needs ffmpeg
+    so the media path lands honest metadata_only:mp4 rows):
+    deterministic ISO-BMFF skeletons parse back through the real media
+    decode path; DuckDB replays duration (both floor divisions of the
+    timescale roundtrip), dims and track counts from the same
+    formulas."""
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 150)
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decode_status", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ])
+
+    def check(batches):
+        from docvault_ocr_service_spark.extract.video import (
+            encode_mp4_stub)
+        from docvault_ocr_service_spark.functions.multimodal import (
+            _decode_row)
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ts = (600, 1000, 90000)[d % 3]
+                tracks = [(320 + d, 240 + d % 100)]
+                if d % 4 == 0:
+                    tracks.append((0, 0))        # audio-only track
+                payload = encode_mp4_stub(
+                    1000 + d * 37, timescale=ts,
+                    tracks=tuple(tracks))
+                row = _decode_row(str(d), "video", payload)
+                rows.append((d, row["decode_status"], row["width"],
+                             row["height"], row["n_frames"],
+                             int(row["features"][0])))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields])
+
+    return docs.mapInPandas(check, schema=out_schema).orderBy("doc_id")
+
+
 def media_exif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF extraction without pixel decode (extract/exif.py — the
     orientation/provenance/geotag-privacy signals a media pipeline
@@ -3785,6 +3834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_split_stats": doc_domain_split_stats,
         "doc_mixed_language_stats": doc_mixed_language_stats,
         "media_exif_stats": media_exif_stats,
+        "mp4_video_stats": mp4_video_stats,
         # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
@@ -3802,9 +3852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist_stats": domain_blocklist_stats,
         "recrawl_batch": recrawl_batch,
         "frontier_batch": frontier_batch,
-        "frontier_crawl_delay": frontier_crawl_delay,
         # ---- end of gate prefix (50) -----------------------------------
         # -- block 2: r4/r5-driver-green, unchanged ----------------------
+        "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
         "hocr_word_stats": hocr_word_stats,
         "knn_lsh": knn_lsh,

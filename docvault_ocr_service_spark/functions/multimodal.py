@@ -126,6 +126,8 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
         return row
     if kind == "audio":
         return _decode_audio_row(row, payload)
+    if kind == "video":
+        return _decode_video_row(row, payload)
     if kind != "image":
         row["decode_status"] = f"unsupported_kind:{kind}"
         return row
@@ -205,6 +207,35 @@ def _decode_row(media_id: str, kind: str, payload: bytes | None) -> dict:
         row["decode_status"] = f"corrupted:{e}"
     except Exception as e:  # noqa: BLE001 — poison payload ≠ dead task
         row["decode_status"] = f"unexpected:{type(e).__name__}"
+    return row
+
+
+def _decode_video_row(row: dict, payload: bytes) -> dict:
+    """MP4/MOV container metadata as ``metadata_only:mp4`` rows (frame
+    decode needs ffmpeg — the MP3/FLAC/Ogg precedent).  Field mapping:
+    width/height = largest track's display size,
+    features=[duration_ms, timescale, n_tracks]."""
+    from ..extract.video import (
+        VideoFormatError, parse_mp4, sniff_video_format)
+
+    fmt = sniff_video_format(payload[:16])
+    row["format"] = fmt
+    if fmt is None:
+        row["decode_status"] = "unknown_format"
+        return row
+    try:
+        meta = parse_mp4(payload)
+        row.update({
+            "decode_status": "metadata_only:mp4",
+            "width": meta["width"] or None,
+            "height": meta["height"] or None,
+            "n_frames": meta["n_tracks"],
+            "features": [float(meta["duration_ms"]),
+                         float(meta["timescale"]),
+                         float(meta["n_tracks"])],
+        })
+    except VideoFormatError as e:
+        row["decode_status"] = f"corrupted:{e}"
     return row
 
 
