@@ -1887,6 +1887,25 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("ppl") * 10000 + 0.5).cast("long").alias("ppl_q"))
 
 
+def corpus_datasheet_stats(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """The one-call dataset datasheet (plans/report.py::
+    corpus_datasheet — size, token percentiles, language mix, exact-dup
+    rate, domain concentration): run over the documents table with
+    formula-derived urls; DuckDB recomputes every cell (tokenizer sums,
+    quantile_cont percentiles, md5 dup grouping, domain rollup)."""
+    from docvault_ocr_service_spark.plans.report import corpus_datasheet
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text",
+                                                 "lang")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://sub"), (d % 3).cast("string"),
+                   F.lit(".site"), (d % 9).cast("string"),
+                   F.lit(".co.uk/p/"), d.cast("string"))
+    return corpus_datasheet(docs.withColumn("url", url),
+                            url_col="url")
+
+
 def mp4_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP4/QuickTime container metadata (extract/video.py — the video
     sibling of the MP3/FLAC header parsers; frame decode needs ffmpeg
@@ -3835,6 +3854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixed_language_stats": doc_mixed_language_stats,
         "media_exif_stats": media_exif_stats,
         "mp4_video_stats": mp4_video_stats,
+        "corpus_datasheet_stats": corpus_datasheet_stats,
         # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
@@ -3851,9 +3871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_stats": anchor_text_stats,
         "domain_blocklist_stats": domain_blocklist_stats,
         "recrawl_batch": recrawl_batch,
-        "frontier_batch": frontier_batch,
         # ---- end of gate prefix (50) -----------------------------------
         # -- block 2: r4/r5-driver-green, unchanged ----------------------
+        "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,
         "hocr_word_stats": hocr_word_stats,

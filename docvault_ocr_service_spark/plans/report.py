@@ -1,0 +1,114 @@
+"""Corpus datasheet — the one-call statistics report a dataset release
+ships with (the "datasheets for datasets" practice): size, token
+distribution, language mix, duplication rate and domain concentration,
+computed from the same primitives the curation stages use.
+
+One wide row out; every value is exactly replayable (token counts are
+whitespace tokens, ratios are 1e-4-quantized longs so FP sum order
+can't flip a hash).  Scale shape: a handful of full-corpus aggregates
+(token/length sums, one md5 grouping for the dup rate, one domain
+grouping for concentration) — no window over the whole corpus, no
+driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_datasheet(df: DataFrame, text_col: str = "text",
+                     lang_col: str | None = "lang",
+                     url_col: str | None = None) -> DataFrame:
+    """→ one row:
+
+        n_docs, total_tokens, total_chars, p50_tokens, p90_tokens,
+        n_langs, top_lang, top_lang_share_q,
+        exact_dup_rate_q,
+        [n_domains, top_domain_share_q when url_col given]
+
+    ``*_q`` ratios are ``floor(r * 10000 + 0.5)`` longs.
+    """
+    from ..functions.textstats import token_count
+
+    c = F.col(text_col)
+    base = df.withColumn("__tok", token_count(c).cast("long")) \
+             .withColumn("__len", F.coalesce(F.length(c), F.lit(0)))
+    base = base.persist()
+    try:
+        agg = base.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__tok").cast("long").alias("total_tokens"),
+            F.sum("__len").cast("long").alias("total_chars"),
+            F.percentile(F.col("__tok"), F.lit(0.5))
+            .alias("__p50"),
+            F.percentile(F.col("__tok"), F.lit(0.9))
+            .alias("__p90"),
+        ).first()
+        n_docs = agg["n_docs"] or 0
+
+        row = {
+            "n_docs": n_docs,
+            "total_tokens": agg["total_tokens"] or 0,
+            "total_chars": agg["total_chars"] or 0,
+            "p50_tokens": float(agg["__p50"] or 0.0),
+            "p90_tokens": float(agg["__p90"] or 0.0),
+        }
+
+        if lang_col is not None and n_docs:
+            top = (base.groupBy(lang_col)
+                   .agg(F.count("*").alias("n"))
+                   .orderBy(F.col("n").desc(), F.col(lang_col).asc())
+                   .first())
+            n_langs = base.select(lang_col).distinct().count()
+            row |= {
+                "n_langs": int(n_langs),
+                "top_lang": top[lang_col],
+                "top_lang_share_q": int(top["n"] * 10000 // n_docs),
+            }
+        else:
+            row |= {"n_langs": 0, "top_lang": None,
+                    "top_lang_share_q": 0}
+
+        if n_docs:
+            # non-null-text docs only on both counts (null-payload
+            # rows are error rows, not duplicates of each other)
+            h = base.agg(
+                F.count(F.md5(c)).alias("nn"),
+                F.countDistinct(F.md5(c)).alias("nd")).first()
+            row["exact_dup_rate_q"] = int(
+                (h["nn"] - h["nd"]) * 10000 // n_docs)
+        else:
+            row["exact_dup_rate_q"] = 0
+
+        if url_col is not None and n_docs:
+            from ..functions.web import registrable_domain
+
+            host = F.lower(F.regexp_extract(
+                F.col(url_col),
+                r"^[a-zA-Z]+://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+            doms = (base.select(registrable_domain(host).alias("__d"))
+                    .groupBy("__d").agg(F.count("*").alias("n")))
+            doms = doms.persist()
+            n_domains = doms.count()
+            top_dom = doms.orderBy(F.col("n").desc(),
+                                   F.col("__d").asc()).first()
+            doms.unpersist()
+            row |= {
+                "n_domains": int(n_domains),
+                "top_domain_share_q": int(
+                    top_dom["n"] * 10000 // n_docs),
+            }
+        else:
+            row |= {"n_domains": 0, "top_domain_share_q": 0}
+    finally:
+        base.unpersist()
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [tuple(row.values())],
+        "n_docs long, total_tokens long, total_chars long, "
+        "p50_tokens double, p90_tokens double, n_langs int, "
+        "top_lang string, top_lang_share_q long, "
+        "exact_dup_rate_q long, n_domains int, "
+        "top_domain_share_q long")

@@ -534,6 +534,54 @@ def read_warc(spark, path: str, glob: str = "*.warc*"):
     return out.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
 
 
+def read_wet(spark, path: str, glob: str = "*.warc.wet*"):
+    """Directory of WET shards (Common Crawl conversion records — or
+    this engine's own ``write_wet`` output) → (url, warc_ts, text)
+    rows.  The CONSUMER side of the WET contract: tokenizer/dedup
+    pipelines that start from CC WET instead of raw WARC use this as
+    their corpus source.  Same scale shape as ``read_warc`` (one task
+    per shard, pyarrow.fs open, corrupt shards → error rows)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    files = (spark.read.format("binaryFile")
+             .option("recursiveFileLookup", "true")
+             .option("pathGlobFilter", glob)
+             .load(path)
+             .select("path"))
+
+    def kernel(batches):
+        from pyarrow import fs as pafs
+
+        cols = ["url", "warc_ts", "text"]
+        for pdf in batches:
+            for fpath in pdf["path"]:
+                rows = []
+                try:
+                    fsys, rel = pafs.FileSystem.from_uri(str(fpath))
+                    with fsys.open_input_stream(rel) as f:
+                        data = f.read()
+                    for rec in parse_warc(data):
+                        if rec["warc_type"] != "conversion":
+                            continue
+                        rows.append((rec["url"], rec["warc_ts"],
+                                     rec["html"].decode(
+                                         "utf-8", errors="replace")))
+                except (WarcFormatError, OSError):
+                    rows.append((str(fpath), None, None))
+                yield pd.DataFrame(rows, columns=cols)
+
+    out = files.mapInPandas(kernel, schema=out_schema)
+    return out.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+
 def read_warc_records(spark, plan, base_dir: str | None = None):
     """CDX-planned record reads: ``plan`` rows (filename, offset,
     length, digest) → INPUT_SCHEMA columns + the plan's ``digest``

@@ -206,3 +206,19 @@ def test_write_wet_spark(spark, tmp_path):
                 assert rec["warc_type"] == "conversion"
                 texts.add(rec["html"].decode())
     assert texts == {f"text number {i}" for i in range(20)}  # errs skipped
+
+
+def test_read_wet_roundtrip(spark, tmp_path):
+    """write_wet → read_wet: the consumer side of the WET contract."""
+    from docvault_ocr_service_spark.sources.warc import (
+        read_wet, write_wet)
+
+    rows = [(f"https://ex.com/{i}", f"extracted text {i} body")
+            for i in range(7)]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    out = tmp_path / "wet"
+    write_wet(df, str(out))
+    back = read_wet(spark, str(out))
+    got = {(r["url"], r["text"]) for r in back.collect()}
+    assert got == set(rows)
+    assert back.schema["warc_ts"].dataType.typeName() == "timestamp"
