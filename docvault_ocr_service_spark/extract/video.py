@@ -81,27 +81,36 @@ def parse_mp4(data: bytes) -> dict:
     timescale = duration = None
     n_tracks = 0
     width = height = 0
-    for fourcc, a, b in _boxes(data, *moov):
-        if fourcc == b"mvhd":
-            ver = data[a]
-            if ver == 1:
-                timescale, = struct.unpack_from(">I", data, a + 20)
-                duration, = struct.unpack_from(">Q", data, a + 24)
-            else:
-                timescale, duration = struct.unpack_from(
-                    ">II", data, a + 12)
-        elif fourcc == b"trak":
-            n_tracks += 1
-            for f2, c, d in _boxes(data, a, b):
-                if f2 != b"tkhd":
-                    continue
-                ver = data[c]
-                # width/height are the last 8 payload bytes in both
-                # versions (16.16 fixed point)
-                w16, h16 = struct.unpack_from(">II", data, d - 8)
-                w, h = w16 >> 16, h16 >> 16
-                if w * h > width * height:
-                    width, height = w, h
+    try:
+        for fourcc, a, b in _boxes(data, *moov):
+            if fourcc == b"mvhd":
+                if b - a < 24:
+                    raise VideoFormatError("truncated mvhd")
+                if data[a] == 1:
+                    if b - a < 32:
+                        raise VideoFormatError("truncated mvhd v1")
+                    timescale, = struct.unpack_from(">I", data, a + 20)
+                    duration, = struct.unpack_from(">Q", data, a + 24)
+                else:
+                    timescale, duration = struct.unpack_from(
+                        ">II", data, a + 12)
+            elif fourcc == b"trak":
+                n_tracks += 1
+                for f2, c, d in _boxes(data, a, b):
+                    if f2 != b"tkhd" or d - c < 12:
+                        # too short to hold ver/flags + the trailing
+                        # 16.16 dims — skip rather than read garbage
+                        continue
+                    # width/height are the last 8 payload bytes in
+                    # both versions (16.16 fixed point)
+                    w16, h16 = struct.unpack_from(">II", data, d - 8)
+                    w, h = w16 >> 16, h16 >> 16
+                    if w * h > width * height:
+                        width, height = w, h
+    except (struct.error, IndexError) as e:
+        # totality contract: malformed boxes are VideoFormatError,
+        # never a task-killing struct/index error
+        raise VideoFormatError(f"malformed box payload: {e}") from e
     if not timescale:
         raise VideoFormatError("no mvhd timescale")
     return {
@@ -128,7 +137,11 @@ def encode_mp4_stub(duration_ms: int, timescale: int = 1000,
     mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
     traks = b""
     for w, h in tracks:
-        tkhd_body = bytes(4) + bytes(76) \
+        # spec-valid v0 tkhd payload is 84 bytes: ver/flags(4),
+        # creation/modification/track_ID/reserved/duration (20),
+        # reserved(8), layer/alt-group/volume/reserved (8),
+        # matrix(36), width(4), height(4)
+        tkhd_body = bytes(4) + bytes(72) \
             + struct.pack(">II", w << 16, h << 16)
         tkhd = struct.pack(">I", 8 + len(tkhd_body)) + b"tkhd" \
             + tkhd_body

@@ -27,7 +27,10 @@ def corpus_datasheet(df: DataFrame, text_col: str = "text",
         exact_dup_rate_q,
         [n_domains, top_domain_share_q when url_col given]
 
-    ``*_q`` ratios are ``floor(r * 10000 + 0.5)`` longs.
+    ``*_q`` ratios are pure-floor ``n * 10000 // n_docs`` longs.
+    NULL languages are excluded from the language stats (error rows
+    are not a language); NULL texts count toward ``n_docs`` but not
+    toward the dup rate.
     """
     from ..functions.textstats import token_count
 
@@ -36,6 +39,8 @@ def corpus_datasheet(df: DataFrame, text_col: str = "text",
              .withColumn("__len", F.coalesce(F.length(c), F.lit(0)))
     base = base.persist()
     try:
+        # one pass for every whole-corpus scalar (incl. the md5 dup
+        # counts — no second full scan)
         agg = base.agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("__tok").cast("long").alias("total_tokens"),
@@ -44,6 +49,8 @@ def corpus_datasheet(df: DataFrame, text_col: str = "text",
             .alias("__p50"),
             F.percentile(F.col("__tok"), F.lit(0.9))
             .alias("__p90"),
+            F.count(F.md5(c)).cast("long").alias("__nn"),
+            F.countDistinct(F.md5(c)).cast("long").alias("__nd"),
         ).first()
         n_docs = agg["n_docs"] or 0
 
@@ -56,16 +63,25 @@ def corpus_datasheet(df: DataFrame, text_col: str = "text",
         }
 
         if lang_col is not None and n_docs:
-            top = (base.groupBy(lang_col)
-                   .agg(F.count("*").alias("n"))
-                   .orderBy(F.col("n").desc(), F.col(lang_col).asc())
-                   .first())
-            n_langs = base.select(lang_col).distinct().count()
-            row |= {
-                "n_langs": int(n_langs),
-                "top_lang": top[lang_col],
-                "top_lang_share_q": int(top["n"] * 10000 // n_docs),
-            }
+            # one bounded collect: rows = distinct languages
+            lang_rows = (base.where(F.col(lang_col).isNotNull())
+                         .groupBy(lang_col)
+                         .agg(F.count("*").alias("n"))
+                         .collect())
+            if lang_rows:
+                # ties: highest n, then lexically first language
+                best_n = max(r["n"] for r in lang_rows)
+                top = min((r for r in lang_rows if r["n"] == best_n),
+                          key=lambda r: r[lang_col])
+                row |= {
+                    "n_langs": len(lang_rows),
+                    "top_lang": top[lang_col],
+                    "top_lang_share_q": int(
+                        top["n"] * 10000 // n_docs),
+                }
+            else:
+                row |= {"n_langs": 0, "top_lang": None,
+                        "top_lang_share_q": 0}
         else:
             row |= {"n_langs": 0, "top_lang": None,
                     "top_lang_share_q": 0}
@@ -73,11 +89,8 @@ def corpus_datasheet(df: DataFrame, text_col: str = "text",
         if n_docs:
             # non-null-text docs only on both counts (null-payload
             # rows are error rows, not duplicates of each other)
-            h = base.agg(
-                F.count(F.md5(c)).alias("nn"),
-                F.countDistinct(F.md5(c)).alias("nd")).first()
             row["exact_dup_rate_q"] = int(
-                (h["nn"] - h["nd"]) * 10000 // n_docs)
+                (agg["__nn"] - agg["__nd"]) * 10000 // n_docs)
         else:
             row["exact_dup_rate_q"] = 0
 

@@ -62,3 +62,34 @@ def test_media_row_integration():
     assert bad["decode_status"].startswith("corrupted:")
     unk = _decode_row("v3", "video", b"not a video at all")
     assert unk["decode_status"] == "unknown_format"
+
+
+def test_truncated_boxes_raise_video_format_error():
+    """Totality contract (review finding): truncated mvhd/tkhd must be
+    VideoFormatError, never IndexError/struct.error."""
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" \
+        + struct.pack(">I", 0)
+    bare_mvhd = struct.pack(">I", 8) + b"mvhd"        # empty payload
+    moov = struct.pack(">I", 8 + len(bare_mvhd)) + b"moov" + bare_mvhd
+    with pytest.raises(VideoFormatError):
+        parse_mp4(ftyp + moov)
+    short_v1 = struct.pack(">I", 8 + 24) + b"mvhd" + bytes([1]) \
+        + bytes(23)
+    moov = struct.pack(">I", 8 + len(short_v1)) + b"moov" + short_v1
+    with pytest.raises(VideoFormatError):
+        parse_mp4(ftyp + moov)
+
+
+def test_short_tkhd_skipped_not_garbage():
+    """A 4-byte tkhd payload must not read header bytes as dims."""
+    good = encode_mp4_stub(1000, tracks=())
+    tiny_tkhd = struct.pack(">I", 12) + b"tkhd" + bytes(4)
+    trak = struct.pack(">I", 8 + len(tiny_tkhd)) + b"trak" + tiny_tkhd
+    # splice the bogus trak into moov: rebuild moov with extra payload
+    moov_at = good.index(b"moov") - 4
+    (moov_size,) = struct.unpack_from(">I", good, moov_at)
+    new_moov = struct.pack(">I", moov_size + len(trak)) \
+        + good[moov_at + 4:moov_at + moov_size] + trak
+    m = parse_mp4(good[:moov_at] + new_moov)
+    assert (m["width"], m["height"]) == (0, 0)
+    assert m["n_tracks"] == 1
