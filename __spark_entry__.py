@@ -3538,6 +3538,66 @@ def cdx_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_windows long")
 
 
+def webp_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VP8L §3.4 transforms (extract/webp.py): per doc, a ≤16-color
+    image round-trips through the COLOR_INDEXING encoder (bit-bundled
+    indices) and a gradient image through SUBTRACT_GREEN — both real
+    transform bitstreams decoded back to exact pixels; DuckDB replays
+    the palette size and dims and pins the equality booleans."""
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 100)
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_colors", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("palette_exact", T.BooleanType()),
+        T.StructField("palette_smaller", T.BooleanType()),
+        T.StructField("sg_exact", T.BooleanType()),
+    ])
+
+    def check(batches):
+        import numpy as np
+
+        from docvault_ocr_service_spark.extract.webp import (
+            decode_webp, encode_webp_lossless)
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 18 + d % 23
+                h = 10 + (d * 3) % 17
+                n_colors = 2 + d % 15        # 2..16: always bundled
+                # deterministic palette + index pattern
+                pal = np.array(
+                    [[(c * 37 + d) % 256, (c * 91 + 2 * d) % 256,
+                      (c * 53 + 5 * d) % 256]
+                     for c in range(n_colors)], dtype=np.uint8)
+                idx = (np.add.outer(np.arange(h), np.arange(w)) + d) \
+                    % n_colors
+                img = pal[idx]
+                enc = encode_webp_lossless(img, palette=True)
+                lit = encode_webp_lossless(img)
+                pal_ok = bool(np.array_equal(decode_webp(enc), img))
+                # gradient image through subtract-green
+                base = (np.add.outer(np.arange(h) * 3,
+                                     np.arange(w) * 7) + d) % 256
+                grad = np.dstack([base, (base + 40) % 256,
+                                  (base + 90) % 256]).astype("uint8")
+                sg = encode_webp_lossless(grad, subtract_green=True)
+                sg_ok = bool(np.array_equal(decode_webp(sg), grad))
+                rows.append((d, n_colors, w, h, pal_ok,
+                             len(enc) < len(lit), sg_ok))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields])
+
+    return docs.mapInPandas(check, schema=out_schema).orderBy("doc_id")
+
+
 def webp_backref_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VP8L LZ77 backward references, both directions (extract/
     webp.py): run-heavy deterministic fixtures → encode with
@@ -3855,6 +3915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_exif_stats": media_exif_stats,
         "mp4_video_stats": mp4_video_stats,
         "corpus_datasheet_stats": corpus_datasheet_stats,
+        "webp_transform_stats": webp_transform_stats,
         # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,

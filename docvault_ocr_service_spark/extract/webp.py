@@ -8,20 +8,26 @@ PIL handles the encode there); this engine now encodes lossless VP8L
 
 Encoder envelope: ARGB stream with per-channel canonical prefix codes
 (simple 1/2-symbol codes where a channel is near-constant, normal
-DEFLATE-style code-length-coded Huffman otherwise); no transforms, no
-color cache.  ``backrefs=True`` adds LZ77 backward references
-(horizontal dist-1 runs and copy-row-above dist-width runs — the two
-references that dominate real screenshots/thumbnails).  Every emitted
-feature is spec-conformant, so any compliant WebP decoder reads the
-output; the subset merely trades some compression for simplicity.
+DEFLATE-style code-length-coded Huffman otherwise); ``backrefs=True``
+adds LZ77 backward references (dist-1 runs + copy-row-above),
+``subtract_green=True`` / ``palette=True`` emit those two §3.4
+transforms (palette indices bit-bundled below 17 colors).  Every
+emitted feature is spec-conformant, so any compliant WebP decoder
+reads the output.
 
-Decoder envelope: VP8L with color cache AND LZ77 backward references
+Decoder envelope: VP8L with color cache, LZ77 backward references
 (full length/distance prefix scheme + the 120-entry 2-D neighbor
-distance map, RFC 9649 §3.7.2.3) — transforms and meta prefix codes
-still raise ``UnsupportedImageError`` honestly.  Lossy VP8 and
-VP8X-extended containers raise ``UnsupportedImageError`` from
-``decode_webp``; ``parse_webp_meta`` recovers their dimensions for
-metadata-only rows (the audio-codec precedent).
+distance map) and ALL FOUR §3.4 transforms — predictor (14 modes,
+sequential inverse bounded by ``MAX_PREDICTOR_PIXELS``), color
+transform (sign-extended int8 deltas), subtract-green, and color
+indexing with bit bundling — applied in reverse read order with the
+packed-width bookkeeping bundling requires.  The predictor edge rules
+follow the spec's contiguous-row addressing (rightmost-column TR =
+first pixel of the current row) and every mode is pinned by
+channel-wise reference vectors in tests.  Still honestly unsupported:
+meta prefix codes (the entropy-image tiling large photos use) and
+lossy-VP8 pixel decode; ``parse_webp_meta`` recovers dimensions for
+those as metadata-only rows (the audio-codec precedent).
 """
 
 from __future__ import annotations
@@ -394,12 +400,51 @@ def _finish_backref_encode(bw: _BitWriter, g, r, b, a,
     return _riff_wrap(bw.done())
 
 
+def _encode_subimage(bw: _BitWriter, argbs: list[int]) -> None:
+    """Entropy-coded sub-image writer (transform data / palette
+    deltas): no color cache, literal-only five-prefix-code stream."""
+    bw.write(0, 1)                            # no color cache
+    _encode_spatial(bw, argbs)
+
+
+def _encode_spatial(bw: _BitWriter, argbs: list[int]) -> None:
+    """Five prefix codes + literal pixel stream (no cache/meta bits —
+    the caller owns the preceding header layout)."""
+    chans = [[(v >> 8) & 0xFF for v in argbs],     # g
+             [(v >> 16) & 0xFF for v in argbs],    # r
+             [v & 0xFF for v in argbs],            # b
+             [(v >> 24) & 0xFF for v in argbs]]    # a
+    freqs = []
+    for k, ch in enumerate(chans):
+        fr = [0] * (_GREEN_ALPHABET if k == 0 else 256)
+        for v in ch:
+            fr[v] += 1
+        freqs.append(fr)
+    freqs.append([1] + [0] * (_DIST_ALPHABET - 1))
+    cl = [_write_prefix_code(bw, fr) for fr in freqs]
+    for i in range(len(argbs)):
+        for k in range(4):
+            cd, ln = cl[k]
+            v = chans[k][i]
+            bw.write_code(cd[v], ln[v])
+
+
 def encode_webp_lossless(pixels: np.ndarray, *,
-                         backrefs: bool = False) -> bytes:
+                         backrefs: bool = False,
+                         subtract_green: bool = False,
+                         palette: bool = False) -> bytes:
     """8-bit gray (H,W), LA (H,W,2), RGB (H,W,3) or RGBA (H,W,4)
     array → lossless WebP (VP8L) bytes.  Same accepted shapes as
     ``encode_png``; raises ValueError beyond the 16384-pixel VP8L
     dimension limit.
+
+    ``subtract_green=True`` emits the SUBTRACT_GREEN transform
+    (residual r/b channels); ``palette=True`` emits COLOR_INDEXING
+    (≤256 unique colors required; indices bit-bundled below 17
+    colors) — both real RFC 9649 §3.4 transforms any compliant
+    decoder reads, and the honest round-trip exercise for this
+    module's inverse-transform path.  The two are mutually exclusive
+    here (spec allows it; this encoder keeps the matrix simple).
 
     Shape contract with decode_webp: the VP8L header's alpha hint is
     set only when some alpha byte != 255, and decode_webp returns
@@ -430,18 +475,71 @@ def encode_webp_lossless(pixels: np.ndarray, *,
     if a is None:
         a = np.full((h, w), 255, dtype=np.uint8)
 
+    if subtract_green and palette:
+        raise ValueError("subtract_green and palette are mutually "
+                         "exclusive in this encoder")
+
     bw = _BitWriter()
     bw.write(0x2F, 8)                         # VP8L signature
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
     bw.write(1 if alpha_used else 0, 1)
     bw.write(0, 3)                            # version
-    bw.write(0, 1)                            # no transforms
+
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)                        # SUBTRACT_GREEN
+        r = (r - g).astype(np.uint8)          # uint8 wrap == mod 256
+        b = (b - g).astype(np.uint8)
+    if palette:
+        argb = ((a.astype(np.uint32) << 24)
+                | (r.astype(np.uint32) << 16)
+                | (g.astype(np.uint32) << 8)
+                | b.astype(np.uint32))
+        colors = sorted(int(v) for v in np.unique(argb))
+        n_colors = len(colors)
+        if n_colors > 256:
+            raise ValueError(
+                f"palette encode needs <= 256 unique colors, "
+                f"got {n_colors}")
+        bw.write(1, 1)
+        bw.write(3, 2)                        # COLOR_INDEXING
+        bw.write(n_colors - 1, 8)
+        deltas, prev = [], 0
+        for cur in colors:
+            dlt = 0
+            for sh in (24, 16, 8, 0):
+                dlt |= ((((cur >> sh) - (prev >> sh)) & 0xFF) << sh)
+            deltas.append(dlt)
+            prev = cur
+        _encode_subimage(bw, deltas)
+        lut = {c: i for i, c in enumerate(colors)}
+        idx = np.vectorize(lut.__getitem__)(argb).astype(np.uint8)
+        width_bits = (3 if n_colors <= 2 else 2 if n_colors <= 4
+                      else 1 if n_colors <= 16 else 0)
+        if width_bits:
+            per = 1 << width_bits
+            bpp = 8 >> width_bits
+            pw = (w + per - 1) // per
+            padded = np.zeros((h, pw * per), np.uint32)
+            padded[:, :w] = idx
+            weights = (1 << (np.arange(per) * bpp)).astype(np.uint32)
+            packed = (padded.reshape(h, pw, per)
+                      * weights[None, None, :]).sum(axis=2)
+            g = packed.astype(np.uint8)
+        else:
+            g = idx
+        r = np.zeros_like(g)
+        b = np.zeros_like(g)
+        a = np.full_like(g, 255)
+
+    bw.write(0, 1)                            # end of transforms
     bw.write(0, 1)                            # no color cache
     bw.write(0, 1)                            # no meta prefix codes
 
+    ph, pw = g.shape                          # payload (packed) dims
     if backrefs:
-        return _finish_backref_encode(bw, g, r, b, a, h, w)
+        return _finish_backref_encode(bw, g, r, b, a, ph, pw)
 
     flat = [c.ravel() for c in (g, r, b, a)]  # stream order G,R,B,A
     freq_g = [0] * _GREEN_ALPHABET
@@ -460,7 +558,7 @@ def encode_webp_lossless(pixels: np.ndarray, *,
     # vectorized payload pack: per-pixel (code, length) for the four
     # interleaved channels → one MSB-first bit expansion → one LSB-first
     # byte pack (np.packbits little = the VP8L/DEFLATE stream order)
-    n = h * w
+    n = ph * pw
     codes = np.empty(4 * n, dtype=np.int64)
     lens = np.empty(4 * n, dtype=np.int64)
     for k, ((cd, ln), ch) in enumerate(zip(codes_lengths[:4], flat)):
@@ -493,6 +591,68 @@ def encode_webp_lossless(pixels: np.ndarray, *,
 
 
 # -- decoder ------------------------------------------------------------------
+
+def _decode_subimage(br: _BitReader, w: int, h: int) -> list[int]:
+    """Entropy-coded sub-image (transform data / palettes, RFC 9649
+    §3.4): its own optional color cache + five prefix codes + pixel
+    stream with LZ77 backrefs, decoded through the slow bit-by-bit
+    path (sub-images are tiny — predictor/color-transform block grids
+    and ≤256-entry palettes).  Returns ARGB ints in scan order."""
+    cache_bits = 0
+    cache: list[int] | None = None
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ImageDecodeError(f"bad color-cache size {cache_bits}")
+        cache = [0] * (1 << cache_bits)
+    green_alpha = _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits
+                                     else 0)
+    dec_g = _read_prefix_code(br, green_alpha)
+    dec_r = _read_prefix_code(br, 256)
+    dec_b = _read_prefix_code(br, 256)
+    dec_a = _read_prefix_code(br, 256)
+    dec_d = _read_prefix_code(br, _DIST_ALPHABET)
+
+    n = w * h
+    out: list[int] = []
+    while len(out) < n:
+        s = dec_g.read(br)
+        if s < 256:
+            g = s
+            r = dec_r.read(br)
+            b = dec_b.read(br)
+            a = dec_a.read(br)
+            argb = (a << 24) | (r << 16) | (g << 8) | b
+            out.append(argb)
+        elif s < _GREEN_ALPHABET:
+            length = _lz77_prefix_value(s - 256, br.read)
+            dist_code = _lz77_prefix_value(dec_d.read(br), br.read)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = dx + dy * w
+                if dist < 1:
+                    dist = 1
+            i = len(out)
+            if dist > i or i + length > n:
+                raise ImageDecodeError(
+                    "sub-image backward reference out of range")
+            for k in range(length):
+                out.append(out[i - dist + k])
+            if cache is not None:
+                for argb in out[i:i + length]:
+                    cache[(_CACHE_MULT * argb & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = argb
+            continue
+        else:
+            out.append(cache[s - _GREEN_ALPHABET])
+            continue
+        if cache is not None:
+            cache[(_CACHE_MULT * argb & 0xFFFFFFFF)
+                  >> (32 - cache_bits)] = argb
+    return out
+
 
 def _read_prefix_code(br: _BitReader, alphabet_size: int
                       ) -> _PrefixDecoder:
@@ -559,6 +719,191 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int
     return _PrefixDecoder(lengths)
 
 
+# -- inverse transforms (RFC 9649 §3.4) --------------------------------------
+
+# predictor envelope: the mode dispatch is a per-pixel Python loop —
+# bounded honestly rather than stalling a task on a huge frame
+MAX_PREDICTOR_PIXELS = 1 << 20
+
+
+def _inv_subtract_green(img: np.ndarray) -> np.ndarray:
+    img[..., 0] += img[..., 1]          # uint8 wrap == mod 256
+    img[..., 2] += img[..., 1]
+    return img
+
+
+def _inv_color_transform(img: np.ndarray, sb: int, tdata: list[int],
+                         tw: int) -> np.ndarray:
+    """Per-block ColorTransformElement inverse: red += Δ(g2r, green);
+    blue += Δ(g2b, green) + Δ(r2b, new_red); Δ(t, c) = (int8 t ×
+    int8 c) >> 5 (arithmetic shift — Python's >> on negatives)."""
+    h, w = img.shape[:2]
+    bx = (np.arange(w) >> sb)
+    by = (np.arange(h) >> sb)
+    cte = np.array(tdata, dtype=np.uint32)[by[:, None] * tw
+                                           + bx[None, :]]
+
+    def s8(v):
+        return v.astype(np.uint8).astype(np.int8).astype(np.int32)
+
+    g2r = s8(cte & 0xFF)                # stored in the blue channel
+    g2b = s8((cte >> 8) & 0xFF)         # green channel
+    r2b = s8((cte >> 16) & 0xFF)        # red channel
+    g = s8(img[..., 1].astype(np.uint32))
+    red = (img[..., 0].astype(np.int32) + ((g2r * g) >> 5)) & 0xFF
+    blue = (img[..., 2].astype(np.int32) + ((g2b * g) >> 5)
+            + ((r2b * s8(red.astype(np.uint32))) >> 5)) & 0xFF
+    img[..., 0] = red.astype(np.uint8)
+    img[..., 2] = blue.astype(np.uint8)
+    return img
+
+
+def _inv_color_indexing(img: np.ndarray, palette: list[int],
+                        n_colors: int, width_bits: int,
+                        full_w: int) -> np.ndarray:
+    """Green-channel palette indices (bit-bundled when ≤16 colors) →
+    full-width ARGB rows."""
+    h = img.shape[0]
+    idx = img[:, :, 1].astype(np.int32)
+    if width_bits:
+        bpp = 8 >> width_bits
+        per = 1 << width_bits
+        xs = np.arange(full_w)
+        src = idx[:, xs >> width_bits]
+        shifts = ((xs & (per - 1)) * bpp).astype(np.int32)
+        vals = (src >> shifts[None, :]) & ((1 << bpp) - 1)
+    else:
+        vals = idx[:, :full_w]
+    if vals.size and int(vals.max()) >= n_colors:
+        raise ImageDecodeError("palette index out of range")
+    pal = np.array(palette, dtype=np.uint32)
+    argb = pal[vals]
+    out = np.empty((h, full_w, 4), np.uint8)
+    out[..., 0] = (argb >> 16) & 0xFF
+    out[..., 1] = (argb >> 8) & 0xFF
+    out[..., 2] = argb & 0xFF
+    out[..., 3] = (argb >> 24) & 0xFF
+    return out
+
+
+_HI = 0xFF00FF00
+_LO = 0x00FF00FF
+
+
+def _padd(x: int, y: int) -> int:
+    """Per-channel (a,r,g,b) addition mod 256 on packed ARGB ints."""
+    return ((((x & _HI) + (y & _HI)) & _HI)
+            | (((x & _LO) + (y & _LO)) & _LO))
+
+
+def _pavg(x: int, y: int) -> int:
+    """Per-channel floor average on packed ARGB ints."""
+    return (((x ^ y) & 0xFEFEFEFE) >> 1) + (x & y)
+
+
+def _psel(L: int, T: int, TL: int) -> int:
+    pT = pL = 0
+    for sh in (24, 16, 8, 0):
+        lc = (L >> sh) & 0xFF
+        tc = (T >> sh) & 0xFF
+        cc = (TL >> sh) & 0xFF
+        p = lc + tc - cc
+        pT += abs(p - tc)
+        pL += abs(p - lc)
+    return T if pT <= pL else L
+
+
+def _pcaf(L: int, T: int, TL: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF)
+        v = 0 if v < 0 else (255 if v > 255 else v)
+        out |= v << sh
+    return out
+
+
+def _pcah(av: int, TL: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (av >> sh) & 0xFF
+        b = (TL >> sh) & 0xFF
+        q = a - b
+        half = (q // 2) if q >= 0 else -((-q) // 2)   # C truncation
+        v = a + half
+        v = 0 if v < 0 else (255 if v > 255 else v)
+        out |= v << sh
+    return out
+
+
+def _inv_predictor(img: np.ndarray, sb: int, tdata: list[int],
+                   tw: int) -> np.ndarray:
+    """Sequential predictor inverse.  Edge rules per the spec /
+    libwebp's contiguous-row addressing: (0,0) predicts opaque black,
+    the rest of row 0 predicts L, column 0 predicts T, and TR for the
+    rightmost column is ``out[i - w + 1]`` — which by contiguity is
+    the FIRST pixel of the current row."""
+    h, w = img.shape[:2]
+    res = ((img[..., 3].astype(np.uint32) << 24)
+           | (img[..., 0].astype(np.uint32) << 16)
+           | (img[..., 1].astype(np.uint32) << 8)
+           | img[..., 2].astype(np.uint32)).ravel().tolist()
+    out = res
+    for y in range(h):
+        base = y * w
+        trow = (y >> sb) * tw
+        for x in range(w):
+            i = base + x
+            if y == 0:
+                pred = 0xFF000000 if x == 0 else out[i - 1]
+            elif x == 0:
+                pred = out[i - w]
+            else:
+                mode = (tdata[trow + (x >> sb)] >> 8) & 0xFF
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = out[i - 1]
+                elif mode == 2:
+                    pred = out[i - w]
+                elif mode == 3:
+                    pred = out[i - w + 1]
+                elif mode == 4:
+                    pred = out[i - w - 1]
+                elif mode == 5:
+                    pred = _pavg(_pavg(out[i - 1], out[i - w + 1]),
+                                 out[i - w])
+                elif mode == 6:
+                    pred = _pavg(out[i - 1], out[i - w - 1])
+                elif mode == 7:
+                    pred = _pavg(out[i - 1], out[i - w])
+                elif mode == 8:
+                    pred = _pavg(out[i - w - 1], out[i - w])
+                elif mode == 9:
+                    pred = _pavg(out[i - w], out[i - w + 1])
+                elif mode == 10:
+                    pred = _pavg(_pavg(out[i - 1], out[i - w - 1]),
+                                 _pavg(out[i - w], out[i - w + 1]))
+                elif mode == 11:
+                    pred = _psel(out[i - 1], out[i - w],
+                                 out[i - w - 1])
+                elif mode == 12:
+                    pred = _pcaf(out[i - 1], out[i - w],
+                                 out[i - w - 1])
+                elif mode == 13:
+                    pred = _pcah(_pavg(out[i - 1], out[i - w]),
+                                 out[i - w - 1])
+                else:
+                    raise ImageDecodeError(
+                        f"invalid predictor mode {mode}")
+            out[i] = _padd(out[i], pred)
+    arr = np.array(out, dtype=np.uint32).reshape(h, w)
+    img[..., 0] = ((arr >> 16) & 0xFF).astype(np.uint8)
+    img[..., 1] = ((arr >> 8) & 0xFF).astype(np.uint8)
+    img[..., 2] = (arr & 0xFF).astype(np.uint8)
+    img[..., 3] = ((arr >> 24) & 0xFF).astype(np.uint8)
+    return img
+
+
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP bytes → uint8 (H,W,3) RGB, or (H,W,4) RGBA when the alpha
     hint is set.  VP8L subset: color cache and LZ77 backward
@@ -595,8 +940,54 @@ def decode_webp(data: bytes) -> np.ndarray:
     alpha_used = br.read(1)
     if br.read(3) != 0:
         raise ImageDecodeError("unknown VP8L version")
-    if br.read(1):
-        raise UnsupportedImageError("VP8L transforms not supported")
+
+    # transforms (RFC 9649 §3.4): read in stream order, inverses
+    # applied in REVERSE; each transform's block grid / palette is an
+    # entropy-coded sub-image sized by the image width AT ITS READ
+    # TIME (color-indexing with bit bundling shrinks the width for
+    # everything read after it)
+    transforms: list[tuple] = []      # (type, read_time_w, *params)
+    seen_t: set[int] = set()
+    w_cur = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen_t:
+            raise ImageDecodeError("duplicate VP8L transform")
+        seen_t.add(ttype)
+        if ttype in (0, 1):
+            sb = br.read(3) + 2
+            tw = (w_cur + (1 << sb) - 1) >> sb
+            th = (h + (1 << sb) - 1) >> sb
+            if tw * th > MAX_DECODE_PIXELS:
+                raise UnsupportedImageError(
+                    "transform sub-image beyond decode envelope")
+            tdata = _decode_subimage(br, tw, th)
+            if ttype == 0 and h * w_cur > MAX_PREDICTOR_PIXELS:
+                raise UnsupportedImageError(
+                    f"predictor transform image {w_cur}x{h} exceeds "
+                    f"the {MAX_PREDICTOR_PIXELS}-pixel pure-python "
+                    f"envelope")
+            transforms.append((ttype, w_cur, sb, tdata, tw))
+        elif ttype == 2:
+            transforms.append((2, w_cur))
+        else:
+            n_colors = br.read(8) + 1
+            deltas = _decode_subimage(br, n_colors, 1)
+            palette, prev = [], 0
+            for dlt in deltas:
+                cur = 0
+                for sh in (24, 16, 8, 0):
+                    cur |= ((((prev >> sh) + (dlt >> sh)) & 0xFF)
+                            << sh)
+                palette.append(cur)
+                prev = cur
+            width_bits = (3 if n_colors <= 2 else 2 if n_colors <= 4
+                          else 1 if n_colors <= 16 else 0)
+            transforms.append((3, w_cur, palette, n_colors,
+                               width_bits))
+            if width_bits:
+                w_cur = (w_cur + (1 << width_bits) - 1) >> width_bits
+
     cache_bits = 0
     cache = None
     if br.read(1):
@@ -705,7 +1096,7 @@ def decode_webp(data: bytes) -> np.ndarray:
         pos += nb
         return v
 
-    n = h * w
+    n = h * w_cur
     out = bytearray(4 * n)
     i = 0
     while i < n:
@@ -738,7 +1129,7 @@ def decode_webp(data: bytes) -> np.ndarray:
                         dist = dist_code - 120
                     else:
                         dx, dy = _DIST_MAP[dist_code - 1]
-                        dist = dx + dy * w
+                        dist = dx + dy * w_cur
                         if dist < 1:
                             dist = 1
                     if dist > i or i + length > n:
@@ -785,7 +1176,17 @@ def decode_webp(data: bytes) -> np.ndarray:
             cache[(_CACHE_MULT * argb & 0xFFFFFFFF) >> (32 - cache_bits)] \
                 = argb
         i += 1
-    img = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 4)
+    img = np.frombuffer(bytes(out), dtype=np.uint8) \
+        .reshape(h, w_cur, 4).copy()
+    for t in reversed(transforms):
+        if t[0] == 0:
+            img = _inv_predictor(img, t[2], t[3], t[4])
+        elif t[0] == 1:
+            img = _inv_color_transform(img, t[2], t[3], t[4])
+        elif t[0] == 2:
+            img = _inv_subtract_green(img)
+        else:
+            img = _inv_color_indexing(img, t[2], t[3], t[4], t[1])
     return img if alpha_used else img[..., :3].copy()
 
 

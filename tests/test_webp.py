@@ -78,18 +78,17 @@ def test_sniff_and_container_taxonomy():
         decode_webp(data[:20])
 
 
-def test_transform_unsupported():
+def test_corrupt_transform_bits_rejected():
     img = np.full((2, 2, 3), 1, np.uint8)
     good = encode_webp_lossless(img)
     # flip the no-transform bit (first bit after the 37-bit header
     # inside the VP8L payload): signature byte + 14+14+1+3 = bit 40
-    # of the payload → byte 5, bit 0
+    # of the payload → byte 5, bit 0 — the following bits then parse
+    # as a bogus transform and must fail loudly, never as garbage
     start = good.index(b"VP8L") + 8
     broken = bytearray(good)
     broken[start + 5] |= 0x01
     with pytest.raises(ImageDecodeError):
-        # transform bit now set: next bits parse as a transform type —
-        # either honest Unsupported or a decode error, never garbage
         decode_webp(bytes(broken))
 
 
@@ -406,3 +405,261 @@ def test_decode_bomb_rejected_fast():
     with pytest.raises(UnsupportedImageError, match="decode envelope"):
         decode_webp(bomb)
     assert time.monotonic() - t0 < 1.0
+
+
+# -- transform tests ----------------------------------------------------------
+
+def _wrap_vp8l(payload):
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _ref_predict(mode, px, x, y, w):
+    """Channel-wise (a, r, g, b) reference predictor — written from
+    the spec pseudocode independently of the decoder's packed-int
+    arithmetic, so packed-add/avg bugs can't self-confirm."""
+    L = px[y * w + x - 1]
+    T = px[(y - 1) * w + x]
+    TL = px[(y - 1) * w + x - 1]
+    # TR: contiguous addressing — for x = w-1 this is the first pixel
+    # of the CURRENT row
+    TR = px[(y - 1) * w + x + 1]
+
+    def avg2(p, q):
+        return tuple((pc + qc) >> 1 for pc, qc in zip(p, q))
+
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return avg2(avg2(L, TR), T)
+    if mode == 6:
+        return avg2(L, TL)
+    if mode == 7:
+        return avg2(L, T)
+    if mode == 8:
+        return avg2(TL, T)
+    if mode == 9:
+        return avg2(T, TR)
+    if mode == 10:
+        return avg2(avg2(L, TL), avg2(T, TR))
+    if mode == 11:
+        pT = sum(abs(lc - cc) for lc, cc in zip(L, TL))
+        pL = sum(abs(tc - cc) for tc, cc in zip(T, TL))
+        return T if pT <= pL else L
+    if mode == 12:
+        return tuple(min(255, max(0, lc + tc - cc))
+                     for lc, tc, cc in zip(L, T, TL))
+    if mode == 13:
+        av = tuple((lc + tc) >> 1 for lc, tc in zip(L, T))
+        outp = []
+        for ac, cc in zip(av, TL):
+            q = ac - cc
+            half = (q // 2) if q >= 0 else -((-q) // 2)
+            outp.append(min(255, max(0, ac + half)))
+        return tuple(outp)
+    raise AssertionError(mode)
+
+
+def _predictor_residual_argbs(img, sb, modes, tw):
+    """Forward predictor pass (test-side reference) → residual ARGBs
+    in scan order."""
+    h, w = img.shape[:2]
+    px = [(int(img[y, x, 3]), int(img[y, x, 0]), int(img[y, x, 1]),
+           int(img[y, x, 2]))
+          for y in range(h) for x in range(w)]
+    res = []
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if y == 0 and x == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = px[i - 1]
+            elif x == 0:
+                pred = px[i - w]
+            else:
+                mode = modes[(y >> sb) * tw + (x >> sb)]
+                pred = _ref_predict(mode, px, x, y, w)
+            a8, r8, g8, b8 = ((pc - qc) & 0xFF
+                              for pc, qc in zip(px[i], pred))
+            res.append((a8 << 24) | (r8 << 16) | (g8 << 8) | b8)
+    return res
+
+
+def _build_transform_stream(w, h, writer_fns, payload_argbs):
+    """Header + transform chunks (each fn writes one transform after
+    its 1-bit presence flag) + cache/meta bits + literal payload."""
+    from docvault_ocr_service_spark.extract.webp import (
+        _BitWriter, _encode_spatial)
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1, 1)               # alpha hint: keep 4 channels
+    bw.write(0, 3)
+    for fn in writer_fns:
+        bw.write(1, 1)
+        fn(bw)
+    bw.write(0, 1)               # end of transforms
+    bw.write(0, 1)               # no cache
+    bw.write(0, 1)               # no meta
+    _encode_spatial(bw, payload_argbs)
+    return _wrap_vp8l(bw.done())
+
+
+def test_predictor_transform_all_modes():
+    """Each of the 14 predictor modes reconstructs exactly from
+    residuals computed by the channel-wise reference."""
+    from docvault_ocr_service_spark.extract.webp import _encode_subimage
+
+    rng = np.random.default_rng(5)
+    for mode in range(14):
+        img = rng.integers(0, 256, (6, 9, 4)).astype(np.uint8)
+        sb, tw = 4, 1                 # one 16x16 block
+        res = _predictor_residual_argbs(img, sb, [mode], tw)
+
+        def t_pred(bw, mode=mode, sb=sb):
+            bw.write(0, 2)            # PREDICTOR
+            bw.write(sb - 2, 3)
+            _encode_subimage(bw, [mode << 8])
+
+        got = decode_webp(_build_transform_stream(9, 6, [t_pred], res))
+        assert np.array_equal(got, img), f"mode {mode}"
+
+
+def test_predictor_transform_mixed_block_grid():
+    """A 3x2 grid of different modes over a 12x9 image — block
+    addressing, rightmost-column TR wrap, and mode switches."""
+    from docvault_ocr_service_spark.extract.webp import _encode_subimage
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (9, 12, 4)).astype(np.uint8)
+    sb = 2                            # 4x4 blocks -> tw=3, th=3
+    tw = 3
+    modes = [1, 7, 11, 2, 13, 5, 12, 9, 3]
+    res = _predictor_residual_argbs(img, sb, modes, tw)
+
+    def t_pred(bw):
+        bw.write(0, 2)
+        bw.write(sb - 2, 3)
+        _encode_subimage(bw, [m << 8 for m in modes])
+
+    got = decode_webp(_build_transform_stream(12, 9, [t_pred], res))
+    assert np.array_equal(got, img)
+
+
+def test_color_transform_roundtrip():
+    """Forward color transform computed channel-wise (sign-extended
+    int8 products, arithmetic >>5) must invert exactly."""
+    from docvault_ocr_service_spark.extract.webp import _encode_subimage
+
+    def s8(v):
+        return v - 256 if v >= 128 else v
+
+    def delta(t, c):
+        return (s8(t) * s8(c)) >> 5
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (8, 10, 4)).astype(np.uint8)
+    h, w = 8, 10
+    sb, tw = 2, 3                     # 4x4 blocks: 3x2 grid
+    ctes = [(g2r, g2b, r2b) for g2r, g2b, r2b in
+            [(17, 250, 3), (0, 0, 0), (130, 40, 200),
+             (255, 1, 128), (64, 64, 64), (5, 250, 9)]]
+    res = []
+    for y in range(h):
+        for x in range(w):
+            g2r, g2b, r2b = ctes[(y >> sb) * tw + (x >> sb)]
+            a8, r8, g8, b8 = (int(img[y, x, 3]), int(img[y, x, 0]),
+                              int(img[y, x, 1]), int(img[y, x, 2]))
+            # forward = subtract the deltas the decoder adds back
+            nr = (r8 - delta(g2r, g8)) & 0xFF
+            nb = (b8 - delta(g2b, g8) - delta(r2b, r8)) & 0xFF
+            res.append((a8 << 24) | (nr << 16) | (g8 << 8) | nb)
+
+    def t_ct(bw):
+        bw.write(1, 2)                # COLOR_TRANSFORM
+        bw.write(sb - 2, 3)
+        _encode_subimage(bw, [(r2b << 16) | (g2b << 8) | g2r
+                              for g2r, g2b, r2b in ctes])
+
+    got = decode_webp(_build_transform_stream(w, h, [t_ct], res))
+    assert np.array_equal(got, img)
+
+
+def test_subtract_green_and_palette_encoders():
+    """The two encoder-side transforms round-trip across shapes and
+    bundling levels (compliant-decoder-readable output)."""
+    rng = np.random.default_rng(11)
+    for shape in ((7, 5, 3), (16, 16, 4), (9, 9), (3, 20, 2)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        got = decode_webp(encode_webp_lossless(img, subtract_green=True))
+        assert np.array_equal(got, _expect(img)), shape
+
+    for ncol in (2, 4, 13, 40, 200):
+        vals = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        img = vals[rng.integers(0, ncol, (9, 17))]
+        got = decode_webp(encode_webp_lossless(img, palette=True))
+        assert np.array_equal(got, img), ncol
+    # bundled palette + backrefs together
+    img = np.zeros((12, 40, 3), np.uint8)
+    img[:, :20] = (10, 200, 30)
+    got = decode_webp(encode_webp_lossless(img, palette=True,
+                                           backrefs=True))
+    assert np.array_equal(got, img)
+    with pytest.raises(ValueError, match="256 unique"):
+        encode_webp_lossless(
+            rng.integers(0, 256, (40, 40, 3)).astype(np.uint8),
+            palette=True)
+
+
+def test_transform_chain_reverse_order():
+    """SUBTRACT_GREEN read after PREDICTOR: inverses must apply in
+    reverse read order (green added back BEFORE prediction)."""
+    from docvault_ocr_service_spark.extract.webp import _encode_subimage
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (5, 7, 4)).astype(np.uint8)
+    sb, tw = 4, 1
+    res = _predictor_residual_argbs(img, sb, [7], tw)
+    # forward subtract-green ON THE RESIDUALS (the later-read
+    # transform is the outermost forward pass)
+    sg = []
+    for v in res:
+        a8, r8, g8, b8 = (v >> 24) & 255, (v >> 16) & 255,             (v >> 8) & 255, v & 255
+        sg.append((a8 << 24) | (((r8 - g8) & 255) << 16) | (g8 << 8)
+                  | ((b8 - g8) & 255))
+
+    def t_pred(bw):
+        bw.write(0, 2)
+        bw.write(sb - 2, 3)
+        _encode_subimage(bw, [7 << 8])
+
+    def t_sg(bw):
+        bw.write(2, 2)
+
+    got = decode_webp(_build_transform_stream(7, 5, [t_pred, t_sg],
+                                              sg))
+    assert np.array_equal(got, img)
+
+
+def test_duplicate_transform_rejected():
+    def t_sg(bw):
+        bw.write(2, 2)
+
+    with pytest.raises(ImageDecodeError, match="duplicate"):
+        decode_webp(_build_transform_stream(
+            2, 2, [t_sg, t_sg],
+            [0xFF000000] * 4))
