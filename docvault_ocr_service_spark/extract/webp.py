@@ -24,10 +24,11 @@ indexing with bit bundling — applied in reverse read order with the
 packed-width bookkeeping bundling requires.  The predictor edge rules
 follow the spec's contiguous-row addressing (rightmost-column TR =
 first pixel of the current row) and every mode is pinned by
-channel-wise reference vectors in tests.  Still honestly unsupported:
-meta prefix codes (the entropy-image tiling large photos use) and
-lossy-VP8 pixel decode; ``parse_webp_meta`` recovers dimensions for
-those as metadata-only rows (the audio-codec precedent).
+channel-wise reference vectors in tests.  Meta prefix codes (the
+entropy-image code-group tiling) decode through a bounded slow path.
+The ONLY remaining gap is lossy-VP8 pixel decode (a full intra video
+codec — out of scope); ``parse_webp_meta`` recovers its dimensions
+as metadata-only rows (the audio-codec precedent).
 """
 
 from __future__ import annotations
@@ -719,6 +720,73 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int
     return _PrefixDecoder(lengths)
 
 
+def _slow_pixels(br: _BitReader, w: int, h: int, groups: list[tuple],
+                 entropy_idx: list[int], etw: int, meta_sb: int,
+                 cache: list[int] | None, cache_bits: int) -> bytearray:
+    """Per-pixel main-image decode with meta-prefix group selection
+    (the slow bit-by-bit path, bounded by the caller's envelope).
+    Returns the RGBA bytearray the shared transform tail consumes."""
+    n = w * h
+    out = bytearray(4 * n)
+    i = 0
+    while i < n:
+        y, x = divmod(i, w)
+        gg, gr, gb, ga, gd = groups[
+            entropy_idx[(y >> meta_sb) * etw + (x >> meta_sb)]]
+        s = gg.read(br)
+        if s < 256:
+            g = s
+            r = gr.read(br)
+            b = gb.read(br)
+            a = ga.read(br)
+        elif s < _GREEN_ALPHABET:
+            length = _lz77_prefix_value(s - 256, br.read)
+            dist_code = _lz77_prefix_value(gd.read(br), br.read)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = dx + dy * w
+                if dist < 1:
+                    dist = 1
+            if dist > i or i + length > n:
+                raise ImageDecodeError(
+                    "VP8L backward reference out of range")
+            src = (i - dist) * 4
+            dst = i * 4
+            end = dst + length * 4
+            while dst < end:
+                chunk = min(dst - src, end - dst)
+                out[dst:dst + chunk] = out[src:src + chunk]
+                dst += chunk
+            if cache is not None:
+                for k in range(i, i + length):
+                    b4 = 4 * k
+                    argb = ((out[b4 + 3] << 24) | (out[b4] << 16)
+                            | (out[b4 + 1] << 8) | out[b4 + 2])
+                    cache[(_CACHE_MULT * argb & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = argb
+            i += length
+            continue
+        else:
+            argb = cache[s - _GREEN_ALPHABET]
+            g = (argb >> 8) & 0xFF
+            r = (argb >> 16) & 0xFF
+            b = argb & 0xFF
+            a = (argb >> 24) & 0xFF
+        base = 4 * i
+        out[base] = r
+        out[base + 1] = g
+        out[base + 2] = b
+        out[base + 3] = a
+        if cache is not None:
+            argb = (a << 24) | (r << 16) | (g << 8) | b
+            cache[(_CACHE_MULT * argb & 0xFFFFFFFF)
+                  >> (32 - cache_bits)] = argb
+        i += 1
+    return out
+
+
 # -- inverse transforms (RFC 9649 §3.4) --------------------------------------
 
 # predictor envelope: the mode dispatch is a per-pixel Python loop —
@@ -906,8 +974,8 @@ def _inv_predictor(img: np.ndarray, sb: int, tdata: list[int],
 
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP bytes → uint8 (H,W,3) RGB, or (H,W,4) RGBA when the alpha
-    hint is set.  VP8L subset: color cache and LZ77 backward
-    references supported; transforms and meta prefix codes are not.
+    hint is set.  Full VP8L: color cache, LZ77 backward references,
+    all four transforms, meta prefix codes (bounded slow path).
     Lossy VP8 / extended VP8X containers raise
     ``UnsupportedImageError`` (use ``parse_webp_meta`` for their
     dimensions)."""
@@ -995,10 +1063,52 @@ def decode_webp(data: bytes) -> np.ndarray:
         if not 1 <= cache_bits <= 11:
             raise ImageDecodeError(f"bad color-cache size {cache_bits}")
         cache = [0] * (1 << cache_bits)
+
+    # meta prefix codes (RFC 9649 §3.7.1.1): an entropy image maps
+    # each block to one of several prefix-code GROUPS; meta-bearing
+    # images decode through the slow per-pixel path, bounded by the
+    # predictor envelope (the fast segmented machinery assumes one
+    # code group for the whole stream)
+    entropy_idx = None
+    meta_sb = etw = 0
     if br.read(1):
-        raise UnsupportedImageError("VP8L meta prefix codes "
-                                    "not supported")
+        meta_sb = br.read(3) + 2
+        etw = (w_cur + (1 << meta_sb) - 1) >> meta_sb
+        eth = (h + (1 << meta_sb) - 1) >> meta_sb
+        if etw * eth > MAX_DECODE_PIXELS:
+            raise UnsupportedImageError(
+                "entropy image beyond decode envelope")
+        if h * w_cur > MAX_PREDICTOR_PIXELS:
+            raise UnsupportedImageError(
+                f"meta-prefix image {w_cur}x{h} exceeds the "
+                f"{MAX_PREDICTOR_PIXELS}-pixel slow-path envelope")
+        eimg = _decode_subimage(br, etw, eth)
+        entropy_idx = [(v >> 8) & 0xFFFF for v in eimg]
+
     green_alpha = _GREEN_ALPHABET + (1 << cache_bits if cache_bits else 0)
+    if entropy_idx is not None:
+        groups = []
+        for _ in range(max(entropy_idx) + 1):
+            groups.append((_read_prefix_code(br, green_alpha),
+                           _read_prefix_code(br, 256),
+                           _read_prefix_code(br, 256),
+                           _read_prefix_code(br, 256),
+                           _read_prefix_code(br, _DIST_ALPHABET)))
+        out = _slow_pixels(br, w_cur, h, groups, entropy_idx, etw,
+                           meta_sb, cache, cache_bits)
+        img = np.frombuffer(bytes(out), dtype=np.uint8) \
+            .reshape(h, w_cur, 4).copy()
+        for t in reversed(transforms):
+            if t[0] == 0:
+                img = _inv_predictor(img, t[2], t[3], t[4])
+            elif t[0] == 1:
+                img = _inv_color_transform(img, t[2], t[3], t[4])
+            elif t[0] == 2:
+                img = _inv_subtract_green(img)
+            else:
+                img = _inv_color_indexing(img, t[2], t[3], t[4], t[1])
+        return img if alpha_used else img[..., :3].copy()
+
     dec_g = _read_prefix_code(br, green_alpha)
     dec_r = _read_prefix_code(br, 256)
     dec_b = _read_prefix_code(br, 256)

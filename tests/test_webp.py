@@ -663,3 +663,44 @@ def test_duplicate_transform_rejected():
         decode_webp(_build_transform_stream(
             2, 2, [t_sg, t_sg],
             [0xFF000000] * 4))
+
+
+def test_meta_prefix_groups():
+    """Meta prefix codes: an entropy image maps the left half of an
+    8x2 image to group 0 and the right half to group 1; each group's
+    single-symbol codes give different colors — the decoder must
+    switch code groups at the block boundary."""
+    from docvault_ocr_service_spark.extract.webp import (
+        _BitWriter, _encode_subimage)
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(7, 14)              # w=8
+    bw.write(1, 14)              # h=2
+    bw.write(0, 1)               # alpha unused
+    bw.write(0, 3)
+    bw.write(0, 1)               # no transforms
+    bw.write(0, 1)               # no color cache
+    bw.write(1, 1)               # meta prefix codes present
+    bw.write(0, 3)               # meta_sb = 2 -> 4x4 blocks, etw=2
+    # entropy image 2x1: indices 0, 1 in the GREEN+RED channels
+    _encode_subimage(bw, [0 << 8, 1 << 8])
+    # group 0: g=10, r=20, b=30, a=255; group 1: g=40, r=50, b=60
+    for sym_set in ((10, 20, 30, 255), (40, 50, 60, 255)):
+        for sym in sym_set:
+            bw.write(1, 1)       # simple, 1 symbol, 8-bit
+            bw.write(0, 1)
+            bw.write(1, 1)
+            bw.write(sym, 8)
+        bw.write(1, 1)           # dist: single symbol 0
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(0, 1)
+    # all codes are zero-bit: no payload bits at all
+    payload = bw.done()
+    img = decode_webp(_wrap_vp8l(payload))
+    assert img.shape == (2, 8, 3)
+    assert img[0, 0].tolist() == [20, 10, 30]     # group 0 (r,g,b)
+    assert img[0, 3].tolist() == [20, 10, 30]
+    assert img[0, 4].tolist() == [50, 40, 60]     # group 1
+    assert img[1, 7].tolist() == [50, 40, 60]
