@@ -1887,6 +1887,50 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("ppl") * 10000 + 0.5).cast("long").alias("ppl_q"))
 
 
+def doc_text_hygiene_stats(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Homoglyph folding + adjacent-line collapse (functions/
+    textstats.py::fold_confusables / collapse_repeated_lines — the
+    anti-SEO hygiene pass before hash dedup/decontamination): fixtures
+    plant Cyrillic/fullwidth look-alikes, zero-width characters and
+    stuttered lines by doc_id formula; DuckDB rebuilds the same text
+    and replays the SAME translate table, zero-width class and
+    index-aware line filter — the folded string compares
+    byte-identically."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.functions.textstats import (
+        collapse_repeated_lines, fold_confusables)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+
+    @F.pandas_udf(T.StringType())
+    def mk_text(ids: pd.Series) -> pd.Series:
+        def build(i: int) -> str:
+            first = (f"pаypаl аlert {i}" if i % 2 == 0       # Cyrillic а
+                     else f"paypal alert {i}")
+            mid = "\n".join([f"repeat me {i % 7}"] * (1 + i % 4))
+            tail = (f"ＦＵＬＬ　ｗｉｄｔｈ {i}" if i % 3 == 0
+                    else f"plain tail {i}")
+            zw = ("zero​width" if i % 5 == 0       # ZWSP inside
+                  else "zero\u00a0width")            # NBSP otherwise
+            return "\n".join([first, mid, tail, zw])
+
+        return pd.Series([build(int(i)) for i in ids])
+
+    base = docs.withColumn("text", mk_text(d))
+    text = F.col("text")
+    return (base.select(
+        "doc_id",
+        fold_confusables(text).alias("folded"),
+        F.size(F.split(text, r"\n")).alias("n_lines_before"),
+        F.size(F.split(collapse_repeated_lines(text), r"\n"))
+        .alias("n_lines_after"))
+        .orderBy("doc_id"))
+
+
 def corpus_datasheet_stats(spark: SparkSession, sf_dir: str
                            ) -> DataFrame:
     """The one-call dataset datasheet (plans/report.py::
@@ -3916,6 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_video_stats": mp4_video_stats,
         "corpus_datasheet_stats": corpus_datasheet_stats,
         "webp_transform_stats": webp_transform_stats,
+        "doc_text_hygiene_stats": doc_text_hygiene_stats,
         # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
@@ -3934,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_batch": recrawl_batch,
         # ---- end of gate prefix (50) -----------------------------------
         # -- block 2: r4/r5-driver-green, unchanged ----------------------
+        "domain_blocklist_stats": domain_blocklist_stats,
         "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,

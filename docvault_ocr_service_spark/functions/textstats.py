@@ -664,3 +664,59 @@ def paragraph_language_profile(df: DataFrame, id_col: str = "doc_id",
         F.col("__best")["code"].alias("dominant_lang"),
         "n_langs",
         (F.col("n_langs") >= 2).alias("mixed"))
+
+
+# Unicode confusable folding — the anti-homoglyph pass: SEO spam and
+# benchmark-contamination evasion routinely swap Latin letters for
+# identical-looking Cyrillic/Greek/fullwidth codepoints, which breaks
+# hash-based dedup and n-gram decontamination.  A curated high-
+# confidence skeleton subset of Unicode TR39's confusables (1:1
+# mappings only, so the whole fold is one native ``translate``).
+_CONFUSABLE_FROM = (
+    # Cyrillic lowercase / uppercase look-alikes
+    "аеорсухіѕј"
+    "АВЕКМНОРСТУХ"
+    # Greek look-alikes
+    "οΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+    # fullwidth ASCII letters and digits
+    + "".join(chr(0xFF21 + i) for i in range(26))
+    + "".join(chr(0xFF41 + i) for i in range(26))
+    + "".join(chr(0xFF10 + i) for i in range(10))
+)
+_CONFUSABLE_TO = (
+    "aeopcyxisj"
+    "ABEKMHOPCTYX"
+    "oABEZHIKMNOPTYX"
+    + "".join(chr(ord("A") + i) for i in range(26))
+    + "".join(chr(ord("a") + i) for i in range(26))
+    + "".join(chr(ord("0") + i) for i in range(10))
+)
+assert len(_CONFUSABLE_FROM) == len(_CONFUSABLE_TO)
+# zero-width / joiner codepoints that hide inside words
+_ZERO_WIDTH_RE = "[​‌‍⁠﻿­]"
+
+
+def fold_confusables(text: Column) -> Column:
+    """Homoglyph skeleton: map look-alike Cyrillic/Greek/fullwidth
+    codepoints to their ASCII targets, strip zero-width characters,
+    and normalize NBSP to space — run this BEFORE hashing for dedup
+    or building decontamination n-grams so 'раypal' (Cyrillic р/а)
+    collides with 'paypal'.  One native translate + one regexp, zero
+    Python."""
+    folded = F.translate(text, _CONFUSABLE_FROM, _CONFUSABLE_TO)
+    folded = F.regexp_replace(folded, _ZERO_WIDTH_RE, "")
+    return F.regexp_replace(folded, " ", " ")
+
+
+def collapse_repeated_lines(text: Column) -> Column:
+    """Adjacent duplicate lines collapse to one — the cheap intra-doc
+    cleanup for scraped pages that stutter a nav/footer line many
+    times in a row (corpus-wide line dedup is ``dedup_lines``; this
+    one needs no shuffle at all).  Columnar: split, index-aware
+    filter against the previous element, rejoin."""
+    lines = F.split(text, r"\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: F.when(i == F.lit(0), F.lit(True))
+        .otherwise(x != F.element_at(lines, i)))
+    return F.array_join(kept, "\n")

@@ -18,3 +18,22 @@ def test_paragraph_language_profile(spark):
     assert not out[2]["mixed"] and out[2]["dominant_lang"] == "en"
     assert out[3]["dominant_lang"] == "de" and out[3]["n_paragraphs"] == 3
     assert out[4]["dominant_lang"] == "und" and out[4]["n_langs"] == 0
+
+
+def test_fold_confusables_and_collapse_lines(spark):
+    from docvault_ocr_service_spark.functions.textstats import (
+        collapse_repeated_lines, fold_confusables)
+
+    df = spark.createDataFrame([
+        ("раypаl аlert",),            # Cyrillic р/а
+        ("ＨＥＬＬＯ ｗｏｒｌｄ １２３",),          # fullwidth
+        ("zero​wid­th and nbsp",),     # ZWSP, SHY, NBSP
+        ("a\nb\nb\nb\nc\nc\na\n\n\nd",),         # stuttered lines
+    ], ["text"])
+    out = df.select(
+        fold_confusables(F.col("text")).alias("f"),
+        collapse_repeated_lines(F.col("text")).alias("c")).collect()
+    assert out[0]["f"] == "paypal alert"
+    assert out[1]["f"] == "HELLO world 123"
+    assert out[2]["f"] == "zerowidth and nbsp"
+    assert out[3]["c"] == "a\nb\nc\na\n\nd"

@@ -704,3 +704,44 @@ def test_meta_prefix_groups():
     assert img[0, 3].tolist() == [20, 10, 30]
     assert img[0, 4].tolist() == [50, 40, 60]     # group 1
     assert img[1, 7].tolist() == [50, 40, 60]
+
+
+def test_decode_webp_total_under_mutation():
+    """Totality fuzz over the full decoder surface (transforms, meta
+    groups, backrefs): byte flips and truncations of valid streams
+    must decode or raise the two image errors — never IndexError/
+    struct.error/KeyError (the JPEG suite's discipline)."""
+    rng = np.random.default_rng(404)
+    pal_img = np.array([[0, 0, 0], [255, 0, 0]], np.uint8)[
+        rng.integers(0, 2, (9, 14))]
+    streams = [
+        encode_webp_lossless(rng.integers(0, 256, (8, 11, 3))
+                             .astype(np.uint8)),
+        encode_webp_lossless(np.full((6, 30, 3), 7, np.uint8),
+                             backrefs=True),
+        encode_webp_lossless(pal_img, palette=True),
+        encode_webp_lossless(rng.integers(0, 256, (7, 7, 4))
+                             .astype(np.uint8), subtract_green=True),
+    ]
+    for data in streams:
+        start = data.index(b"VP8L") + 8
+        for _ in range(120):
+            mutated = bytearray(data)
+            op = rng.integers(0, 3)
+            if op == 0:
+                pos = int(rng.integers(start, len(data)))
+                mutated[pos] ^= 1 << int(rng.integers(0, 8))
+            elif op == 1:
+                cut = int(rng.integers(start + 1, len(data)))
+                mutated = mutated[:cut]
+                # keep RIFF/chunk sizes consistent with truncation
+                mutated[4:8] = struct.pack("<I", len(mutated) - 8)
+                mutated[start - 4:start] = struct.pack(
+                    "<I", max(len(mutated) - start, 0))
+            else:
+                pos = int(rng.integers(start, len(data)))
+                mutated[pos] = int(rng.integers(0, 256))
+            try:
+                decode_webp(bytes(mutated))
+            except (ImageDecodeError, UnsupportedImageError):
+                pass
