@@ -1,3 +1,8 @@
+"""Extra columnar text ops (textstats.py additions)."""
+
+from pyspark.sql import functions as F
+
+
 
 
 def test_paragraph_language_profile(spark):
