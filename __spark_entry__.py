@@ -3975,11 +3975,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemap_directives": robots_sitemap_directives,
         "host_boilerplate_stats": host_boilerplate_stats,
         "anchor_text_stats": anchor_text_stats,
-        "domain_blocklist_stats": domain_blocklist_stats,
-        "recrawl_batch": recrawl_batch,
         # ---- end of gate prefix (50) -----------------------------------
         # -- block 2: r4/r5-driver-green, unchanged ----------------------
         "domain_blocklist_stats": domain_blocklist_stats,
+        "recrawl_batch": recrawl_batch,
         "frontier_batch": frontier_batch,
         "frontier_crawl_delay": frontier_crawl_delay,
         "doc_pii_scrub": doc_pii_scrub,

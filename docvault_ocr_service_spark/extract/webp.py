@@ -514,8 +514,8 @@ def encode_webp_lossless(pixels: np.ndarray, *,
             deltas.append(dlt)
             prev = cur
         _encode_subimage(bw, deltas)
-        lut = {c: i for i, c in enumerate(colors)}
-        idx = np.vectorize(lut.__getitem__)(argb).astype(np.uint8)
+        idx = np.searchsorted(np.asarray(colors, np.uint32),
+                              argb).astype(np.uint8)
         width_bits = (3 if n_colors <= 2 else 2 if n_colors <= 4
                       else 1 if n_colors <= 16 else 0)
         if width_bits:
@@ -842,10 +842,10 @@ def _inv_color_indexing(img: np.ndarray, palette: list[int],
         vals = (src >> shifts[None, :]) & ((1 << bpp) - 1)
     else:
         vals = idx[:, :full_w]
-    if vals.size and int(vals.max()) >= n_colors:
-        raise ImageDecodeError("palette index out of range")
-    pal = np.array(palette, dtype=np.uint32)
-    argb = pal[vals]
+    # RFC 9649: indices >= color_table_size decode as 0x00000000
+    # (transparent black), not an error
+    pal = np.array(palette + [0], dtype=np.uint32)
+    argb = pal[np.minimum(vals, len(palette))]
     out = np.empty((h, full_w, 4), np.uint8)
     out[..., 0] = (argb >> 16) & 0xFF
     out[..., 1] = (argb >> 8) & 0xFF
@@ -972,6 +972,22 @@ def _inv_predictor(img: np.ndarray, sb: int, tdata: list[int],
     return img
 
 
+def _apply_inverse_transforms(img: np.ndarray,
+                              transforms: list[tuple]) -> np.ndarray:
+    """Reverse-read-order inverse application (shared by the fast and
+    meta-prefix decode paths)."""
+    for t in reversed(transforms):
+        if t[0] == 0:
+            img = _inv_predictor(img, t[2], t[3], t[4])
+        elif t[0] == 1:
+            img = _inv_color_transform(img, t[2], t[3], t[4])
+        elif t[0] == 2:
+            img = _inv_subtract_green(img)
+        else:
+            img = _inv_color_indexing(img, t[2], t[3], t[4], t[1])
+    return img
+
+
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP bytes → uint8 (H,W,3) RGB, or (H,W,4) RGBA when the alpha
     hint is set.  Full VP8L: color cache, LZ77 backward references,
@@ -1008,6 +1024,14 @@ def decode_webp(data: bytes) -> np.ndarray:
     alpha_used = br.read(1)
     if br.read(3) != 0:
         raise ImageDecodeError("unknown VP8L version")
+    if h * w > MAX_DECODE_PIXELS:
+        # envelope check BEFORE any sub-image decode: a crafted header
+        # can declare 16384² pixels and then feed huge transform
+        # sub-images — reject on the declared dims, not after burning
+        # CPU in the slow path (decode-bomb discipline)
+        raise UnsupportedImageError(
+            f"VP8L image {w}x{h} exceeds the {MAX_DECODE_PIXELS}-pixel "
+            f"pure-python decode envelope")
 
     # transforms (RFC 9649 §3.4): read in stream order, inverses
     # applied in REVERSE; each transform's block grid / palette is an
@@ -1026,15 +1050,17 @@ def decode_webp(data: bytes) -> np.ndarray:
             sb = br.read(3) + 2
             tw = (w_cur + (1 << sb) - 1) >> sb
             th = (h + (1 << sb) - 1) >> sb
-            if tw * th > MAX_DECODE_PIXELS:
+            if tw * th > MAX_PREDICTOR_PIXELS:
+                # slow-path sub-image: cap commensurate with real
+                # block grids (≤ image_pixels / 16)
                 raise UnsupportedImageError(
                     "transform sub-image beyond decode envelope")
-            tdata = _decode_subimage(br, tw, th)
             if ttype == 0 and h * w_cur > MAX_PREDICTOR_PIXELS:
                 raise UnsupportedImageError(
                     f"predictor transform image {w_cur}x{h} exceeds "
                     f"the {MAX_PREDICTOR_PIXELS}-pixel pure-python "
                     f"envelope")
+            tdata = _decode_subimage(br, tw, th)
             transforms.append((ttype, w_cur, sb, tdata, tw))
         elif ttype == 2:
             transforms.append((2, w_cur))
@@ -1075,7 +1101,7 @@ def decode_webp(data: bytes) -> np.ndarray:
         meta_sb = br.read(3) + 2
         etw = (w_cur + (1 << meta_sb) - 1) >> meta_sb
         eth = (h + (1 << meta_sb) - 1) >> meta_sb
-        if etw * eth > MAX_DECODE_PIXELS:
+        if etw * eth > MAX_PREDICTOR_PIXELS:
             raise UnsupportedImageError(
                 "entropy image beyond decode envelope")
         if h * w_cur > MAX_PREDICTOR_PIXELS:
@@ -1098,15 +1124,7 @@ def decode_webp(data: bytes) -> np.ndarray:
                            meta_sb, cache, cache_bits)
         img = np.frombuffer(bytes(out), dtype=np.uint8) \
             .reshape(h, w_cur, 4).copy()
-        for t in reversed(transforms):
-            if t[0] == 0:
-                img = _inv_predictor(img, t[2], t[3], t[4])
-            elif t[0] == 1:
-                img = _inv_color_transform(img, t[2], t[3], t[4])
-            elif t[0] == 2:
-                img = _inv_subtract_green(img)
-            else:
-                img = _inv_color_indexing(img, t[2], t[3], t[4], t[1])
+        img = _apply_inverse_transforms(img, transforms)
         return img if alpha_used else img[..., :3].copy()
 
     dec_g = _read_prefix_code(br, green_alpha)
@@ -1288,15 +1306,7 @@ def decode_webp(data: bytes) -> np.ndarray:
         i += 1
     img = np.frombuffer(bytes(out), dtype=np.uint8) \
         .reshape(h, w_cur, 4).copy()
-    for t in reversed(transforms):
-        if t[0] == 0:
-            img = _inv_predictor(img, t[2], t[3], t[4])
-        elif t[0] == 1:
-            img = _inv_color_transform(img, t[2], t[3], t[4])
-        elif t[0] == 2:
-            img = _inv_subtract_green(img)
-        else:
-            img = _inv_color_indexing(img, t[2], t[3], t[4], t[1])
+    img = _apply_inverse_transforms(img, transforms)
     return img if alpha_used else img[..., :3].copy()
 
 

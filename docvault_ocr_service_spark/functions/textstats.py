@@ -712,11 +712,18 @@ def collapse_repeated_lines(text: Column) -> Column:
     """Adjacent duplicate lines collapse to one — the cheap intra-doc
     cleanup for scraped pages that stutter a nav/footer line many
     times in a row (corpus-wide line dedup is ``dedup_lines``; this
-    one needs no shuffle at all).  Columnar: split, index-aware
-    filter against the previous element, rejoin."""
+    one needs no shuffle at all).  Columnar: zip the line array with
+    itself shifted by one and keep lines that differ from their
+    predecessor — the split evaluates O(1) times per row, not once
+    per element (an ``element_at(lines, i)`` formulation would inline
+    a fresh split per line and go quadratic on long documents)."""
     lines = F.split(text, r"\n")
-    kept = F.filter(
-        lines,
-        lambda x, i: F.when(i == F.lit(0), F.lit(True))
-        .otherwise(x != F.element_at(lines, i)))
-    return F.array_join(kept, "\n")
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(lines, 1, F.greatest(F.size(lines) - 1, F.lit(0))))
+    pairs = F.zip_with(
+        lines, prev,
+        lambda cur, pv: F.struct(
+            cur.alias("c"), (pv.isNull() | (cur != pv)).alias("k")))
+    kept = F.filter(pairs, lambda s: s["k"])
+    return F.array_join(F.transform(kept, lambda s: s["c"]), "\n")

@@ -745,3 +745,56 @@ def test_decode_webp_total_under_mutation():
                 decode_webp(bytes(mutated))
             except (ImageDecodeError, UnsupportedImageError):
                 pass
+
+
+def test_transform_decode_bomb_rejected_fast():
+    """A crafted header declaring huge dims + a transform sub-image
+    must be rejected on the declared dims, before any slow-path CPU
+    burn (review finding)."""
+    import time
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(16382, 14)
+    bw.write(16382, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)
+    bw.write(1, 2)            # COLOR_TRANSFORM
+    bw.write(1, 3)            # sb=3 -> 2048x2048 sub-image
+    p = bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(p)) + p
+    riff = b"WEBP" + chunk
+    bomb = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    t0 = time.monotonic()
+    with pytest.raises(UnsupportedImageError, match="envelope"):
+        decode_webp(bomb)
+    assert time.monotonic() - t0 < 0.5
+
+
+def test_palette_index_out_of_range_is_transparent_black():
+    """RFC 9649: indices >= color_table_size decode as 0x00000000.
+    n_colors=5 -> width_bits 1 (4 bits/px): a packed green byte 0x70
+    yields x0 index 0 (a real color) and x1 index 7 >= 5."""
+    from docvault_ocr_service_spark.extract.webp import (
+        _BitWriter as BW, _encode_subimage, _encode_spatial)
+
+    bw2 = BW()
+    bw2.write(0x2F, 8)
+    bw2.write(1, 14)
+    bw2.write(0, 14)
+    bw2.write(1, 1)
+    bw2.write(0, 3)
+    bw2.write(1, 1)
+    bw2.write(3, 2)
+    bw2.write(4, 8)           # n_colors = 5 -> width_bits 1
+    _encode_subimage(bw2, [0xFF112233, 0x01010101, 0x01010101,
+                           0x01010101, 0x01010101])
+    bw2.write(0, 1)
+    bw2.write(0, 1)
+    bw2.write(0, 1)
+    _encode_spatial(bw2, [(255 << 24) | (0x70 << 8)])
+    img = decode_webp(_wrap_vp8l(bw2.done()))
+    assert img.shape == (1, 2, 4)
+    assert img[0, 0].tolist() == [0x11, 0x22, 0x33, 0xFF]
+    assert img[0, 1].tolist() == [0, 0, 0, 0]     # transparent black
