@@ -3945,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best_stats": dedup_keep_best_stats,
         "host_pagerank": host_pagerank,
         "url_registrable_domains": url_registrable_domains,
+        "doc_langid": doc_langid,
         # -- block 1c: NEW in round 6 ------------------------------------
         "webp_backref_stats": webp_backref_stats,
         "cdx_pipeline_stats": cdx_pipeline_stats,
@@ -3974,9 +3975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mojibake_repair": doc_mojibake_repair,
         "robots_sitemap_directives": robots_sitemap_directives,
         "host_boilerplate_stats": host_boilerplate_stats,
-        "anchor_text_stats": anchor_text_stats,
         # ---- end of gate prefix (50) -----------------------------------
         # -- block 2: r4/r5-driver-green, unchanged ----------------------
+        "anchor_text_stats": anchor_text_stats,
         "domain_blocklist_stats": domain_blocklist_stats,
         "recrawl_batch": recrawl_batch,
         "frontier_batch": frontier_batch,
@@ -4018,7 +4019,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": events_value_quantiles,
         "doc_exact_dups": doc_exact_dups,
         "source_quality_stats": source_quality_stats,
-        "doc_langid": doc_langid,
         "minhash_dup_pairs": minhash_dup_pairs,
         "line_dedup_clean": line_dedup_clean,
         "minhash_recall": minhash_recall,

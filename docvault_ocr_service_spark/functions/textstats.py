@@ -26,11 +26,26 @@ STOPWORDS_DE: tuple[str, ...] = (
     "der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
     "zu", "den", "von", "für", "auf", "im", "des", "dem", "sich",
 )
+# r6: the corpus carries es/fr/zh documents too — markers chosen
+# DISJOINT from the en/pl/de lists and from each other, so existing
+# en/pl/de vote outcomes are unchanged on marker-free text
+STOPWORDS_ES: tuple[str, ...] = (
+    "el", "los", "las", "una", "este", "esta", "por", "pero", "como",
+    "más", "sus", "muy", "sin", "sobre", "entre", "cuando", "hasta",
+    "también",
+)
+STOPWORDS_FR: tuple[str, ...] = (
+    "le", "les", "une", "est", "dans", "pas", "pour", "vous", "avec",
+    "sur", "mais", "aux", "ses", "cette", "sont", "nous", "plus",
+    "été",
+)
 
 _LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": STOPWORDS_EN,
     "pl": STOPWORDS_PL,
     "de": STOPWORDS_DE,
+    "es": STOPWORDS_ES,
+    "fr": STOPWORDS_FR,
 }
 
 
@@ -135,16 +150,22 @@ def lang_votes(text: Column, lang: str) -> Column:
 
 
 def detect_lang(text: Column) -> Column:
-    """Marker-word-vote language ID → 'en'|'pl'|'de'|'und'.
+    """Marker-word-vote language ID →
+    'en'|'pl'|'de'|'es'|'fr'|'zh'|'und'.
 
-    Ties break by vote count then fixed language order (en, pl, de);
-    zero votes → 'und'.
+    Chinese is detected first by CJK-codepoint density (>5% of
+    characters in U+4E00–U+9FFF — whitespace tokens don't exist in
+    zh); the rest vote on marker words, ties broken by vote count
+    then fixed language order (en, pl, de, es, fr); zero votes →
+    'und'.
     """
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    total = F.length(text)
     pairs = [
         F.struct(lang_votes(text, code).alias("votes"),
                  F.lit(rank).alias("rank"),
                  F.lit(code).alias("code"))
-        for rank, code in enumerate(("en", "pl", "de"))
+        for rank, code in enumerate(("en", "pl", "de", "es", "fr"))
     ]
     # max by (votes, -rank): array_max on struct compares fields in order,
     # so negate rank to prefer earlier languages on equal votes.
@@ -152,7 +173,9 @@ def detect_lang(text: Column) -> Column:
         F.struct(p.votes.alias("votes"), (-p.rank).alias("neg_rank"),
                  p.code.alias("code")) for p in pairs
     ]))
-    return F.when(best.votes > 0, best.code).otherwise(F.lit("und"))
+    return (F.when((total > 0) & (cjk * 20 > total), F.lit("zh"))
+            .when(best.votes > 0, best.code)
+            .otherwise(F.lit("und")))
 
 
 def fingerprint64(text: Column) -> Column:
@@ -649,7 +672,10 @@ def paragraph_language_profile(df: DataFrame, id_col: str = "doc_id",
         F.count("*").alias("n_paras"))
     rank = (F.when(F.col("plang") == "en", 0)
             .when(F.col("plang") == "pl", 1)
-            .when(F.col("plang") == "de", 2).otherwise(3))
+            .when(F.col("plang") == "de", 2)
+            .when(F.col("plang") == "es", 3)
+            .when(F.col("plang") == "fr", 4)
+            .when(F.col("plang") == "zh", 5).otherwise(6))
     rolled = (per_lang
               .groupBy("__id")
               .agg(F.sum("n_paras").cast("long").alias("n_paragraphs"),

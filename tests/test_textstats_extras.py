@@ -42,3 +42,26 @@ def test_fold_confusables_and_collapse_lines(spark):
     assert out[1]["f"] == "HELLO world 123"
     assert out[2]["f"] == "zerowidth and nbsp"
     assert out[3]["c"] == "a\nb\nc\na\n\nd"
+
+
+def test_detect_lang_es_fr_zh(spark):
+    from docvault_ocr_service_spark.functions.textstats import (
+        detect_lang)
+
+    rows = [
+        ("el contrato establece las condiciones por las que sus "
+         "partes se obligan, pero sin perjuicio de este acuerdo",),
+        ("le contrat est dans les conditions pour vous avec ses "
+         "clauses, mais sont aux annexes une fois plus",),
+        ("这是一份完全使用中文写成的文档，包含合同条款与说明。",),
+        ("the quick brown fox and the lazy dog are in the yard",),
+        ("krótki tekst po polsku o tym, że nie jest to umowa, ale "
+         "dla nas czy dom",),
+        ("ein kurzer text auf deutsch über den vertrag, der nicht "
+         "mit dem anhang ist",),
+        ("mostly english text with one 字 only",),   # CJK below 5%
+        ("xyz qqq zzz",),
+    ]
+    got = [r["l"] for r in spark.createDataFrame(rows, ["text"])
+           .select(detect_lang(F.col("text")).alias("l")).collect()]
+    assert got == ["es", "fr", "zh", "en", "pl", "de", "en", "und"], got
