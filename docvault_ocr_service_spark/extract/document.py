@@ -10,7 +10,10 @@ could kill a task on a trillion-row job.
 
 Error taxonomy mirrors ``app/error_handler.py:16-69``:
 PERMANENT = {invalid_file_type, corrupted_file, unsupported_format,
-ocr_unavailable, empty_payload}; anything unexpected = retryable.
+ocr_unavailable, empty_payload, encrypted_pdf}; anything unexpected =
+retryable.  ``encrypted_pdf`` (r6) is this engine's refinement: a PDF
+declaring an ``/Encrypt`` dictionary is not corrupt — it is readable
+by design only with a key, so the row says exactly that.
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ STATUS_FAILED_RETRYABLE = "failed_retryable"
 PERMANENT_ERROR_KINDS = frozenset((
     "invalid_file_type", "corrupted_file", "unsupported_format",
     "ocr_unavailable", "empty_payload", "unsupported_language",
-    "file_too_large",
+    "file_too_large", "encrypted_pdf",
 ))
 
 MAX_PAYLOAD_BYTES = 50 * 1024 * 1024  # app/validators.py:9
@@ -187,6 +190,15 @@ def extract_document(url: str, html: bytes | None, text: str | None,
             return _error(url, lang, "empty_payload", "no html bytes and no text",
                           started)
         if fmt == "pdf":
+            if b"/Encrypt" in html:
+                # an /Encrypt dictionary means the streams are readable
+                # only with a key — honest taxonomy, not "corrupted"
+                # (plaintext false positives are vanishingly rare: the
+                # token lives in trailer/xref dicts, and content
+                # streams are compressed)
+                return _error(url, lang, "encrypted_pdf",
+                              "PDF declares an /Encrypt dictionary; "
+                              "decryption is out of envelope", started)
             try:
                 pages = extract_pdf_pages(html)
             except PdfParseError as e:
