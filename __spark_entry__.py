@@ -1887,6 +1887,50 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("ppl") * 10000 + 0.5).cast("long").alias("ppl_q"))
 
 
+def page_jsonld_extraction(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """JSON-LD structured data (functions/pagemeta.py::extract_jsonld
+    — publishers' schema.org blocks, the cleanest title/date/author
+    source for recency weighting): deterministic pages carry an
+    Article block (two attribute spellings), an invalid block on every
+    sixth doc, and none on every fourth; DuckDB rebuilds the same
+    html, runs the same RE2 block match, and extracts the same JSON
+    paths with validity guards."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.functions.pagemeta import (
+        extract_jsonld)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+
+    @F.pandas_udf(T.StringType())
+    def mk_html(ids: pd.Series) -> pd.Series:
+        def page(i: int) -> str:
+            if i % 4 == 1:
+                return f"<html><body><p>plain page {i}</p></body></html>"
+            attr = ('type="application/ld+json"' if i % 2 == 0
+                    else "type=application/ld+json")
+            body = ('{"@type":"Article","headline":"Story ' + str(i)
+                    + '","datePublished":"2024-0' + str(1 + i % 9)
+                    + '-01","author":{"name":"Writer ' + str(i % 12)
+                    + '"}}')
+            blocks = f"<script {attr}>{body}</script>"
+            if i % 6 == 0:
+                blocks += ("<script type='application/ld+json'>"
+                           "{not valid json</script>")
+            return (f"<html><head>{blocks}</head><body>"
+                    f"<p>page {i}</p></body></html>")
+
+        return pd.Series([page(int(i)) for i in ids])
+
+    url = F.concat(F.lit("https://ex.com/p/"),
+                   F.col("doc_id").cast("string"))
+    base = docs.select(url.alias("url"),
+                       mk_html(F.col("doc_id")).alias("html_text"))
+    return extract_jsonld(base).orderBy("url", "block_idx")
+
+
 def doc_text_hygiene_stats(spark: SparkSession, sf_dir: str
                            ) -> DataFrame:
     """Homoglyph folding + adjacent-line collapse (functions/
@@ -3962,6 +4006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datasheet_stats": corpus_datasheet_stats,
         "webp_transform_stats": webp_transform_stats,
         "doc_text_hygiene_stats": doc_text_hygiene_stats,
+        "page_jsonld_extraction": page_jsonld_extraction,
         # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
@@ -3974,9 +4019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter_stats": c4_filter_stats,
         "doc_mojibake_repair": doc_mojibake_repair,
         "robots_sitemap_directives": robots_sitemap_directives,
-        "host_boilerplate_stats": host_boilerplate_stats,
         # ---- end of gate prefix (50) -----------------------------------
         # -- block 2: r4/r5-driver-green, unchanged ----------------------
+        "host_boilerplate_stats": host_boilerplate_stats,
         "anchor_text_stats": anchor_text_stats,
         "domain_blocklist_stats": domain_blocklist_stats,
         "recrawl_batch": recrawl_batch,

@@ -126,3 +126,34 @@ def extract_outline(df: DataFrame, url_col: str = "url",
                     clean_html_text(F.regexp_extract(
                         F.col("__m"), _HEADING_RE, 2)).alias("heading"))
             .where(F.col("heading") != ""))
+
+
+# JSON-LD (schema.org) structured data — publishers embed article/
+# product/org metadata in <script type="application/ld+json"> blocks;
+# for a training-data pipeline these are the cleanest source of
+# titles, publication dates and authorship for quality/recency
+# weighting.  RE2-compatible lazy block match; JSON fields come out
+# via the JVM-side get_json_object (no Python).
+_JSONLD_RE = (r"(?is)<script[^>]*type=[\"']?application/ld\+json"
+              r"[\"']?[^>]*>(.*?)</script\s*>")
+
+
+def extract_jsonld(df, html_col: str = "html_text",
+                   url_col: str = "url"):
+    """(url, block_idx, ld_type, name, headline, date_published,
+    author_name, valid) — one row per JSON-LD block; scalar schema.org
+    fields extracted JSON-path-wise, ``valid`` false for malformed
+    blocks (kept as rows so parse health is observable).  Map-only."""
+    blocks = F.regexp_extract_all(F.col(html_col),
+                                  F.lit(_JSONLD_RE), 1)
+    e = df.select(F.col(url_col).alias("url"),
+                  F.posexplode(blocks).alias("block_idx", "__raw"))
+    j = F.trim(F.col("__raw"))
+    return e.select(
+        "url", "block_idx",
+        F.get_json_object(j, "$['@type']").alias("ld_type"),
+        F.get_json_object(j, "$.name").alias("name"),
+        F.get_json_object(j, "$.headline").alias("headline"),
+        F.get_json_object(j, "$.datePublished").alias("date_published"),
+        F.get_json_object(j, "$.author.name").alias("author_name"),
+        F.get_json_object(j, "$").isNotNull().alias("valid"))

@@ -60,3 +60,21 @@ def test_feed_items_rss_and_atom(spark):
     assert f2[0]["item_link"] == "https://a.x/e1"    # atom href form
     assert f2[0]["item_date"] == "2024-07-02T00:00:00Z"
     assert "f3" not in by                            # zero items, no rows
+
+
+def test_extract_jsonld(spark):
+    from docvault_ocr_service_spark.functions.pagemeta import (
+        extract_jsonld)
+
+    html = ('<head><script type="application/ld+json">'
+            '{"@type":"Product","name":"Widget","offers":{}}'
+            '</script>'
+            "<script type='application/ld+json'>{broken</script>"
+            '<script type="text/javascript">ignored()</script></head>')
+    df = spark.createDataFrame([("https://x/p", html)],
+                               ["url", "html_text"])
+    rows = extract_jsonld(df).orderBy("block_idx").collect()
+    assert len(rows) == 2
+    assert rows[0]["ld_type"] == "Product"
+    assert rows[0]["name"] == "Widget" and rows[0]["valid"]
+    assert not rows[1]["valid"] and rows[1]["ld_type"] is None
