@@ -190,22 +190,28 @@ def extract_document(url: str, html: bytes | None, text: str | None,
             return _error(url, lang, "empty_payload", "no html bytes and no text",
                           started)
         if fmt == "pdf":
-            if b"/Encrypt" in html:
-                # an /Encrypt dictionary means the streams are readable
-                # only with a key — honest taxonomy, not "corrupted"
-                # (plaintext false positives are vanishingly rare: the
-                # token lives in trailer/xref dicts, and content
-                # streams are compressed)
-                return _error(url, lang, "encrypted_pdf",
-                              "PDF declares an /Encrypt dictionary; "
-                              "decryption is out of envelope", started)
+            # /Encrypt only refines the verdict when extraction
+            # actually fails or comes back scant — a PDF that parses
+            # to real text is fine whatever tokens it contains (no
+            # false positives on documents ABOUT encryption)
+            looks_encrypted = b"/Encrypt" in html
             try:
                 pages = extract_pdf_pages(html)
             except PdfParseError as e:
+                if looks_encrypted:
+                    return _error(url, lang, "encrypted_pdf",
+                                  "PDF declares an /Encrypt "
+                                  "dictionary; decryption is out of "
+                                  "envelope", started)
                 return _error(url, lang, "corrupted_file", str(e), started)
             if has_native_text(pages):
                 return _finish(url, lang, pages, NATIVE_CONFIDENCE,
                                "native_pdf", started, page_spans(pages))
+            if looks_encrypted:
+                return _error(url, lang, "encrypted_pdf",
+                              "PDF declares an /Encrypt dictionary "
+                              "and yields no native text; decryption "
+                              "is out of envelope", started)
             return _error(
                 url, lang, "ocr_unavailable",
                 f"native text < {NATIVE_TEXT_MIN_CHARS} chars and no OCR "

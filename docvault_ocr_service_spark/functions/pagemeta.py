@@ -132,28 +132,50 @@ def extract_outline(df: DataFrame, url_col: str = "url",
 # product/org metadata in <script type="application/ld+json"> blocks;
 # for a training-data pipeline these are the cleanest source of
 # titles, publication dates and authorship for quality/recency
-# weighting.  RE2-compatible lazy block match; JSON fields come out
-# via the JVM-side get_json_object (no Python).
-_JSONLD_RE = (r"(?is)<script[^>]*type=[\"']?application/ld\+json"
-              r"[\"']?[^>]*>(.*?)</script\s*>")
+# weighting.  RE2-compatible (no lookahead) block match: a real
+# ``type`` attribute (whitespace-anchored, so ``data-type=`` can't
+# match) whose value is exactly the ld+json mime (quote/space/``>``
+# terminated, so ``application/ld+json-extended`` can't).
+_JSONLD_RE = (r"(?is)<script[^>]*\stype\s*=\s*[\"']?"
+              r"application/ld\+json[\"']?(?:>|\s[^>]*>)"
+              r"(.*?)</script\s*>")
+
+_JSONLD_SCHEMA = ("`@type` string, name string, headline string, "
+                  "datePublished string, "
+                  "author struct<name: string>, "
+                  "_corrupt string")
 
 
 def extract_jsonld(df, html_col: str = "html_text",
                    url_col: str = "url"):
     """(url, block_idx, ld_type, name, headline, date_published,
-    author_name, valid) — one row per JSON-LD block; scalar schema.org
-    fields extracted JSON-path-wise, ``valid`` false for malformed
-    blocks (kept as rows so parse health is observable).  Map-only."""
+    author_name, valid) — one row per JSON-LD block.  ONE strict
+    ``from_json`` parse per block (``allowSingleQuotes=false`` etc.,
+    so the ``valid`` flag means standard JSON carrying a top-level
+    OBJECT — the same verdict the DuckDB oracle's
+    ``json_valid AND json_type='OBJECT'`` gives); malformed blocks
+    are kept as valid=false rows so parse health is observable.
+    Map-only."""
     blocks = F.regexp_extract_all(F.col(html_col),
                                   F.lit(_JSONLD_RE), 1)
     e = df.select(F.col(url_col).alias("url"),
                   F.posexplode(blocks).alias("block_idx", "__raw"))
-    j = F.trim(F.col("__raw"))
+    parsed = F.from_json(
+        F.trim(F.col("__raw")), _JSONLD_SCHEMA,
+        {"allowSingleQuotes": "false",
+         "allowUnquotedFieldNames": "false",
+         "columnNameOfCorruptRecord": "_corrupt"})
+    e = e.withColumn("__j", parsed)
+    j = F.col("__j")
+    valid = j.isNotNull() & j["_corrupt"].isNull()
+    nul = F.lit(None).cast("string")
     return e.select(
         "url", "block_idx",
-        F.get_json_object(j, "$['@type']").alias("ld_type"),
-        F.get_json_object(j, "$.name").alias("name"),
-        F.get_json_object(j, "$.headline").alias("headline"),
-        F.get_json_object(j, "$.datePublished").alias("date_published"),
-        F.get_json_object(j, "$.author.name").alias("author_name"),
-        F.get_json_object(j, "$").isNotNull().alias("valid"))
+        F.when(valid, j["@type"]).otherwise(nul).alias("ld_type"),
+        F.when(valid, j["name"]).otherwise(nul).alias("name"),
+        F.when(valid, j["headline"]).otherwise(nul).alias("headline"),
+        F.when(valid, j["datePublished"]).otherwise(nul)
+        .alias("date_published"),
+        F.when(valid, j["author"]["name"]).otherwise(nul)
+        .alias("author_name"),
+        valid.alias("valid"))
