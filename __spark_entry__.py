@@ -1887,6 +1887,52 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("ppl") * 10000 + 0.5).cast("long").alias("ppl_q"))
 
 
+def page_hreflang_extraction(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """hreflang alternate-language links (functions/pagemeta.py::
+    extract_hreflang — translation groups a multilingual corpus
+    balances instead of near-deduping): fixtures plant 1+(d%3)
+    alternates in both attribute orders plus an x-default; DuckDB
+    rebuilds the pages and replays the same regexes."""
+    from pyspark.sql import types as T
+
+    from docvault_ocr_service_spark.functions.pagemeta import (
+        extract_hreflang)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") < 200)
+
+    @F.pandas_udf(T.StringType())
+    def mk_html(ids: pd.Series) -> pd.Series:
+        langs = ("en", "fr", "de", "es")
+
+        def page(i: int) -> str:
+            tags = []
+            for k in range(1 + i % 3):
+                lang = langs[(i + k) % 4]
+                target = f"https://ex.com/{lang}/p/{i}"
+                tags.append(
+                    f'<link rel="alternate" hreflang="{lang}" '
+                    f'href="{target}">'
+                    if (i + k) % 2 == 0 else
+                    f'<link href="{target}" hreflang={lang} '
+                    f'rel=alternate>')
+            if i % 5 == 0:
+                tags.append('<link rel="alternate" '
+                            'hreflang="x-default" '
+                            f'href="https://ex.com/p/{i}">')
+            return (f"<html><head>{''.join(tags)}</head>"
+                    f"<body><p>page {i}</p></body></html>")
+
+        return pd.Series([page(int(i)) for i in ids])
+
+    url = F.concat(F.lit("https://ex.com/p/"),
+                   F.col("doc_id").cast("string"))
+    base = docs.select(url.alias("url"),
+                       mk_html(F.col("doc_id")).alias("html_text"))
+    return extract_hreflang(base).orderBy("url", "hreflang", "alt_url")
+
+
 def page_jsonld_extraction(spark: SparkSession, sf_dir: str
                            ) -> DataFrame:
     """JSON-LD structured data (functions/pagemeta.py::extract_jsonld
@@ -4007,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_transform_stats": webp_transform_stats,
         "doc_text_hygiene_stats": doc_text_hygiene_stats,
         "page_jsonld_extraction": page_jsonld_extraction,
+        "page_hreflang_extraction": page_hreflang_extraction,
         # -- block 1d: r4-stamped fill (oldest stamps first, to 50) ------
         "fuzzy_contamination_stats": fuzzy_contamination_stats,
         "warc_roundtrip_stats": warc_roundtrip_stats,
@@ -4018,9 +4065,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter_stats": gopher_filter_stats,
         "c4_filter_stats": c4_filter_stats,
         "doc_mojibake_repair": doc_mojibake_repair,
-        "robots_sitemap_directives": robots_sitemap_directives,
         # ---- end of gate prefix (50) -----------------------------------
         # -- block 2: r4/r5-driver-green, unchanged ----------------------
+        "robots_sitemap_directives": robots_sitemap_directives,
         "host_boilerplate_stats": host_boilerplate_stats,
         "anchor_text_stats": anchor_text_stats,
         "domain_blocklist_stats": domain_blocklist_stats,

@@ -139,14 +139,22 @@ HEADLINE = (
     "bloom_contamination_stats",
     "html_table_extraction",
     "knn_int8",
-    # round-6 operators (cdx_pipeline_stats and webp_backref_stats
-    # stay gate-only: full-pipeline composition / pure-Python codec
-    # fixtures would dominate the suite the way semdedup would)
+    # round-6 operators (cdx_pipeline_stats and the webp/exif/mp4
+    # codec-fixture queries stay gate-only: full-pipeline composition /
+    # pure-Python codec fixtures would dominate the suite the way
+    # semdedup would)
     "readability_extract_stats",
     "doc_markdown_stats",
     "canonical_url_stats",
     "ccnet_ppl_buckets",
     "url_registrable_domains",
+    "doc_text_hygiene_stats",
+    "page_jsonld_extraction",
+    "page_hreflang_extraction",
+    "doc_domain_cap_stats",
+    "doc_domain_split_stats",
+    "doc_mixed_language_stats",
+    "corpus_datasheet_stats",
 )
 
 

@@ -179,3 +179,30 @@ def extract_jsonld(df, html_col: str = "html_text",
         F.when(valid, j["author"]["name"]).otherwise(nul)
         .alias("author_name"),
         valid.alias("valid"))
+
+
+# hreflang alternates — the canonical tag's sibling: publishers list
+# per-language versions of a page; a multilingual corpus builder uses
+# them to group translations (don't near-dedup across languages, do
+# balance per-language budgets from the same source).
+_HREFLANG_RE = (r"(?is)<link[^>]*\shreflang\s*=\s*[\"']?"
+                r"([a-zA-Z-]+)[\"']?[^>]*>")
+
+
+def extract_hreflang(df, html_col: str = "html_text",
+                     url_col: str = "url"):
+    """(url, hreflang, alt_url) — one row per alternate-language link
+    (both attribute orders for href; ``x-default`` kept verbatim).
+    Map-only columnar regexp."""
+    tags = F.regexp_extract_all(F.col(html_col),
+                                F.lit(_HREFLANG_RE), 0)
+    e = df.select(F.col(url_col).alias("url"),
+                  F.explode(tags).alias("__tag"))
+    href = F.nullif(
+        F.regexp_extract(F.col("__tag"),
+                         r"(?is)href\s*=\s*[\"']?([^\"'> ]+)", 1),
+        F.lit(""))
+    lang = F.lower(F.regexp_extract(F.col("__tag"), _HREFLANG_RE, 1))
+    return (e.select("url", lang.alias("hreflang"),
+                     href.alias("alt_url"))
+            .where(F.col("alt_url").isNotNull()))

@@ -78,3 +78,20 @@ def test_extract_jsonld(spark):
     assert rows[0]["ld_type"] == "Product"
     assert rows[0]["name"] == "Widget" and rows[0]["valid"]
     assert not rows[1]["valid"] and rows[1]["ld_type"] is None
+
+
+def test_extract_hreflang(spark):
+    from docvault_ocr_service_spark.functions.pagemeta import (
+        extract_hreflang)
+
+    html = ('<link rel="alternate" hreflang="FR" href="https://x/fr">'
+            '<link href="https://x/de" hreflang=de rel=alternate>'
+            '<link rel="alternate" hreflang="x-default" '
+            'href="https://x/">'
+            '<link rel="stylesheet" href="/s.css">')
+    df = spark.createDataFrame([("https://x/en", html)],
+                               ["url", "html_text"])
+    rows = sorted((r["hreflang"], r["alt_url"])
+                  for r in extract_hreflang(df).collect())
+    assert rows == [("de", "https://x/de"), ("fr", "https://x/fr"),
+                    ("x-default", "https://x/")]
