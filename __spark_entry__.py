@@ -504,7 +504,7 @@ def url_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw IPs and single labels roll up to their registrable domain;
     DuckDB recomputes the domain from the same keying formulas."""
     from docvault_ocr_service_spark.functions.web import (
-        registrable_domain)
+        with_registrable_domain)
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
@@ -532,7 +532,9 @@ def url_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.concat(F.lit("192.168.0."), (d % 5).cast("string")))
             .when(d % 13 == 0, F.lit("localhost"))
             .otherwise(F.concat(prefix, name, F.lit("."), tld)))
-    return (docs.select(registrable_domain(host).alias("domain"))
+    return (with_registrable_domain(docs.select("doc_id"), host,
+                                    "domain")
+            .select("domain")
             .groupBy("domain")
             .agg(F.count("*").cast("long").alias("n"))
             .orderBy("domain"))

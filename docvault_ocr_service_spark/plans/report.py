@@ -95,12 +95,12 @@ def corpus_datasheet(df: DataFrame, text_col: str = "text",
             row["exact_dup_rate_q"] = 0
 
         if url_col is not None and n_docs:
-            from ..functions.web import registrable_domain
+            from ..functions.web import with_registrable_domain
 
             host = F.lower(F.regexp_extract(
                 F.col(url_col),
                 r"^[a-zA-Z]+://(?:[^/?#@]*@)?([^/?#:]+)", 1))
-            doms = (base.select(registrable_domain(host).alias("__d"))
+            doms = (with_registrable_domain(base, host, "__d")
                     .groupBy("__d").agg(F.count("*").alias("n")))
             doms = doms.persist()
             n_domains = doms.count()

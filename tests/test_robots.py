@@ -237,6 +237,47 @@ def test_registrable_domain(spark):
     assert got == [w for _, w in cases]
 
 
+def test_registrable_domain_vectorized_parity(spark):
+    """The Arrow-vectorized PSL lookup (with_registrable_domain /
+    psl_lookup) must stay value-identical to the Column reference
+    implementation on the full edge-case fixture above plus a
+    generated host sweep."""
+    from docvault_ocr_service_spark.functions.web import (
+        psl_lookup, registrable_domain, with_registrable_domain)
+    from pyspark.sql import functions as F
+
+    hosts = [
+        "www.Example.COM", "deep.sub.bbc.co.uk", "bbc.co.uk", "co.uk",
+        "user.github.io", "a.b.user.github.io", "example.de",
+        "x.example.de", "localhost", "192.168.0.1", None,
+        "shop.example.ck", "deep.shop.example.ck", "example.ck",
+        "a.b.example.kawasaki.jp", "b.example.kawasaki.jp", "www.ck",
+        "sub.www.ck", "city.kawasaki.jp", "x.city.kawasaki.jp",
+        "bucket.s3.amazonaws.com", "x.bucket.s3.amazonaws.com",
+        "s3.amazonaws.com", "www.example.hokkaido.jp",
+        "example.hokkaido.jp", "www.school.k12.ca.us",
+        "school.k12.ca.us", "agency.state.tx.us",
+        "www.myschool.sch.uk", "myschool.sch.uk", "force.police.uk",
+        "example.waw.pl", "sub.example.waw.pl",
+        "x.y.user.blogspot.com", "", "single", "UPPER.Co.Uk",
+        "10.0.0.255", "a.10.0.0.255",
+    ]
+    hosts += [f"{nm}.{tld}" for tld in
+              ("com", "co.uk", "ck", "kawasaki.jp", "k12.ca.us",
+               "sch.uk", "jp", "io")
+              for nm in ("s", "www", "city", "a.b.c", "x.y.z.w")]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    ref = [r["d"] for r in
+           df.select(registrable_domain(F.col("host")).alias("d"))
+           .collect()]
+    fast = [r["d"] for r in
+            with_registrable_domain(df, "host", "d").select("d")
+            .collect()]
+    assert fast == ref
+    # the plain-Python decision procedure agrees row-for-row too
+    assert [psl_lookup(h) for h in hosts] == ref
+
+
 def test_robots_sitemap_urls(spark):
     from docvault_ocr_service_spark.functions.web import (
         robots_sitemap_urls)
