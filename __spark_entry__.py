@@ -31,6 +31,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(spark: SparkSession, df: DataFrame, key: str = "doc_id"
+         ) -> DataFrame:
+    """Spread rows across the session's task slots before a per-row-
+    heavy kernel.  The small bench parquet tables are one file with one
+    row group — one scan task — so without this every map-heavy stage
+    (n-gram explodes, pandas-UDF kernels, quantized dot products)
+    serializes on a single core (measured r7: doc_categories 2.08 s /
+    dsir passes 7-8 s, each in a 1-task stage).  Real corpora bring
+    many splits; this hash repartition stands in for them at bench
+    scale — the same rationale bloom_contamination_stats documents.
+    Results are partitioning-independent, so values are unchanged."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, key)
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship extraction pipeline over the seeded corpus
 # ---------------------------------------------------------------------------
@@ -727,7 +742,7 @@ def doc_sample_tenth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docvault_ocr_service_spark.functions.udfs import with_category
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return (
         with_category(docs, "text")
         .groupBy("category")
@@ -829,7 +844,9 @@ _SHIFT = 1_000_000
 def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copy = docs.select((F.col("doc_id") + _SHIFT).alias("doc_id"), "text")
-    return docs.unionByName(copy)
+    # the shingle/signature kernels downstream are per-row heavy and
+    # the source is a 1-split file — spread first (see _par)
+    return _par(spark, docs.unionByName(copy))
 
 
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,7 +1098,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    corpus = emb.where(F.col("vec_id") >= 5)
+    corpus = _par(spark, emb.where(F.col("vec_id") >= 5), "vec_id")
     return brute_force_topk(corpus, queries, k=5).select(
         "query_id", "vec_id", "rank")
 
@@ -1099,7 +1116,7 @@ def knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    corpus = emb.where(F.col("vec_id") >= 5)
+    corpus = _par(spark, emb.where(F.col("vec_id") >= 5), "vec_id")
     return int8_topk(corpus, queries, k=5) \
         .orderBy("query_id", "rank")
 
@@ -1379,8 +1396,9 @@ def dsir_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable by construction)."""
     from docvault_ocr_service_spark.functions.dsir import dsir_resample
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
-        .where(F.col("doc_id") < 400)
+    docs = _par(spark, _t(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .where(F.col("doc_id") < 400))
     target = docs.where(F.col("doc_id") % 7 == 0).select("text")
     picked = dsir_resample(docs, target, "doc_id", k=50, hex_chars=2)
     return picked.select(
@@ -1416,8 +1434,8 @@ def quality_classifier_stats(spark: SparkSession, sf_dir: str
         (F.col("doc_id") + 100000).cast("long").alias("id"),
         reversed_text.alias("text"),
         F.lit(0).cast("long").alias("label")))
-    model = train_quality_classifier(labeled, "id", iters=3,
-                                     hex_chars=2)
+    model = train_quality_classifier(_par(spark, labeled, "id"), "id",
+                                     iters=3, hex_chars=2)
     scored = score_quality(docs.where(F.col("doc_id") < 60),
                            model, "doc_id", hex_chars=2)
     return scored.select(
@@ -1861,7 +1879,8 @@ def gopher_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with list lambdas."""
     from docvault_ocr_service_spark.functions.textstats import gopher_rules
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _par(spark, _t(spark, sf_dir, "documents")
+                .select("doc_id", "source", "text"))
     rules = gopher_rules(docs)
     cnt = [F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long").alias(c)
            for c in ("r_word_count", "r_mean_word_len", "r_symbol_ratio",
@@ -1883,7 +1902,7 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     c3, c2, v = train_char_trigram_lm(docs.where(F.col("doc_id") < 100))
-    out = score_perplexity(docs, c3, c2, v)
+    out = score_perplexity(_par(spark, docs), c3, c2, v)
     return out.select(
         "doc_id", "n_trigrams",
         F.floor(F.col("ppl") * 10000 + 0.5).cast("long").alias("ppl_q"))
@@ -2248,7 +2267,7 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text",
                                                  "lang")
     c3, c2, v = train_char_trigram_lm(docs.where(F.col("doc_id") < 100))
-    scored = (score_perplexity(docs, c3, c2, v)
+    scored = (score_perplexity(_par(spark, docs), c3, c2, v)
               .withColumn("ppl_q",
                           F.floor(F.col("ppl") * 10000 + 0.5)
                           .cast("long"))
@@ -2271,9 +2290,10 @@ def bpe_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docvault_ocr_service_spark.functions.bpe import (
         decode_bpe, encode_bpe, train_bpe)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
-        .where(F.col("text").isNotNull()
-               & (F.length(F.trim("text")) > 0))
+    docs = _par(spark, _t(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .where(F.col("text").isNotNull()
+                       & (F.length(F.trim("text")) > 0)))
     merges = train_bpe(docs.where(F.col("doc_id") < 60), n_merges=8)
     enc = encode_bpe(docs, merges)
     normalized = F.btrim(F.regexp_replace(F.col("text"), r"\s+", " "))
@@ -2826,7 +2846,8 @@ def bm25_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     same Lucene-shaped formula, ties broken on doc_id both sides."""
     from docvault_ocr_service_spark.operators.search import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(spark, _t(spark, sf_dir, "documents")
+                .select("doc_id", "text"))
     queries = spark.createDataFrame(
         _BM25_QUERIES, "query_id long, query_text string")
     return bm25_topk(docs, queries, top_k=5) \
@@ -3091,7 +3112,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docvault_ocr_service_spark.functions.collocations import (
         bigram_pmi)
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return bigram_pmi(docs, min_count=5, top_k=40)
 
 

@@ -112,11 +112,30 @@ def train_quality_classifier(labeled: DataFrame, id_col: str,
     docs = labeled.select(
         F.col(id_col).alias("__id"),
         F.col(label_col).cast("long").alias("__label"))
-    occ = _occurrences(labeled, id_col, text_col, hex_chars)
-    occ = occ.persist()
-    docs = docs.persist()
+    # (id, label, bucket, cnt) — occurrences pre-aggregated per doc
+    # ONCE (the margin and gradient sums are linear in the occurrence
+    # count, so Σ_occurrences w ≡ Σ_buckets cnt·w exactly), PLUS one
+    # __bias__ row per doc with cnt=1: the bias then rides the same
+    # join/sum/update arithmetic as every other bucket (margin picks
+    # up bias_q·1, the bucket gradient at __bias__ IS the bias
+    # gradient), which folds the former separate per-iteration bias
+    # aggregation + collect into the one gradient collect.  The label
+    # rides along as a grouping key so no per-iteration docs join is
+    # needed, and the table is hash-partitioned by doc id so the
+    # per-iteration margin aggregation needs no exchange.  Net shape
+    # per iteration: broadcast the weight table, map-side margin agg,
+    # one bucket-space-bounded exchange, ONE collect.
+    pairs = (_occurrences(labeled, id_col, text_col, hex_chars)
+             .groupBy("__id", "bucket")
+             .agg(F.count("*").alias("__cnt"))
+             .unionByName(docs.select(
+                 "__id", F.lit(BIAS_BUCKET).alias("bucket"),
+                 F.lit(1).cast("long").alias("__cnt")))
+             .join(docs, "__id")
+             .repartition("__id")
+             .persist())
     try:
-        n_docs = docs.count()
+        n_docs = pairs.where(F.col("bucket") == BIAS_BUCKET).count()
         if n_docs == 0:
             raise ValueError("empty training set")
         if n_docs > max_train_rows:
@@ -127,38 +146,28 @@ def train_quality_classifier(labeled: DataFrame, id_col: str,
                 f"labeled SEED SET; score the corpus with "
                 f"score_quality instead, or raise max_train_rows "
                 f"explicitly if a larger seed set is intended")
-        weights: dict[str, int] = {}   # bucket -> w_q (long)
-        bias_q = 0
+        weights: dict[str, int] = {BIAS_BUCKET: 0}   # bucket -> w_q
         for _ in range(iters):
-            if weights:
-                w_df = spark.createDataFrame(
-                    sorted(weights.items()), "bucket string, w_q long")
-                joined = occ.join(F.broadcast(w_df), "bucket", "left")
-            else:
-                joined = occ.withColumn("w_q", F.lit(None).cast("long"))
-            # exact per-doc margin (long sum of w_q, + bias once)
-            margins = (docs.join(
-                joined.groupBy("__id")
-                .agg(F.sum(F.coalesce("w_q", F.lit(0)))
-                     .alias("__sum_wq")),
-                "__id", "left")
-                .select("__id", "__label",
-                        ((F.coalesce("__sum_wq", F.lit(0))
-                          + F.lit(bias_q)) / F.lit(W_SCALE))
-                        .alias("__margin")))
+            w_df = spark.createDataFrame(
+                sorted(weights.items()), "bucket string, w_q long")
+            # exact per-doc margin (long sum of cnt·w_q, bias included
+            # via its sentinel row)
+            margins = (pairs.join(F.broadcast(w_df), "bucket", "left")
+                       .groupBy("__id", "__label")
+                       .agg(F.sum(F.col("__cnt")
+                                  * F.coalesce("w_q", F.lit(0)))
+                            .alias("__sum_wq")))
             resid = margins.select(
                 "__id",
-                ((F.col("__label") - _sigmoid(F.col("__margin")))
+                ((F.col("__label") - _sigmoid(
+                    F.col("__sum_wq") / F.lit(W_SCALE)))
                  * F.lit(R_SCALE)).cast("long").alias("__resid_q"))
-            resid = resid.persist()
-            grads = (occ.join(resid, "__id")
+            # one bounded collect: per-bucket gradients, bias included
+            grads = (pairs.join(F.broadcast(resid), "__id")
                      .groupBy("bucket")
-                     .agg(F.sum("__resid_q").alias("__grad_q"))
+                     .agg(F.sum(F.col("__resid_q") * F.col("__cnt"))
+                          .alias("__grad_q"))
                      .collect())
-            bias_grad = resid.agg(
-                F.coalesce(F.sum("__resid_q"), F.lit(0))
-                .alias("g")).collect()[0]["g"]
-            resid.unpersist()
             denom = lr_den * n_docs
             for row in grads:
                 num = row["__grad_q"] * lr_num * _W_OVER_R
@@ -167,12 +176,10 @@ def train_quality_classifier(labeled: DataFrame, id_col: str,
                 delta = abs(num) // denom * (1 if num >= 0 else -1)
                 weights[row["bucket"]] = \
                     weights.get(row["bucket"], 0) + delta
-            bnum = bias_grad * lr_num * _W_OVER_R
-            bias_q += abs(bnum) // denom * (1 if bnum >= 0 else -1)
     finally:
-        occ.unpersist()
-        docs.unpersist()
+        pairs.unpersist()
 
+    bias_q = weights.pop(BIAS_BUCKET)
     rows = sorted(weights.items()) + [(BIAS_BUCKET, bias_q)]
     out = spark.createDataFrame(rows, "bucket string, w_q long")
     return out.withColumn("weight",
