@@ -1144,7 +1144,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(emb.select("embedding").first()[0])
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    corpus = emb.where(F.col("vec_id") >= 5)
+    corpus = _par(spark, emb.where(F.col("vec_id") >= 5), "vec_id")
     return lsh_topk(corpus, queries, k=5, dim=dim, n_planes=6,
                     n_tables=16, n_probes=2) \
         .select("query_id", "vec_id", "rank")

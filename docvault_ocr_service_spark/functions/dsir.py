@@ -141,7 +141,14 @@ def dsir_resample(raw: DataFrame, target: DataFrame, id_col: str,
         raise ValueError(f"dsir_resample needs a numeric id column "
                          f"(got {id_col}: {t}); derive one first, "
                          f"e.g. xxhash64(url)")
-    ratios = dsir_log_ratios(raw, target, text_col, hex_chars, alpha)
+    # the ratio table is bucket-space-bounded (16^hex_chars rows) but
+    # its lineage is BOTH full-corpus counting passes; two broadcasts
+    # consume it (the log-ratio join and the totals row), so without
+    # materialization the corpus is counted twice more than the DSIR
+    # two-pass design requires.  Lazy localCheckpoint: the first
+    # broadcast build materializes it, the second reuses it.
+    ratios = dsir_log_ratios(raw, target, text_col, hex_chars, alpha) \
+        .localCheckpoint(eager=False)
     scored = dsir_scores(raw, ratios, id_col, text_col, hex_chars, alpha)
     return (scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k))

@@ -58,7 +58,7 @@ def train_char_trigram_lm(docs: DataFrame, text_col: str = "text"
     # branches on the scored frame) would otherwise re-run the whole
     # training explode per build
     c3 = (tri.groupBy("g3").agg(F.count("*").alias("c3"))
-          .localCheckpoint(eager=True))
+          .localCheckpoint(eager=False))
     c2 = (c3.groupBy(F.substring("g3", 1, 2).alias("g2"))
           .agg(F.sum("c3").alias("c2")))
     vocab = (_explode_positions(norm, "t", 1)

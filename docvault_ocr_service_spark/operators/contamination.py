@@ -209,9 +209,11 @@ def bloom_contamination(corpus: DataFrame, benchmark: DataFrame,
     """
     # one benchmark scan: the distinct gram set is materialized once
     # (bench-bounded by contract) and feeds BOTH the position table
-    # and the exact-verify join
+    # and the exact-verify join.  Lazy checkpoint: the first consumer
+    # (the screen's broadcast build) materializes it — no standalone
+    # upfront job
     bench_grams = _bench_grams(benchmark, bench_text_col, n) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     positions = _positions_from_grams(bench_grams, hex_chars, k)
 
     g = corpus.select(

@@ -21,10 +21,70 @@ Scale shape:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.web import url_host
+
+_PARALLELISM_FIRST = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+
+
+@contextmanager
+def _coalesce_by_size(spark):
+    """Scope AQE's size-based partition coalescing to the iterative
+    loops: rank/score state is a handful of bytes per node, and with
+    the default ``parallelismFirst=true`` every per-iteration shuffle
+    keeps the full shuffle-partition count — ~0.15 s of task-launch
+    overhead per stage on this box for rows that fit one partition
+    (measured r7: host_pagerank 1.83 s → 1.10 s with size-based
+    coalescing).  Session-scoped only for the loop: the setting hurts
+    compute-heavy-but-byte-small stages elsewhere (Catalyst sizes
+    partitions by bytes, not compute), so it is restored on exit."""
+    old = spark.conf.get(_PARALLELISM_FIRST, None)
+    spark.conf.set(_PARALLELISM_FIRST, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_PARALLELISM_FIRST)
+        else:
+            spark.conf.set(_PARALLELISM_FIRST, old)
+
+
+_ADAPTIVE = "spark.sql.adaptive.enabled"
+_SHUFFLE_PARTS = "spark.sql.shuffle.partitions"
+# rank-state rows are ~50 bytes; one shuffle partition comfortably
+# holds a few hundred thousand nodes' worth of state + their grouped
+# edge contributions
+_NODES_PER_PARTITION = 100_000
+
+
+@contextmanager
+def _iteration_shuffles(spark, n_nodes: int):
+    """Scope the per-iteration shuffle layout to the measured graph
+    size: partitions = clamp(n_nodes / 100k, 1, session default) and
+    AQE OFF for the loop.  AQE materializes every query stage as its
+    own job — measured r7, a 3-iteration PageRank on the gate fixture
+    ran 32 jobs whose inter-job driver latency (plan/AQE re-planning,
+    ~35 ms each) summed to 1.16 s against 0.75 s of actual job time.
+    With the partition count already derived from the data there is
+    nothing left for AQE to adapt inside the loop, and each eager
+    checkpoint becomes ONE job.  Both knobs are restored on exit, so
+    callers keep their own settings (at 1e9+ nodes the clamp returns
+    the session default and this is a no-op shape-wise)."""
+    old_parts = spark.conf.get(_SHUFFLE_PARTS)
+    old_aqe = spark.conf.get(_ADAPTIVE)
+    parts = max(1, min(int(old_parts),
+                       n_nodes // _NODES_PER_PARTITION or 1))
+    spark.conf.set(_SHUFFLE_PARTS, str(parts))
+    spark.conf.set(_ADAPTIVE, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(_SHUFFLE_PARTS, old_parts)
+        spark.conf.set(_ADAPTIVE, old_aqe)
 
 HREF_RE = (r"""(?i)<a\s[^>]*?href\s*=\s*["']([^"'#][^"']*)["']""")
 
@@ -64,6 +124,16 @@ def host_edges(links: DataFrame) -> DataFrame:
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
              iters: int = 5, node_col_out: str = "host") -> DataFrame:
+    """See _pagerank_impl — runs under size-based AQE coalescing
+    (the whole operator: setup aggregations and iterations alike move
+    a few bytes per node)."""
+    with _coalesce_by_size(edges.sparkSession):
+        return _pagerank_impl(edges, damping, iters, node_col_out)
+
+
+def _pagerank_impl(edges: DataFrame, damping: float = 0.85,
+                   iters: int = 5, node_col_out: str = "host"
+                   ) -> DataFrame:
     """Weighted PageRank over (src_host, dst_host, n_links) edges.
 
     Exact fixed-iteration form (the driver-gate oracle unrolls the same
@@ -84,67 +154,100 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
         F.col("dst_host").alias("dst"),
         F.col("n_links").cast("double").alias("w")).persist()
     deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
+    sources = edges.select(F.col("src").alias("node")).distinct()
+    # nodes carry their dangling flag from birth: ONE setup action
+    # yields n AND the dangling count (the former separate
+    # nodes.count() + limit(1).count() pair), and the per-iteration
+    # dangling-mass aggregation needs no extra join
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
-             .distinct().persist())
-    n = nodes.count()
+             .distinct()
+             .join(sources.withColumn("__has_out", F.lit(True)),
+                   "node", "left")
+             .select("node", F.coalesce("__has_out", F.lit(False))
+                     .alias("has_out"))
+             .persist())
+    counts = nodes.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("has_out"), 0).otherwise(1))
+        .alias("n_dangling")).first()
+    n = counts["n"]
     if n == 0:
         edges.unpersist()
         nodes.unpersist()
         return spark.createDataFrame(
             [], f"{node_col_out} string, rank double")
     base = (1.0 - damping) / n
+    any_dangling = (counts["n_dangling"] or 0) > 0
 
     # (src, dst, w/deg): the per-link share of the source's rank
+    # (materialized by the first iteration; no separate warm action)
     shares = (edges.join(deg, "src")
               .select("src", "dst", (F.col("w") / F.col("deg"))
                       .alias("share"))).persist()
-    shares.count()
     edges.unpersist()
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).persist()
-    sources = shares.select("src").distinct()
-    # dangling NODE SET is fixed across iterations (only the mass on it
-    # changes): compute it once, and skip the per-iteration scalar agg
-    # entirely for graphs without dangling nodes (the common case)
-    dangling_nodes = (nodes.join(sources,
-                                 nodes["node"] == sources["src"],
-                                 "left_anti").persist())
-    any_dangling = dangling_nodes.limit(1).count() > 0
-    for _ in range(iters):
-        dangling = 0.0
-        if any_dangling:
-            dangling = (ranks.join(dangling_nodes, "node", "left_semi")
-                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                        .first()[0])
-        contribs = (shares.join(ranks, shares["src"] == ranks["node"])
-                    .groupBy("dst")
-                    .agg(F.sum(F.col("rank") * F.col("share"))
-                         .alias("contrib")))
-        new_ranks = (nodes.join(contribs,
-                                nodes["node"] == contribs["dst"], "left")
-                     .select(
-                         "node",
-                         (F.lit(base)
-                          + F.lit(damping)
-                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                             + F.lit(dangling / n))).alias("rank"))
-                     # localCheckpoint, not persist: truncates the
-                     # per-iteration plan (linear growth here, but the
-                     # same AQE plan-string cost hits() documents)
-                     .localCheckpoint(eager=True))
-        ranks.unpersist()
-        ranks = new_ranks
+    ranks = nodes.select("node", "has_out",
+                         F.lit(1.0 / n).alias("rank")).persist()
+    # checkpoint cadence: the no-dangling recurrence references the
+    # previous rank frame ONCE, so a few lazy steps chain linearly and
+    # one eager checkpoint per CADENCE steps bounds the plan while
+    # paying the per-action driver latency 4x less often.  A dangling
+    # graph references ranks twice per step (contribs + the dangling
+    # mass scalar), which would double work per lazy level — those
+    # keep the per-step checkpoint.
+    cadence = 1 if any_dangling else 4
+    with _iteration_shuffles(spark, n):
+        for it in range(iters):
+            contribs = (shares.join(ranks, shares["src"] == ranks["node"])
+                        .groupBy("dst")
+                        .agg(F.sum(F.col("rank") * F.col("share"))
+                             .alias("contrib")))
+            new_ranks = nodes.join(contribs,
+                                   nodes["node"] == contribs["dst"], "left")
+            if any_dangling:
+                # dangling mass as a broadcast one-row scalar instead of a
+                # per-iteration driver first(): same double arithmetic
+                # (sum, then the same /n division), one less action per
+                # iteration
+                dang = ranks.where(~F.col("has_out")).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+                extra = F.col("__dm") / F.lit(float(n))
+                new_ranks = new_ranks.crossJoin(F.broadcast(dang))
+            else:
+                extra = F.lit(0.0)
+            new_ranks = (new_ranks
+                         .select(
+                             "node", "has_out",
+                             (F.lit(base)
+                              + F.lit(damping)
+                              * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                                 + extra)).alias("rank"))
+                         )
+            if (it + 1) % cadence == 0 or it == iters - 1:
+                # localCheckpoint, not persist: truncates the plan
+                # (linear growth here, but the same AQE plan-string
+                # cost hits() documents)
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+            ranks.unpersist()
+            ranks = new_ranks
 
     out = ranks.select(F.col("node").alias(node_col_out), "rank")
     shares.unpersist()
     nodes.unpersist()
-    dangling_nodes.unpersist()
     return out
 
 
 def hits(edges: DataFrame, iters: int = 5,
          node_col_out: str = "host") -> DataFrame:
+    """See _hits_impl — runs under size-based AQE coalescing (the
+    whole operator moves a few bytes per node)."""
+    with _coalesce_by_size(edges.sparkSession):
+        return _hits_impl(edges, iters, node_col_out)
+
+
+def _hits_impl(edges: DataFrame, iters: int = 5,
+               node_col_out: str = "host") -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over the weighted host
     multigraph (src_host, dst_host, n_links) — the complementary
     authority signal to ``pagerank`` (good hubs find good content;
@@ -184,33 +287,43 @@ def hits(edges: DataFrame, iters: int = 5,
     hub = nodes.select("node", F.lit(1.0 / n).alias("hub")) \
         .localCheckpoint(eager=True)
     auth = hub.select("node", F.lit(0.0).alias("auth"))
-    for _ in range(iters):
-        raw_a = (e.join(hub, e["src"] == hub["node"])
-                 .groupBy("dst")
-                 .agg(F.sum(F.col("w") * F.col("hub")).alias("s")))
-        auth_un = (nodes.join(raw_a, nodes["node"] == raw_a["dst"],
-                              "left")
+    with _iteration_shuffles(spark, n):
+        for _ in range(iters):
+            raw_a = (e.join(hub, e["src"] == hub["node"])
+                     .groupBy("dst")
+                     .agg(F.sum(F.col("w") * F.col("hub")).alias("s")))
+            auth_un = (nodes.join(raw_a, nodes["node"] == raw_a["dst"],
+                                  "left")
+                       .select("node",
+                               F.coalesce(F.col("s"), F.lit(0.0))
+                               .alias("s"))
+                       .localCheckpoint(eager=True))
+            # L1 norm as a broadcast one-row scalar instead of a driver
+            # first() per half-step: nullif/coalesce replays the
+            # ``tot if tot else 1.0`` guard (0.0/-0.0/null → 1.0, NaN
+            # stays NaN), same double division — two fewer actions per
+            # iteration
+            tot_a = auth_un.agg(
+                F.coalesce(F.nullif(F.sum("s"), F.lit(0.0)), F.lit(1.0))
+                .alias("__t"))
+            auth = (auth_un.crossJoin(F.broadcast(tot_a))
+                    .select("node",
+                            (F.col("s") / F.col("__t")).alias("auth")))
+            raw_h = (e.join(auth, e["dst"] == auth["node"])
+                     .groupBy("src")
+                     .agg(F.sum(F.col("w") * F.col("auth")).alias("s")))
+            hub_un = (nodes.join(raw_h, nodes["node"] == raw_h["src"],
+                                 "left")
+                      .select("node",
+                              F.coalesce(F.col("s"), F.lit(0.0))
+                              .alias("s"))
+                      .localCheckpoint(eager=True))
+            tot_h = hub_un.agg(
+                F.coalesce(F.nullif(F.sum("s"), F.lit(0.0)), F.lit(1.0))
+                .alias("__t"))
+            hub = (hub_un.crossJoin(F.broadcast(tot_h))
                    .select("node",
-                           F.coalesce(F.col("s"), F.lit(0.0))
-                           .alias("s"))
-                   .localCheckpoint(eager=True))
-        tot_a = auth_un.agg(F.sum("s")).first()[0]
-        auth = auth_un.select(
-            "node",
-            (F.col("s") / F.lit(tot_a if tot_a else 1.0)).alias("auth"))
-        raw_h = (e.join(auth, e["dst"] == auth["node"])
-                 .groupBy("src")
-                 .agg(F.sum(F.col("w") * F.col("auth")).alias("s")))
-        hub_un = (nodes.join(raw_h, nodes["node"] == raw_h["src"],
-                             "left")
-                  .select("node",
-                          F.coalesce(F.col("s"), F.lit(0.0))
-                          .alias("s"))
-                  .localCheckpoint(eager=True))
-        tot_h = hub_un.agg(F.sum("s")).first()[0]
-        hub = hub_un.select(
-            "node",
-            (F.col("s") / F.lit(tot_h if tot_h else 1.0)).alias("hub"))
+                           (F.col("s") / F.col("__t")).alias("hub")))
 
     out = (hub.join(auth, "node")
            .select(F.col("node").alias(node_col_out), "hub", "auth"))

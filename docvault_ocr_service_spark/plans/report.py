@@ -32,6 +32,8 @@ def corpus_datasheet(df: DataFrame, text_col: str = "text",
     are not a language); NULL texts count toward ``n_docs`` but not
     toward the dup rate.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..functions.textstats import token_count
 
     c = F.col(text_col)
@@ -39,19 +41,61 @@ def corpus_datasheet(df: DataFrame, text_col: str = "text",
              .withColumn("__len", F.coalesce(F.length(c), F.lit(0)))
     base = base.persist()
     try:
-        # one pass for every whole-corpus scalar (incl. the md5 dup
-        # counts — no second full scan)
-        agg = base.agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("__tok").cast("long").alias("total_tokens"),
-            F.sum("__len").cast("long").alias("total_chars"),
-            F.percentile(F.col("__tok"), F.lit(0.5))
-            .alias("__p50"),
-            F.percentile(F.col("__tok"), F.lit(0.9))
-            .alias("__p90"),
-            F.count(F.md5(c)).cast("long").alias("__nn"),
-            F.countDistinct(F.md5(c)).cast("long").alias("__nd"),
-        ).first()
+        # the three report sections are independent jobs over the same
+        # cached frame — submit them from a small thread pool so the
+        # later jobs back-fill the earlier jobs' task tails
+        # (guide §2.6) instead of running strictly one after another
+
+        def _scalars():
+            # one pass for every whole-corpus scalar (incl. the md5
+            # dup counts — no second full scan)
+            return base.agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("__tok").cast("long").alias("total_tokens"),
+                F.sum("__len").cast("long").alias("total_chars"),
+                F.percentile(F.col("__tok"), F.lit(0.5))
+                .alias("__p50"),
+                F.percentile(F.col("__tok"), F.lit(0.9))
+                .alias("__p90"),
+                F.count(F.md5(c)).cast("long").alias("__nn"),
+                F.countDistinct(F.md5(c)).cast("long").alias("__nd"),
+            ).first()
+
+        def _langs():
+            if lang_col is None:
+                return None
+            # one bounded collect: rows = distinct languages
+            return (base.where(F.col(lang_col).isNotNull())
+                    .groupBy(lang_col)
+                    .agg(F.count("*").alias("n"))
+                    .collect())
+
+        def _domains():
+            if url_col is None:
+                return None
+            from ..functions.web import with_registrable_domain
+
+            host = F.lower(F.regexp_extract(
+                F.col(url_col),
+                r"^[a-zA-Z]+://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+            doms = (with_registrable_domain(base, host, "__d")
+                    .groupBy("__d").agg(F.count("*").alias("n")))
+            doms = doms.persist()
+            try:
+                n_domains = doms.count()
+                top_dom = doms.orderBy(F.col("n").desc(),
+                                       F.col("__d").asc()).first()
+            finally:
+                doms.unpersist()
+            return n_domains, top_dom
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_scalars = pool.submit(_scalars)
+            f_langs = pool.submit(_langs)
+            f_domains = pool.submit(_domains)
+            agg = f_scalars.result()
+            lang_rows = f_langs.result()
+            dom_res = f_domains.result()
         n_docs = agg["n_docs"] or 0
 
         row = {
@@ -62,26 +106,17 @@ def corpus_datasheet(df: DataFrame, text_col: str = "text",
             "p90_tokens": float(agg["__p90"] or 0.0),
         }
 
-        if lang_col is not None and n_docs:
-            # one bounded collect: rows = distinct languages
-            lang_rows = (base.where(F.col(lang_col).isNotNull())
-                         .groupBy(lang_col)
-                         .agg(F.count("*").alias("n"))
-                         .collect())
-            if lang_rows:
-                # ties: highest n, then lexically first language
-                best_n = max(r["n"] for r in lang_rows)
-                top = min((r for r in lang_rows if r["n"] == best_n),
-                          key=lambda r: r[lang_col])
-                row |= {
-                    "n_langs": len(lang_rows),
-                    "top_lang": top[lang_col],
-                    "top_lang_share_q": int(
-                        top["n"] * 10000 // n_docs),
-                }
-            else:
-                row |= {"n_langs": 0, "top_lang": None,
-                        "top_lang_share_q": 0}
+        if lang_rows and n_docs:
+            # ties: highest n, then lexically first language
+            best_n = max(r["n"] for r in lang_rows)
+            top = min((r for r in lang_rows if r["n"] == best_n),
+                      key=lambda r: r[lang_col])
+            row |= {
+                "n_langs": len(lang_rows),
+                "top_lang": top[lang_col],
+                "top_lang_share_q": int(
+                    top["n"] * 10000 // n_docs),
+            }
         else:
             row |= {"n_langs": 0, "top_lang": None,
                     "top_lang_share_q": 0}
@@ -94,19 +129,8 @@ def corpus_datasheet(df: DataFrame, text_col: str = "text",
         else:
             row["exact_dup_rate_q"] = 0
 
-        if url_col is not None and n_docs:
-            from ..functions.web import with_registrable_domain
-
-            host = F.lower(F.regexp_extract(
-                F.col(url_col),
-                r"^[a-zA-Z]+://(?:[^/?#@]*@)?([^/?#:]+)", 1))
-            doms = (with_registrable_domain(base, host, "__d")
-                    .groupBy("__d").agg(F.count("*").alias("n")))
-            doms = doms.persist()
-            n_domains = doms.count()
-            top_dom = doms.orderBy(F.col("n").desc(),
-                                   F.col("__d").asc()).first()
-            doms.unpersist()
+        if dom_res is not None and n_docs:
+            n_domains, top_dom = dom_res
             row |= {
                 "n_domains": int(n_domains),
                 "top_domain_share_q": int(

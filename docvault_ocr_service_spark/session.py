@@ -2,10 +2,21 @@
 
 The knobs below are the ones SURVEY §4 flags as *explicit engineering*:
 
-- ``spark.sql.execution.arrow.maxRecordsPerBatch=128``: each record can be
-  megabytes of ``html`` binary; the 10k-row Arrow default would balloon the
-  Python worker (SURVEY §4 item 2).
-- AQE on: post-shuffle coalescing and runtime re-planning are free wins.
+- Arrow batches are BYTE-capped (``maxBytesPerBatch=16m``), not row-
+  capped: each record can be megabytes of ``html`` binary, so the old
+  flat 128-row cap protected the Python worker but starved small-row
+  pandas-UDF stages (measured r7: minhash signatures 1.51 s → 0.88 s,
+  justext 0.92 s → 0.59 s, extraction +4% with 10k-row/16 MB batches).
+  The byte cap bounds worker memory STRICTER than 128 fat rows did
+  (128 × 2 MB html ≫ 16 MB) while letting narrow rows batch large
+  (guide §4.2).
+- AQE on, including for CACHED plans
+  (``canChangeCachedPlanOutputPartitioning=true``): persisted
+  intermediates of iterative operators (GD training tables, rank
+  state) otherwise pin the full shuffle-partition count and every
+  iteration pays ~0.15 s of task-launch overhead per 32-task stage on
+  rows that fit one partition (measured r7: host_pagerank 1.82 s →
+  1.12 s, dsir 2.37 s → 1.60 s with coalescing enabled).
 - ``spark.sql.shuffle.partitions`` sized to cores, not the 200 default —
   on a real cluster this is set to ~2-3× total cores by the submitter.
 """
@@ -16,7 +27,8 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 128
+ARROW_BATCH_ROWS = 10_000
+ARROW_BATCH_BYTES = "16m"
 
 
 def get_spark(app_name: str = "docvault_ocr_service_spark",
@@ -41,6 +53,10 @@ def get_spark(app_name: str = "docvault_ocr_service_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_BATCH_ROWS))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                ARROW_BATCH_BYTES)
+        .config("spark.sql.optimizer."
+                "canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
