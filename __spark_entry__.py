@@ -2848,8 +2848,13 @@ def bm25_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _par(spark, _t(spark, sf_dir, "documents")
                 .select("doc_id", "text"))
+    # pandas → Arrow: lands as JVM-side batches, no Python-worker
+    # parallelize tasks in the broadcast build (same trick as the
+    # classifier's weight table)
     queries = spark.createDataFrame(
-        _BM25_QUERIES, "query_id long, query_text string")
+        pd.DataFrame(_BM25_QUERIES,
+                     columns=["query_id", "query_text"]),
+        schema="query_id long, query_text string")
     return bm25_topk(docs, queries, top_k=5) \
         .orderBy("query_id", "rank")
 

@@ -126,6 +126,8 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
                            "digest", "left_anti").persist()
         cdx_planned = plan.count()
         cdx_skipped = latest.count() - cdx_planned
+        # both counts are in; everything downstream reads `plan` only
+        latest.unpersist()
         fetched = read_warc_records(
             spark, plan, base_dir=warc_base_dir or warc_dir)
         pages = fetched.drop("digest")
@@ -141,10 +143,17 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
         pages = annotated.where(F.col("robots_allowed")) \
             .drop("robots_allowed")
         polite_n = pages.count()
+        cached_pages = annotated
     else:
         pages = pages.persist()
         pages_in = polite_n = pages.count()
+        cached_pages = pages
 
+    # persisted page frames supersede each other down the funnel
+    # (cached_pages tracks the live one); unpersist each once its
+    # successor (or the extraction run) has materialized, so a long
+    # pipeline run does not pin every intermediate in executor
+    # storage for its remaining lifetime
     noindex_dropped = canonical_collapsed = 0
     if honor_noindex or canonical_collapse:
         from ..functions.web import canonical_url, \
@@ -159,6 +168,9 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
                 F.coalesce(robots_meta_directives(html_s)["noindex"],
                            F.lit(False))).persist()
             noindex_dropped = pages.where(F.col("__noindex")).count()
+            if cached_pages is not pages:
+                cached_pages.unpersist()
+            cached_pages = pages
             pages = pages.where(~F.col("__noindex")).drop("__noindex")
         if canonical_collapse:
             from pyspark.sql import Window
@@ -177,9 +189,13 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
                      .where(F.col("__rn") == 1)
                      .drop("__canon", "__rn").persist())
             canonical_collapsed = before - pages.count()
+            if cached_pages is not pages:
+                cached_pages.unpersist()
+            cached_pages = pages
 
     report = run_extract_job(spark, pages, state_dir,
                              media_dir=os.path.join(out_dir, "media"))
+    cached_pages.unpersist()
 
     store = ParquetCheckpointStore(spark, state_dir)
     results = store.read_results_current()
@@ -203,6 +219,9 @@ def run_crawl_pipeline(spark: SparkSession, warc_dir: str, state_dir: str,
          .join(done.select("url"), "url", "left_semi")
          .select("digest").distinct()
          .write.mode("append").parquet(seen_digests_dir))
+    if fetched_digests is not None:
+        # the digest bank (or nothing) was the last consumer of `plan`
+        plan.unpersist()
 
     if fix_encoding:
         from ..functions.textstats import fix_mojibake

@@ -631,9 +631,12 @@ def read_warc_records(spark, plan, base_dir: str | None = None):
                         fsys, rel = pafs.FileSystem.from_uri(str(full))
                         cur_file = fsys.open_input_file(rel)
                         cur_name = name
-                except OSError:
-                    # the ARCHIVE is unreachable: error row, handle
-                    # state already reset so the next row retries
+                except (OSError, ValueError):
+                    # the ARCHIVE is unreachable or its name is
+                    # malformed (pyarrow raises ArrowInvalid — a
+                    # ValueError — on a bad URI from a stale/corrupt
+                    # index): error row, handle state already reset so
+                    # the next row retries
                     rows.append((f"{full}#{off}", None, None,
                                  None, None, digest))
                     continue
