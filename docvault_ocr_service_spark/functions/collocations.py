@@ -41,18 +41,6 @@ from .textstats import lower_tokens as _tokens
 PMI_SCALE = 1_000_000
 
 
-def _bigrams(toks: Column) -> Column:
-    """Adjacent (w1, w2) pairs within a document as "w1 w2" strings;
-    documents with fewer than two tokens contribute none."""
-    n = F.size(toks)
-    pairs = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i.cast("int")),
-                              F.element_at(toks, (i + 1).cast("int"))))
-    return F.when(n >= 2, pairs) \
-        .otherwise(F.array().cast("array<string>"))
-
-
 def bigram_pmi(docs: DataFrame, text_col: str = "text", *,
                min_count: int = 5, top_k: int = 50) -> DataFrame:
     """Top-``top_k`` adjacent-word collocations by PMI, among bigrams
@@ -72,7 +60,18 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text", *,
     uni = (toks.select(F.explode("toks").alias("w"))
            .groupBy("w").agg(F.count("*").alias("c"))
            .persist())
-    bi = (toks.select(F.explode(_bigrams(F.col("toks"))).alias("p"))
+    # bigrams as explode(positions) + element_at in whole-stage
+    # codegen rather than explode(transform(...)): the interpreted
+    # per-pair lambda was the dominant per-row cost (same rewrite as
+    # the char-trigram pass in functions/ngram_lm.py, r7) — byte-
+    # identical "w1 w2" strings
+    bi = (toks.where(F.size("toks") >= 2)
+          .select("toks", F.explode(F.sequence(
+              F.lit(1), F.size("toks") - 1)).alias("__i"))
+          .select(F.concat_ws(
+              " ", F.element_at("toks", F.col("__i")),
+              F.element_at("toks", F.col("__i") + F.lit(1)))
+              .alias("p"))
           .groupBy("p").agg(F.count("*").alias("c_xy"))
           .where(F.col("c_xy") >= min_count))
 
