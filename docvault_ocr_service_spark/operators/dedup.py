@@ -322,47 +322,57 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
               .withColumn("component", F.col("node")))
     labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
     # labels only ever decrease, so the label sum is a monotone fixpoint
-    # certificate — one cheap aggregate per iteration, no compare join
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    # certificate — one cheap aggregate per iteration, no compare join.
+    # The same setup job also measures the node count, which sizes the
+    # loop's shuffle layout (operators/tuning.py — label rows are a few
+    # bytes each, and the min-label arithmetic is integer, so partition
+    # layout cannot perturb results)
+    from .tuning import iteration_shuffles
+
+    row0 = labels.agg(F.sum("component").alias("s"),
+                      F.count("*").alias("n")).first()
+    prev_sum, n_nodes = row0["s"], row0["n"]
     converged = False
-    for it in range(max_iter):
-        neighbor_min = (sym.join(labels,
-                                 sym["v"] == labels["node"])
-                        .groupBy("u")
-                        .agg(F.min("component").alias("nmin")))
-        stepped = (labels.join(neighbor_min,
-                               labels["node"] == neighbor_min["u"],
-                               "left")
-                   .select("node",
-                           F.least(F.col("component"),
-                                   F.coalesce(F.col("nmin"),
-                                              F.col("component")))
-                           .alias("component")))
-        # pointer jumping: follow the label's own label once per round —
-        # turns linear chain propagation into logarithmic convergence
-        lut = stepped.select(F.col("node").alias("__c"),
-                             F.col("component").alias("__cc"))
-        new_labels = (stepped.join(lut,
-                                   stepped["component"] == lut["__c"],
+    spark = edges.sparkSession
+    with iteration_shuffles(spark, n_nodes):
+        for it in range(max_iter):
+            neighbor_min = (sym.join(labels,
+                                     sym["v"] == labels["node"])
+                            .groupBy("u")
+                            .agg(F.min("component").alias("nmin")))
+            stepped = (labels.join(neighbor_min,
+                                   labels["node"] == neighbor_min["u"],
                                    "left")
-                      .select("node",
-                              F.least(F.col("component"),
-                                      F.coalesce(F.col("__cc"),
-                                                 F.col("component")))
-                              .alias("component"))
-                      .localCheckpoint(eager=True))
-        new_sum = new_labels.agg(F.sum("component")).first()[0]
-        if it == 0:
-            # frees the persisted SEED frame; superseded
-            # localCheckpoint snapshots (every later iteration) are
-            # released by the ContextCleaner once their DataFrames
-            # are GC'd — unpersist is a no-op on checkpointed frames
-            labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
+                       .select("node",
+                               F.least(F.col("component"),
+                                       F.coalesce(F.col("nmin"),
+                                                  F.col("component")))
+                               .alias("component")))
+            # pointer jumping: follow the label's own label once per round —
+            # turns linear chain propagation into logarithmic convergence
+            lut = stepped.select(F.col("node").alias("__c"),
+                                 F.col("component").alias("__cc"))
+            new_labels = (stepped.join(lut,
+                                       stepped["component"] == lut["__c"],
+                                       "left")
+                          .select("node",
+                                  F.least(F.col("component"),
+                                          F.coalesce(F.col("__cc"),
+                                                     F.col("component")))
+                                  .alias("component"))
+                          .localCheckpoint(eager=True))
+            new_sum = new_labels.agg(F.sum("component")).first()[0]
+            if it == 0:
+                # frees the persisted SEED frame; superseded
+                # localCheckpoint snapshots (every later iteration) are
+                # released by the ContextCleaner once their DataFrames
+                # are GC'd — unpersist is a no-op on checkpointed frames
+                labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
     sym.unpersist()
     if not converged:
         # silent under-merging would make dedup keep duplicates

@@ -53,38 +53,7 @@ def _coalesce_by_size(spark):
             spark.conf.set(_PARALLELISM_FIRST, old)
 
 
-_ADAPTIVE = "spark.sql.adaptive.enabled"
-_SHUFFLE_PARTS = "spark.sql.shuffle.partitions"
-# rank-state rows are ~50 bytes; one shuffle partition comfortably
-# holds a few hundred thousand nodes' worth of state + their grouped
-# edge contributions
-_NODES_PER_PARTITION = 100_000
-
-
-@contextmanager
-def _iteration_shuffles(spark, n_nodes: int):
-    """Scope the per-iteration shuffle layout to the measured graph
-    size: partitions = clamp(n_nodes / 100k, 1, session default) and
-    AQE OFF for the loop.  AQE materializes every query stage as its
-    own job — measured r7, a 3-iteration PageRank on the gate fixture
-    ran 32 jobs whose inter-job driver latency (plan/AQE re-planning,
-    ~35 ms each) summed to 1.16 s against 0.75 s of actual job time.
-    With the partition count already derived from the data there is
-    nothing left for AQE to adapt inside the loop, and each eager
-    checkpoint becomes ONE job.  Both knobs are restored on exit, so
-    callers keep their own settings (at 1e9+ nodes the clamp returns
-    the session default and this is a no-op shape-wise)."""
-    old_parts = spark.conf.get(_SHUFFLE_PARTS)
-    old_aqe = spark.conf.get(_ADAPTIVE)
-    parts = max(1, min(int(old_parts),
-                       n_nodes // _NODES_PER_PARTITION or 1))
-    spark.conf.set(_SHUFFLE_PARTS, str(parts))
-    spark.conf.set(_ADAPTIVE, "false")
-    try:
-        yield
-    finally:
-        spark.conf.set(_SHUFFLE_PARTS, old_parts)
-        spark.conf.set(_ADAPTIVE, old_aqe)
+from .tuning import iteration_shuffles as _iteration_shuffles
 
 HREF_RE = (r"""(?i)<a\s[^>]*?href\s*=\s*["']([^"'#][^"']*)["']""")
 

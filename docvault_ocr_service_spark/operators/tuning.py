@@ -1,0 +1,49 @@
+"""Scoped execution-layout tuning for iterative operators.
+
+Iterative fixpoint loops (PageRank/HITS score propagation, connected-
+components label propagation, full-batch GD) carry a few bytes of
+state per node/doc, but under the session defaults every per-iteration
+shuffle keeps the full shuffle-partition count and AQE materializes
+every query stage as its own job.  Measured r7 on this box: a trivial
+32-task stage has a ~0.2 s wall floor (vs ~0.08 s at 1 task), and a
+3-iteration PageRank ran 32 AQE stage-jobs whose inter-job driver
+latency (~35 ms each) summed to 1.16 s against 0.75 s of job time.
+
+``iteration_shuffles`` scopes two knobs to a loop and restores them on
+exit:
+
+- ``spark.sql.shuffle.partitions`` = clamp(n_rows / rows_per_partition,
+  1, session default) — derived from the MEASURED state size, so at
+  1e9+ nodes the clamp returns the session default and the scope is a
+  shape no-op (never a constant tuned to the local box);
+- ``spark.sql.adaptive.enabled`` = false — with the partition count
+  already data-derived there is nothing left for AQE to adapt inside
+  the loop, and each eager checkpoint/aggregate becomes ONE job.
+
+Only use around loops whose cross-row arithmetic is partition-order
+independent (integer sums/mins, or scalar aggregates pulled whole):
+reordering float partial sums can flip quantized outputs.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+_ADAPTIVE = "spark.sql.adaptive.enabled"
+_SHUFFLE_PARTS = "spark.sql.shuffle.partitions"
+
+
+@contextmanager
+def iteration_shuffles(spark, n_rows: int,
+                       rows_per_partition: int = 100_000):
+    old_parts = spark.conf.get(_SHUFFLE_PARTS)
+    old_aqe = spark.conf.get(_ADAPTIVE)
+    parts = max(1, min(int(old_parts),
+                       n_rows // rows_per_partition or 1))
+    spark.conf.set(_SHUFFLE_PARTS, str(parts))
+    spark.conf.set(_ADAPTIVE, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(_SHUFFLE_PARTS, old_parts)
+        spark.conf.set(_ADAPTIVE, old_aqe)
