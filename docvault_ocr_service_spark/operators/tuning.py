@@ -23,6 +23,14 @@ exit:
 Only use around loops whose cross-row arithmetic is partition-order
 independent (integer sums/mins, or scalar aggregates pulled whole):
 reordering float partial sums can flip quantized outputs.
+
+Session-conf mutations are GLOBAL to the SparkSession: a concurrent
+driver thread planning queries on the same session while a scoped loop
+runs would observe the loop's layout.  The engine's operators run
+their loops on the calling thread and the only in-repo concurrency
+(the datasheet's report pool) never overlaps an iterative loop; a
+caller composing these operators from multiple threads should give
+each thread its own ``spark.newSession()``.
 """
 
 from __future__ import annotations
