@@ -24,11 +24,31 @@ from pyspark.sql import functions as F
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+# lazy table handles, memoized per (application, dir, table): each
+# `spark.read.parquet` pays ~110 ms of file listing + footer schema
+# inference (measured r7), and the suite re-reads the same handful of
+# tables for every query construction.  This caches the UNRESOLVED
+# scan plan only — never data or results; every execution still scans
+# the parquet inputs (the per-session file-listing cache the guide §6
+# recommends, and what a production session gets from registering the
+# tables once).
+_TABLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # oracle SQL runs in DuckDB (TZ-naive); pin the Spark session to UTC
     # so timestamp truncation/formatting agrees regardless of host TZ
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
+    df = _TABLES.get(key)
+    if df is None:
+        if _TABLES and next(iter(_TABLES))[0] != app:
+            # a new session: drop the dead session's handles
+            _TABLES.clear()
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLES[key] = df
+    return df
 
 
 def _par(spark: SparkSession, df: DataFrame, key: str = "doc_id"
